@@ -1,0 +1,58 @@
+"""Vocab + mask builder semantics (reference model/utils.py:42-128)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lemas_tts_tpu.utils import (
+    lens_to_mask,
+    mask_from_frac_lengths,
+    load_vocab,
+    get_tokenizer,
+    text_to_ids,
+    pad_text_batch,
+)
+
+
+def test_vocab_roundtrip(tmp_path):
+    vf = tmp_path / "vocab.txt"
+    vf.write_text(" \na\nb\n(en)\n#1\n", encoding="utf-8")
+    vocab = load_vocab(vf)
+    assert vocab.size == 5
+    assert vocab.char_map[" "] == 0
+    ids = text_to_ids(["a", "(en)", "zzz", "#1"], vocab)
+    # unknown 'zzz' -> 0
+    np.testing.assert_array_equal(ids, [1, 3, 0, 4])
+
+
+def test_pad_text_batch_minus_one():
+    a = np.array([1, 2, 3], dtype=np.int32)
+    b = np.array([7], dtype=np.int32)
+    out = pad_text_batch([a, b])
+    np.testing.assert_array_equal(out, [[1, 2, 3], [7, -1, -1]])
+
+
+def test_byte_tokenizer():
+    vocab = get_tokenizer("", "byte")
+    assert vocab.size == 256
+    np.testing.assert_array_equal(text_to_ids("hi", vocab), [104, 105])
+
+
+def test_lens_to_mask():
+    m = lens_to_mask(jnp.array([2, 4]), length=5)
+    np.testing.assert_array_equal(
+        np.asarray(m),
+        [[True, True, False, False, False], [True, True, True, True, False]],
+    )
+
+
+def test_mask_from_frac_lengths_span_size():
+    lens = jnp.array([100, 80])
+    frac = jnp.array([0.5, 0.25])
+    m = mask_from_frac_lengths(lens, frac, length=128, rng=jax.random.key(0))
+    counts = np.asarray(m).sum(axis=1)
+    np.testing.assert_array_equal(counts, [50, 20])
+    # spans are contiguous
+    for row in np.asarray(m):
+        idx = np.flatnonzero(row)
+        assert (np.diff(idx) == 1).all()

@@ -1,0 +1,207 @@
+"""Checkpoint loading & PyTorch→JAX weight conversion.
+
+The reference ships ``.safetensors``/``.pt`` checkpoints with EMA weights under
+``ema_model.*`` keys (``utils_infer.py:204-246``). This module:
+
+ - normalizes a raw state dict (EMA key remap, ``initted``/``step`` dropped,
+   back-compat key deletion — same semantics as the reference loader);
+ - converts the reference tensor layout (torch Linear ``[out,in]``, Conv1d
+   ``[out,in/g,k]``) into this framework's flax param pytree (Dense
+   ``[in,out]``, Conv ``[k,in/g,out]``), stacking the per-layer DiT blocks
+   along axis 0 for the ``nn.scan`` body;
+ - loads/saves native orbax checkpoints for round-tripping without torch.
+
+No torch import is required unless a ``.pt`` file is read.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+# Back-compat keys deleted by the reference loader (utils_infer.py:233-235).
+_BACKCOMPAT_DELETE = (
+    "mel_spec.mel_stft.mel_scale.fb",
+    "mel_spec.mel_stft.spectrogram.window",
+    "ctc.proj.0.weight",
+    "ctc.proj.0.bias",
+    "ctc.ctc_proj.weight",
+    "ctc.ctc_proj.bias",
+)
+
+
+def _to_numpy(v) -> np.ndarray:
+    if isinstance(v, np.ndarray):
+        return v
+    return v.detach().cpu().float().numpy()  # torch tensor
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a ``.safetensors`` or torch ``.pt`` file into {key: np.ndarray}."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "ema_model_state_dict" in obj:
+        obj = obj["ema_model_state_dict"]
+    elif isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]
+    return {k: _to_numpy(v) for k, v in obj.items()}
+
+
+def normalize_state_dict(
+    sd: Mapping[str, np.ndarray], use_ema: bool = True
+) -> Dict[str, np.ndarray]:
+    """EMA remap + back-compat cleanup (reference ``load_checkpoint`` semantics)."""
+    out: Dict[str, np.ndarray] = {}
+    has_ema = any(k.startswith("ema_model.") for k in sd)
+    for k, v in sd.items():
+        if k in ("initted", "step"):
+            continue
+        if use_ema and has_ema:
+            if not k.startswith("ema_model."):
+                continue
+            k = k[len("ema_model.") :]
+            if k in ("initted", "step"):
+                continue
+        out[k] = np.asarray(v)
+    for k in _BACKCOMPAT_DELETE:
+        out.pop(k, None)
+    return out
+
+
+def _linear(sd, prefix):
+    p = {"kernel": sd[f"{prefix}.weight"].T}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _conv1d(sd, prefix):
+    # torch [out, in/groups, k] -> flax [k, in/groups, out]
+    p = {"kernel": np.transpose(sd[f"{prefix}.weight"], (2, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _layernorm(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _convnext_block(sd, prefix):
+    return {
+        "dwconv": _conv1d(sd, f"{prefix}.dwconv"),
+        "norm": _layernorm(sd, f"{prefix}.norm"),
+        "pwconv1": _linear(sd, f"{prefix}.pwconv1"),
+        "grn": {"gamma": sd[f"{prefix}.grn.gamma"], "beta": sd[f"{prefix}.grn.beta"]},
+        "pwconv2": _linear(sd, f"{prefix}.pwconv2"),
+    }
+
+
+def _stack(dicts: list) -> Any:
+    """Stack a list of identically-structured param trees along axis 0."""
+    first = dicts[0]
+    if isinstance(first, dict):
+        return {k: _stack([d[k] for d in dicts]) for k in first}
+    return np.stack(dicts, axis=0)
+
+
+def convert_dit(
+    sd: Mapping[str, np.ndarray], prefix: str = "transformer."
+) -> Dict[str, Any]:
+    """Reference DiT state dict (``dit.py:105-181`` layout) → flax params for
+    :class:`lemas_tts_tpu.models.dit.DiT` (scan-stacked blocks)."""
+    g = lambda k: f"{prefix}{k}"
+
+    params: Dict[str, Any] = {
+        "time_embed": {
+            "mlp_in": _linear(sd, g("time_embed.time_mlp.0")),
+            "mlp_out": _linear(sd, g("time_embed.time_mlp.2")),
+        },
+        "input_embed": {
+            "proj": _linear(sd, g("input_embed.proj")),
+            "conv_pos": {
+                "conv1": _conv1d(sd, g("input_embed.conv_pos_embed.conv1d.0")),
+                "conv2": _conv1d(sd, g("input_embed.conv_pos_embed.conv1d.2")),
+            },
+        },
+        "norm_out": {"mod": _linear(sd, g("norm_out.linear"))},
+        "proj_out": _linear(sd, g("proj_out")),
+    }
+
+    te: Dict[str, Any] = {"embed": {"embedding": sd[g("text_embed.text_embed.weight")]}}
+    i = 0
+    while g(f"text_embed.text_blocks.{i}.dwconv.weight") in sd:
+        te[f"block_{i}"] = _convnext_block(sd, g(f"text_embed.text_blocks.{i}"))
+        i += 1
+    params["text_embed"] = te
+
+    depth = 0
+    while g(f"transformer_blocks.{depth}.attn_norm.linear.weight") in sd:
+        depth += 1
+    blocks = []
+    for i in range(depth):
+        b = g(f"transformer_blocks.{i}")
+        block = {
+            "attn_norm": {"mod": _linear(sd, f"{b}.attn_norm.linear")},
+            "attn": {
+                "to_q": _linear(sd, f"{b}.attn.to_q"),
+                "to_k": _linear(sd, f"{b}.attn.to_k"),
+                "to_v": _linear(sd, f"{b}.attn.to_v"),
+                "to_out": _linear(sd, f"{b}.attn.to_out.0"),
+            },
+            "ff": {
+                "in_proj": _linear(sd, f"{b}.ff.ff.0.0"),
+                "out_proj": _linear(sd, f"{b}.ff.ff.2"),
+            },
+        }
+        if f"{b}.attn.q_norm.weight" in sd:
+            block["attn"]["q_norm"] = {"weight": sd[f"{b}.attn.q_norm.weight"]}
+            block["attn"]["k_norm"] = {"weight": sd[f"{b}.attn.k_norm.weight"]}
+        blocks.append(block)
+    params["blocks"] = {"block": _stack(blocks)}
+
+    if g("long_skip_connection.weight") in sd:
+        params["long_skip"] = _linear(sd, g("long_skip_connection"))
+    if g("prosody_text_proj.weight") in sd:
+        params["prosody_text_proj"] = _linear(sd, g("prosody_text_proj"))
+    return params
+
+
+def convert_cfm(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Full reference CFM state dict → inference param pytree:
+    ``{"dit": ..., "prosody_to_mel": ...?}`` (training-only heads —
+    accent classifier, CTC, speaker encoder — are not needed for sampling)."""
+    out: Dict[str, Any] = {"dit": convert_dit(sd)}
+    if "prosody_to_mel.weight" in sd:
+        out["prosody_to_mel"] = _linear(sd, "prosody_to_mel")
+    return out
+
+
+def load_cfm_checkpoint(path: str, use_ema: bool = True) -> Dict[str, Any]:
+    """File → normalized → converted inference params."""
+    return convert_cfm(normalize_state_dict(load_state_dict(path), use_ema=use_ema))
+
+
+# --- native (orbax) checkpoints -------------------------------------------------
+
+
+def save_native(params: Any, path: str) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_native(path: str) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path)

@@ -1,0 +1,216 @@
+"""DiT backbone (flax) — the flagship CFM transformer.
+
+Re-design of the reference DiT (``lemas_tts/model/backbones/dit.py:105-254``)
+for XLA: the 22 identical blocks run under ``nn.scan`` (one traced block,
+stacked params → fast compiles, optional remat), text embedding is a separate
+pure method so the sampler hoists it out of the ODE loop (replacing the
+mutable text cache at ``dit.py:140,213-222``), and all drop/CFG switches are
+static Python booleans so each variant is its own fused XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from lemas_tts_tpu.config import DiTArch
+from lemas_tts_tpu.models.modules import (
+    ConvNeXtV2Block,
+    ConvPositionEmbedding,
+    DiTBlock,
+    AdaLayerNormFinal,
+    TimestepEmbedding,
+)
+from lemas_tts_tpu.ops.rope import abs_pos_embedding, rope_angles
+
+
+class TextEmbedding(nn.Module):
+    """Token embed + absolute sinus pos + masked ConvNeXtV2 stack
+    (``dit.py:34-81``). ids are -1-padded; +1 shift maps padding to the
+    filler token 0."""
+
+    text_num_embeds: int
+    text_dim: int
+    mask_padding: bool = True
+    conv_layers: int = 4
+    conv_mult: int = 2
+    precompute_max_pos: int = 4096
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, text_ids: jax.Array, seq_len: int, drop_text: bool = False):
+        B, nt = text_ids.shape
+        ids = text_ids + 1
+        ids = ids[:, :seq_len]
+        if ids.shape[1] < seq_len:
+            ids = jnp.pad(ids, ((0, 0), (0, seq_len - ids.shape[1])))
+        pad_mask = ids == 0  # True at filler/batch-pad positions
+        if drop_text:
+            ids = jnp.zeros_like(ids)
+
+        emb = nn.Embed(
+            self.text_num_embeds + 1,
+            self.text_dim,
+            dtype=self.compute_dtype,
+            name="embed",
+        )(ids)
+
+        if self.conv_layers > 0:
+            pos_table = jnp.asarray(
+                abs_pos_embedding(self.text_dim, self.precompute_max_pos)
+            )
+            pos_idx = jnp.minimum(
+                jnp.arange(seq_len), self.precompute_max_pos - 1
+            )
+            emb = emb + pos_table[pos_idx][None].astype(emb.dtype)
+            for i in range(self.conv_layers):
+                if self.mask_padding:
+                    emb = jnp.where(pad_mask[..., None], 0.0, emb)
+                emb = ConvNeXtV2Block(
+                    self.text_dim,
+                    self.text_dim * self.conv_mult,
+                    compute_dtype=self.compute_dtype,
+                    name=f"block_{i}",
+                )(emb)
+            if self.mask_padding:
+                emb = jnp.where(pad_mask[..., None], 0.0, emb)
+        return emb
+
+
+class InputEmbedding(nn.Module):
+    """concat(noised x, cond mel, text emb) → proj → +conv pos embed
+    (``dit.py:87-99``)."""
+
+    out_dim: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond, text_embed, drop_audio_cond: bool = False):
+        if drop_audio_cond:
+            cond = jnp.zeros_like(cond)
+        h = nn.Dense(self.out_dim, dtype=self.compute_dtype, name="proj")(
+            jnp.concatenate([x, cond, text_embed], axis=-1)
+        )
+        return ConvPositionEmbedding(
+            self.out_dim, compute_dtype=self.compute_dtype, name="conv_pos"
+        )(h) + h
+
+
+class _ScanBlock(nn.Module):
+    """nn.scan carrier over identical DiT blocks (stacked params along axis 0)."""
+
+    arch: DiTArch
+    use_flash: bool
+    compute_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, t_emb, mask, rope):
+        x = DiTBlock(
+            dim=self.arch.dim,
+            heads=self.arch.heads,
+            dim_head=self.arch.dim_head,
+            ff_mult=self.arch.ff_mult,
+            qk_norm=self.arch.qk_norm,
+            pe_attn_head=self.arch.pe_attn_head,
+            use_flash=self.use_flash,
+            compute_dtype=self.compute_dtype,
+            name="block",
+        )(x, t_emb, mask=mask, rope_angles_arr=rope)
+        return x, None
+
+
+class DiT(nn.Module):
+    """CFM velocity transformer: v = DiT(x_t, cond, text, t)."""
+
+    arch: DiTArch
+    mel_dim: int = 100
+    text_num_embeds: int = 256
+    use_prosody_encoder: bool = False
+    use_flash: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        a = self.arch
+        text_dim = a.text_dim if a.text_dim is not None else self.mel_dim
+        self.time_embed = TimestepEmbedding(a.dim, compute_dtype=self.compute_dtype)
+        self.text_embed = TextEmbedding(
+            self.text_num_embeds,
+            text_dim,
+            mask_padding=a.text_mask_padding,
+            conv_layers=a.conv_layers,
+            conv_mult=a.conv_mult,
+            compute_dtype=self.compute_dtype,
+        )
+        if self.use_prosody_encoder:
+            self.prosody_text_proj = nn.Dense(text_dim, dtype=self.compute_dtype)
+        self.input_embed = InputEmbedding(a.dim, compute_dtype=self.compute_dtype)
+
+        block_cls = _ScanBlock
+        if a.checkpoint_activations:
+            block_cls = nn.remat(block_cls, static_argnums=())
+        self.blocks = nn.scan(
+            block_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            length=a.depth,
+        )(arch=a, use_flash=self.use_flash, compute_dtype=self.compute_dtype)
+
+        if a.long_skip_connection:
+            self.long_skip = nn.Dense(a.dim, use_bias=False, dtype=self.compute_dtype)
+        self.norm_out = AdaLayerNormFinal(a.dim, compute_dtype=self.compute_dtype)
+        self.proj_out = nn.Dense(self.mel_dim, dtype=self.compute_dtype)
+
+    def embed_text(self, text_ids: jax.Array, seq_len: int, drop_text: bool = False):
+        """Standalone text-embedding path — computed once per utterance and
+        reused across all ODE steps (design note in module docstring)."""
+        return self.text_embed(text_ids, seq_len, drop_text=drop_text)
+
+    def __call__(
+        self,
+        x: jax.Array,  # [B, N, mel_dim] noised input
+        cond: jax.Array,  # [B, N, mel_dim] masked cond mel
+        text_ids: Optional[jax.Array],  # [B, nt] (-1 padded), or None
+        time: jax.Array,  # [B] or scalar
+        mask: Optional[jax.Array] = None,  # [B, N]
+        drop_audio_cond: bool = False,
+        drop_text: bool = False,
+        text_embed: Optional[jax.Array] = None,  # precomputed [B, N, text_dim]
+        prosody_text: Optional[jax.Array] = None,  # [B, T_text, 512]
+    ) -> jax.Array:
+        B, N, _ = x.shape
+        if time.ndim == 0:
+            time = jnp.broadcast_to(time, (B,))
+        t_emb = self.time_embed(time)
+
+        if text_embed is None:
+            text_embed = self.text_embed(text_ids, N, drop_text=drop_text)
+
+        if prosody_text is not None and self.use_prosody_encoder:
+            pt = self.prosody_text_proj(prosody_text.astype(self.compute_dtype))
+            if pt.shape[1] < N:
+                pt = jnp.pad(pt, ((0, 0), (0, N - pt.shape[1]), (0, 0)))
+            else:
+                pt = pt[:, :N]
+            text_embed = text_embed + pt
+
+        h = self.input_embed(
+            x.astype(self.compute_dtype),
+            cond.astype(self.compute_dtype),
+            text_embed,
+            drop_audio_cond=drop_audio_cond,
+        )
+
+        rope = rope_angles(N, self.arch.dim_head)
+        if self.arch.long_skip_connection:
+            residual = h
+        h, _ = self.blocks(h, t_emb, mask, rope)
+        if self.arch.long_skip_connection:
+            h = self.long_skip(jnp.concatenate([h, residual], axis=-1))
+
+        h = self.norm_out(h, t_emb)
+        return self.proj_out(h).astype(jnp.float32)

@@ -1,0 +1,296 @@
+"""Shared flax building blocks for the CFM backbones.
+
+Numerics mirror the reference module library (``lemas_tts/model/modules.py``)
+exactly — same activation variants (erf-GELU in ConvNeXtV2, tanh-GELU in
+FeedForward), same AdaLN chunk ordering, GRN normalizing over the *sequence*
+axis, periodic rope convention — but are re-designed as stateless flax modules
+with a configurable compute dtype (bf16 on TPU; LayerNorm/softmax stay fp32).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lemas_tts_tpu.ops.attention import attention
+from lemas_tts_tpu.ops.rope import apply_rope
+
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def sinus_position_embedding(x: jax.Array, dim: int, scale: float = 1000.0) -> jax.Array:
+    """[B] scalar positions → [B, dim] sin/cos features
+    (reference ``SinusPositionEmbedding``, ``modules.py:149-161``)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1))
+    )
+    args = scale * x.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    """Sinusoidal(256) → Linear → SiLU → Linear (``modules.py:721-731``)."""
+
+    dim: int
+    freq_embed_dim: int = 256
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: jax.Array) -> jax.Array:  # t: [B]
+        h = sinus_position_embedding(t, self.freq_embed_dim).astype(self.compute_dtype)
+        h = nn.Dense(self.dim, dtype=self.compute_dtype, name="mlp_in")(h)
+        h = jax.nn.silu(h)
+        return nn.Dense(self.dim, dtype=self.compute_dtype, name="mlp_out")(h)
+
+
+class ConvPositionEmbedding(nn.Module):
+    """Two grouped k=31 convs with Mish (``modules.py:167-190``)."""
+
+    dim: int
+    kernel_size: int = 31
+    groups: int = 16
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        # x: [B, N, D]; flax Conv is channel-last already.
+        if mask is not None:
+            x = jnp.where(mask[..., None], x, 0.0)
+        h = nn.Conv(
+            self.dim,
+            (self.kernel_size,),
+            padding="SAME",
+            feature_group_count=self.groups,
+            dtype=self.compute_dtype,
+            name="conv1",
+        )(x)
+        h = mish(h)
+        h = nn.Conv(
+            self.dim,
+            (self.kernel_size,),
+            padding="SAME",
+            feature_group_count=self.groups,
+            dtype=self.compute_dtype,
+            name="conv2",
+        )(h)
+        h = mish(h)
+        if mask is not None:
+            h = jnp.where(mask[..., None], h, 0.0)
+        return h
+
+
+class GRN(nn.Module):
+    """Global response norm over the sequence axis (``modules.py:225-234``)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param("gamma", nn.initializers.zeros, (1, 1, self.dim))
+        beta = self.param("beta", nn.initializers.zeros, (1, 1, self.dim))
+        gx = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=1, keepdims=True))
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        return (gamma * (x * nx.astype(x.dtype)) + beta + x).astype(x.dtype)
+
+
+class ConvNeXtV2Block(nn.Module):
+    """Depthwise k=7 conv → LN → pw expand → GELU(erf) → GRN → pw back, residual
+    (``modules.py:241-269``)."""
+
+    dim: int
+    intermediate_dim: int
+    dilation: int = 1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        residual = x
+        pad = self.dilation * 3
+        h = nn.Conv(
+            self.dim,
+            (7,),
+            padding=[(pad, pad)],
+            feature_group_count=self.dim,
+            kernel_dilation=(self.dilation,),
+            dtype=self.compute_dtype,
+            name="dwconv",
+        )(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(h).astype(
+            self.compute_dtype
+        )
+        h = nn.Dense(self.intermediate_dim, dtype=self.compute_dtype, name="pwconv1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = GRN(self.intermediate_dim, name="grn")(h)
+        h = nn.Dense(self.dim, dtype=self.compute_dtype, name="pwconv2")(h)
+        return residual + h
+
+
+class RMSNorm(nn.Module):
+    """Per-head qk RMSNorm option (``modules.py:275-294``)."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        weight = self.param("weight", nn.initializers.ones, (self.dim,))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        y = x.astype(jnp.float32) * jax.lax.rsqrt(var + self.eps)
+        return (y * weight).astype(x.dtype)
+
+
+class FeedForward(nn.Module):
+    """Linear → GELU(tanh) → Linear (``modules.py:342-353``; dropout is
+    inference-irrelevant and omitted from the graph)."""
+
+    dim: int
+    mult: int = 4
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = int(self.dim * self.mult)
+        h = nn.Dense(inner, dtype=self.compute_dtype, name="in_proj")(x)
+        h = jax.nn.gelu(h, approximate=True)
+        return nn.Dense(self.dim, dtype=self.compute_dtype, name="out_proj")(h)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with rope; same projection layout as the
+    reference ``Attention``+``AttnProcessor`` (``modules.py:360-503``)."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    qk_norm: Optional[str] = None
+    pe_attn_head: Optional[int] = None  # rope on first k heads only, None = all
+    use_flash: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, N, D]
+        mask: Optional[jax.Array] = None,  # [B, N] key-padding, True = keep
+        rope_angles_arr: Optional[jax.Array] = None,  # [N, dim_head//2]
+    ) -> jax.Array:
+        B, N, _ = x.shape
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, dtype=self.compute_dtype, name="to_q")(x)
+        k = nn.Dense(inner, dtype=self.compute_dtype, name="to_k")(x)
+        v = nn.Dense(inner, dtype=self.compute_dtype, name="to_v")(x)
+
+        def split_heads(t):
+            return t.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+
+        if self.qk_norm == "rms_norm":
+            q = RMSNorm(self.dim_head, name="q_norm")(q)
+            k = RMSNorm(self.dim_head, name="k_norm")(k)
+
+        if rope_angles_arr is not None:
+            if self.pe_attn_head is not None:
+                pn = self.pe_attn_head
+                q = jnp.concatenate(
+                    [apply_rope(q[:, :pn], rope_angles_arr), q[:, pn:]], axis=1
+                )
+                k = jnp.concatenate(
+                    [apply_rope(k[:, :pn], rope_angles_arr), k[:, pn:]], axis=1
+                )
+            else:
+                q = apply_rope(q, rope_angles_arr)
+                k = apply_rope(k, rope_angles_arr)
+
+        out = attention(q, k, v, mask=mask, use_flash=self.use_flash)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
+        out = nn.Dense(self.dim, dtype=self.compute_dtype, name="to_out")(out)
+        if mask is not None:
+            out = jnp.where(mask[..., None], out, 0.0)  # zero padded queries
+        return out
+
+
+class AdaLayerNorm(nn.Module):
+    """AdaLN-zero producing 6 modulation chunks in the reference order
+    shift/scale/gate (msa) + shift/scale/gate (mlp) (``modules.py:301-315``)."""
+
+    dim: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array):
+        mod = nn.Dense(self.dim * 6, dtype=self.compute_dtype, name="mod")(
+            jax.nn.silu(emb)
+        )
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
+            mod, 6, axis=-1
+        )
+        normed = nn.LayerNorm(
+            epsilon=1e-6, use_bias=False, use_scale=False, dtype=jnp.float32, name="norm"
+        )(x).astype(x.dtype)
+        out = normed * (1 + scale_msa[:, None]) + shift_msa[:, None]
+        return out, gate_msa, shift_mlp, scale_mlp, gate_mlp
+
+
+class AdaLayerNormFinal(nn.Module):
+    """Final AdaLN: 2 chunks in *scale-then-shift* order (``modules.py:322-336``)."""
+
+    dim: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array) -> jax.Array:
+        mod = nn.Dense(self.dim * 2, dtype=self.compute_dtype, name="mod")(
+            jax.nn.silu(emb)
+        )
+        scale, shift = jnp.split(mod, 2, axis=-1)
+        normed = nn.LayerNorm(
+            epsilon=1e-6, use_bias=False, use_scale=False, dtype=jnp.float32, name="norm"
+        )(x).astype(x.dtype)
+        return normed * (1 + scale[:, None]) + shift[:, None]
+
+
+class DiTBlock(nn.Module):
+    """AdaLN → attention → gate, LN-mod → FF → gate (``modules.py:610-641``)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    ff_mult: int = 4
+    qk_norm: Optional[str] = None
+    pe_attn_head: Optional[int] = None
+    use_flash: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t_emb, mask=None, rope_angles_arr=None):
+        norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaLayerNorm(
+            self.dim, compute_dtype=self.compute_dtype, name="attn_norm"
+        )(x, t_emb)
+        attn_out = Attention(
+            self.dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            qk_norm=self.qk_norm,
+            pe_attn_head=self.pe_attn_head,
+            use_flash=self.use_flash,
+            compute_dtype=self.compute_dtype,
+            name="attn",
+        )(norm, mask=mask, rope_angles_arr=rope_angles_arr)
+        x = x + gate_msa[:, None] * attn_out
+
+        normed = nn.LayerNorm(
+            epsilon=1e-6, use_bias=False, use_scale=False, dtype=jnp.float32, name="ff_norm"
+        )(x).astype(x.dtype)
+        normed = normed * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
+        ff_out = FeedForward(
+            self.dim, mult=self.ff_mult, compute_dtype=self.compute_dtype, name="ff"
+        )(normed)
+        return x + gate_mlp[:, None] * ff_out

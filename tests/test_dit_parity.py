@@ -1,0 +1,113 @@
+"""DiT numerics + weight conversion parity vs a plain-torch mirror of the
+reference backbone (random non-degenerate weights, converted via the
+production converter)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from lemas_tts_tpu.config import DiTArch
+from lemas_tts_tpu.infer.checkpoints import convert_dit, normalize_state_dict
+from lemas_tts_tpu.models.dit import DiT
+from tests.torch_ref.dit_torch import DiTRef
+
+CFG = dict(dim=64, depth=3, heads=4, dim_head=16, ff_mult=2, mel_dim=12,
+           text_num_embeds=40, text_dim=32, conv_layers=2)
+
+
+@pytest.fixture(scope="module")
+def models():
+    torch.manual_seed(0)
+    tref = DiTRef(**CFG)
+    # non-degenerate random weights everywhere (incl. normally-zero-init AdaLN)
+    sd = tref.state_dict()
+    g = torch.Generator().manual_seed(42)
+    for k, v in sd.items():
+        sd[k] = torch.randn(v.shape, generator=g) * 0.05
+    tref.load_state_dict(sd)
+    tref.eval()
+
+    arch = DiTArch(dim=CFG["dim"], depth=CFG["depth"], heads=CFG["heads"],
+                   dim_head=CFG["dim_head"], ff_mult=CFG["ff_mult"],
+                   text_dim=CFG["text_dim"], conv_layers=CFG["conv_layers"])
+    jmodel = DiT(arch=arch, mel_dim=CFG["mel_dim"], text_num_embeds=CFG["text_num_embeds"])
+    np_sd = {k: v.numpy() for k, v in sd.items()}
+    jparams = {"params": convert_dit(np_sd, prefix="")}
+    return tref, jmodel, jparams
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(7)
+    B, N, nt, D = 2, 24, 9, CFG["mel_dim"]
+    x = rng.standard_normal((B, N, D)).astype(np.float32)
+    cond = rng.standard_normal((B, N, D)).astype(np.float32)
+    text = np.full((B, nt), -1, dtype=np.int64)
+    text[0, :7] = rng.integers(0, 40, 7)
+    text[1, :4] = rng.integers(0, 40, 4)
+    time = np.array([0.3, 0.8], dtype=np.float32)
+    lens = np.array([24, 17])
+    mask = np.arange(N)[None, :] < lens[:, None]
+    return x, cond, text, time, mask
+
+
+@pytest.mark.parametrize("drop_audio,drop_text", [(False, False), (True, True)])
+def test_forward_parity(models, inputs, drop_audio, drop_text):
+    tref, jmodel, jparams = models
+    x, cond, text, time, mask = inputs
+    with torch.no_grad():
+        ref = tref(
+            torch.from_numpy(x), torch.from_numpy(cond), torch.from_numpy(text),
+            torch.from_numpy(time), mask=torch.from_numpy(mask),
+            drop_audio_cond=drop_audio, drop_text=drop_text,
+        ).numpy()
+    ours = np.asarray(jmodel.apply(
+        jparams, jnp.asarray(x), jnp.asarray(cond), jnp.asarray(text.astype(np.int32)),
+        jnp.asarray(time), jnp.asarray(mask),
+        drop_audio_cond=drop_audio, drop_text=drop_text,
+    ))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_forward_parity_no_mask(models, inputs):
+    tref, jmodel, jparams = models
+    x, cond, text, time, _ = inputs
+    with torch.no_grad():
+        ref = tref(torch.from_numpy(x), torch.from_numpy(cond),
+                   torch.from_numpy(text), torch.from_numpy(time)).numpy()
+    ours = np.asarray(jmodel.apply(
+        jparams, jnp.asarray(x), jnp.asarray(cond),
+        jnp.asarray(text.astype(np.int32)), jnp.asarray(time)))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_precomputed_text_embed_matches_inline(models, inputs):
+    """embed_text + text_embed= path == inline path (sampler hoists this)."""
+    _, jmodel, jparams = models
+    x, cond, text, time, mask = inputs
+    N = x.shape[1]
+    te = jmodel.apply(jparams, jnp.asarray(text.astype(np.int32)), N, False,
+                      method=DiT.embed_text)
+    inline = jmodel.apply(jparams, jnp.asarray(x), jnp.asarray(cond),
+                          jnp.asarray(text.astype(np.int32)), jnp.asarray(time),
+                          jnp.asarray(mask))
+    hoisted = jmodel.apply(jparams, jnp.asarray(x), jnp.asarray(cond), None,
+                           jnp.asarray(time), jnp.asarray(mask), text_embed=te)
+    np.testing.assert_allclose(np.asarray(inline), np.asarray(hoisted), atol=1e-6)
+
+
+def test_ema_normalize_roundtrip():
+    sd = {
+        "ema_model.transformer.proj_out.weight": np.ones((2, 3)),
+        "ema_model.initted": np.array(1),
+        "initted": np.array(1),
+        "step": np.array(5),
+        "ema_model.ctc.proj.0.weight": np.zeros((1,)),
+        "ema_model.mel_spec.mel_stft.mel_scale.fb": np.zeros((1,)),
+    }
+    out = normalize_state_dict(sd, use_ema=True)
+    assert set(out) == {"transformer.proj_out.weight"}

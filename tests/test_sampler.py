@@ -1,0 +1,144 @@
+"""CFM sampler parity: jitted lax.scan Euler/CFG/sway loop vs a torch Euler
+mirror over the reference semantics (cfm.py:206-473), with shared noise."""
+
+import math
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from lemas_tts_tpu.cfm.sampler import (
+    SamplerSettings,
+    compute_sway_max,
+    make_sampler,
+    pick_bucket,
+    sway_time_grid,
+)
+from lemas_tts_tpu.config import DiTArch
+from lemas_tts_tpu.infer.checkpoints import convert_dit
+from lemas_tts_tpu.models.dit import DiT
+from tests.torch_ref.dit_torch import DiTRef
+
+CFG = dict(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2, mel_dim=12,
+           text_num_embeds=40, text_dim=32, conv_layers=1)
+
+
+def build_pair():
+    torch.manual_seed(1)
+    tref = DiTRef(**CFG)
+    sd = tref.state_dict()
+    g = torch.Generator().manual_seed(11)
+    for k, v in sd.items():
+        sd[k] = torch.randn(v.shape, generator=g) * 0.05
+    tref.load_state_dict(sd)
+    tref.eval()
+    arch = DiTArch(dim=CFG["dim"], depth=CFG["depth"], heads=CFG["heads"],
+                   dim_head=CFG["dim_head"], ff_mult=CFG["ff_mult"],
+                   text_dim=CFG["text_dim"], conv_layers=CFG["conv_layers"])
+    jmodel = DiT(arch=arch, mel_dim=CFG["mel_dim"], text_num_embeds=CFG["text_num_embeds"])
+    jparams = {"params": convert_dit({k: v.numpy() for k, v in sd.items()}, prefix="")}
+    return tref, jmodel, jparams
+
+
+def torch_euler_sample(tref, cond, cond_mask, text, duration, y0, steps, cfg, sway):
+    """Torch mirror of the reference sampling loop (cfm.py:382-461)."""
+    grid = sway_time_grid(steps, sway)
+    B, N, _ = cond.shape
+    mask = torch.arange(N)[None, :] < duration[:, None]
+    step_cond = torch.where(cond_mask.unsqueeze(-1), cond, torch.zeros_like(cond))
+    y = y0.clone()
+    with torch.no_grad():
+        for k in range(steps):
+            t, dt = float(grid[k]), float(grid[k + 1] - grid[k])
+            tt = torch.full((B,), t)
+            pred = tref(y, step_cond, text, tt, mask=mask)
+            null = tref(y, step_cond, text, tt, mask=mask,
+                        drop_audio_cond=True, drop_text=True)
+            cfg_t = cfg * (1 - t) ** 2
+            v = (pred + (pred - null) * cfg_t).clamp(-20, 20)
+            y = y + dt * v
+    return torch.where(cond_mask.unsqueeze(-1), cond, y)
+
+
+def make_inputs(B=2, N=48, nt=8, D=12, ref_len=16):
+    rng = np.random.default_rng(3)
+    cond = np.zeros((B, N, D), dtype=np.float32)
+    cond[:, :ref_len] = rng.standard_normal((B, ref_len, D)).astype(np.float32)
+    cond_mask = np.zeros((B, N), dtype=bool)
+    cond_mask[:, :ref_len] = True
+    text = np.full((B, nt), -1, dtype=np.int64)
+    text[0, :6] = rng.integers(0, 40, 6)
+    text[1, :8] = rng.integers(0, 40, 8)
+    duration = np.array([44, 40])
+    y0 = rng.standard_normal((B, N, D)).astype(np.float32)
+    return cond, cond_mask, text, duration, y0
+
+
+def test_sway_bound_reference_value():
+    # steps=32: p_max = ln(1e-9)/ln(1/32); sway_max = (p_max-1)*0.7
+    expect = (math.log(1e-9) / math.log(1.0 / 32) - 1.0) * 0.7
+    assert abs(compute_sway_max(32) - expect) < 1e-12
+    # big-dt corner (cfm.py:365-366)
+    assert abs(compute_sway_max(1) - 10.0 * 0.7) < 1e-12
+
+
+def test_time_grid_monotone_and_clamped():
+    g = sway_time_grid(32, 5.0)  # 5.0 > sway_max → clamped
+    g2 = sway_time_grid(32, compute_sway_max(32))
+    np.testing.assert_allclose(g, g2)
+    assert g[0] == 0.0 and abs(g[-1] - 1.0) < 1e-7
+    assert (np.diff(g) > 0).all()
+
+
+def test_sampler_matches_torch_euler():
+    tref, jmodel, jparams = build_pair()
+    cond, cond_mask, text, duration, y0 = make_inputs()
+    steps, cfg, sway = 8, 2.0, 1.0
+
+    ref = torch_euler_sample(
+        tref, torch.from_numpy(cond), torch.from_numpy(cond_mask),
+        torch.from_numpy(text), torch.from_numpy(duration),
+        torch.from_numpy(y0), steps, cfg, sway,
+    ).numpy()
+
+    run = make_sampler(jmodel, SamplerSettings(steps=steps, cfg_strength=cfg,
+                                               sway_sampling_coef=sway))
+    ours = np.asarray(run(jparams, jnp.asarray(cond), jnp.asarray(cond_mask),
+                          jnp.asarray(text.astype(np.int32)),
+                          jnp.asarray(duration), jnp.asarray(y0)))
+    assert np.max(np.abs(ours - ref)) < 5e-3
+    assert np.mean((ours - ref) ** 2) < 1e-6  # the BASELINE parity metric is 1e-3
+
+
+def test_sampler_no_cfg_branch():
+    _, jmodel, jparams = build_pair()
+    cond, cond_mask, text, duration, y0 = make_inputs()
+    run = make_sampler(jmodel, SamplerSettings(steps=4, cfg_strength=0.0))
+    out = np.asarray(run(jparams, jnp.asarray(cond), jnp.asarray(cond_mask),
+                         jnp.asarray(text.astype(np.int32)),
+                         jnp.asarray(duration), jnp.asarray(y0)))
+    assert np.isfinite(out).all()
+
+
+def test_edit_mask_keep_frames_bit_exact():
+    """Speech editing contract: frames with keep-mask True come back untouched
+    (cfm.py:461)."""
+    _, jmodel, jparams = build_pair()
+    cond, cond_mask, text, duration, y0 = make_inputs()
+    # editing: keep a mid-utterance span too
+    cond_mask[:, 30:36] = True
+    cond[:, 30:36] = 0.5
+    run = make_sampler(jmodel, SamplerSettings(steps=4, cfg_strength=1.0))
+    out = np.asarray(run(jparams, jnp.asarray(cond), jnp.asarray(cond_mask),
+                         jnp.asarray(text.astype(np.int32)),
+                         jnp.asarray(duration), jnp.asarray(y0)))
+    kept = np.asarray(cond_mask)
+    np.testing.assert_array_equal(out[kept], cond[kept])
+
+
+def test_pick_bucket():
+    assert pick_bucket(1) == 256
+    assert pick_bucket(257) == 512
+    assert pick_bucket(5000) == 4096

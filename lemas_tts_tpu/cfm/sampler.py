@@ -117,6 +117,9 @@ def sample_mel(
     step_cond = jnp.where(keep, step_cond, 0.0)
 
     attn_mask = lens_to_mask(duration, N)  # [B, N]
+    # Reference pads per-sample noise with zeros to the batch max duration
+    # (``cfm.py:430-435`` pad_sequence(..., padding_value=0)).
+    y0 = jnp.where(attn_mask[..., None], y0, 0.0)
 
     # Text embeddings for both CFG branches, computed once (replaces the
     # reference's mutable cache).

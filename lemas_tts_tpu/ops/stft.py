@@ -89,7 +89,7 @@ def stft_magnitude(
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop_length"))
-def _istft_core(spec_real, spec_imag, window, n_fft: int, hop_length: int):
+def _istft_core(spec_real, spec_imag, window, frame_mask, n_fft: int, hop_length: int):
     # spec: [..., n_bins, n_frames] -> frames [..., n_frames, n_fft]
     spec = jax.lax.complex(spec_real, spec_imag)
     frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
@@ -101,14 +101,23 @@ def _istft_core(spec_real, spec_imag, window, n_fft: int, hop_length: int):
     idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
     flat_idx = jnp.asarray(idx.reshape(-1))
     batch_shape = frames.shape[:-2]
+    if frame_mask is not None:
+        frames = jnp.where(frame_mask[..., None], frames, 0.0)
     flat_frames = frames.reshape(batch_shape + (n_frames * n_fft,))
     out = jnp.zeros(batch_shape + (out_len,), dtype=frames.dtype)
     out = out.at[..., flat_idx].add(flat_frames)
 
-    # Window-square envelope for COLA normalization (same offsets).
-    wsq = (window * window)[None, :] * np.ones((n_frames, 1), dtype=np.float32)
-    env = jnp.zeros((out_len,), dtype=frames.dtype)
-    env = env.at[flat_idx].add(wsq.reshape(-1).astype(frames.dtype))
+    # Window-square envelope for COLA normalization (same offsets). With a
+    # frame mask, only valid frames contribute — a bucket-padded decode is
+    # then bit-equal to an exact-length decode on the valid prefix.
+    wsq = jnp.asarray((window * window)[None, :]) * jnp.ones((n_frames, 1), jnp.float32)
+    if frame_mask is not None:
+        wsq = jnp.where(frame_mask[..., None], wsq[None], 0.0)  # [..., n_frames, n_fft]
+        env = jnp.zeros(batch_shape + (out_len,), dtype=frames.dtype)
+        env = env.at[..., flat_idx].add(wsq.reshape(batch_shape + (-1,)))
+    else:
+        env = jnp.zeros((out_len,), dtype=frames.dtype)
+        env = env.at[flat_idx].add(wsq.reshape(-1))
     return out, env
 
 
@@ -120,12 +129,17 @@ def istft(
     center: bool = True,
     length: int | None = None,
     eps: float = 1e-11,
+    frame_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Inverse STFT of a complex spectrogram ``[..., n_bins, n_frames]``.
 
     Matches ``torch.istft(center=True)``: windowed overlap-add normalized by
     the summed squared window, trimmed by ``n_fft//2`` on both ends. Drives the
     Vocos ISTFT head (vocoder waveform parity).
+
+    ``frame_mask [..., n_frames]`` marks valid frames: padded frames are
+    excluded from both the signal and the normalization envelope, making
+    bucket-padded batch decodes bit-equal to exact-length decodes.
     """
     if window is None:
         window = hann_window(n_fft, dtype=jnp.float32)
@@ -133,6 +147,7 @@ def istft(
         jnp.real(spec).astype(jnp.float32),
         jnp.imag(spec).astype(jnp.float32),
         window.astype(jnp.float32),
+        frame_mask,
         n_fft,
         hop_length,
     )

@@ -48,7 +48,8 @@ def torch_euler_sample(tref, cond, cond_mask, text, duration, y0, steps, cfg, sw
     B, N, _ = cond.shape
     mask = torch.arange(N)[None, :] < duration[:, None]
     step_cond = torch.where(cond_mask.unsqueeze(-1), cond, torch.zeros_like(cond))
-    y = y0.clone()
+    # reference zero-pads per-sample noise beyond its duration (cfm.py:430-435)
+    y = torch.where(mask.unsqueeze(-1), y0, torch.zeros_like(y0))
     with torch.no_grad():
         for k in range(steps):
             t, dt = float(grid[k]), float(grid[k + 1] - grid[k])

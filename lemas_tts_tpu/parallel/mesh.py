@@ -1,0 +1,116 @@
+"""Device mesh + sharding layer (the reference has no distributed runtime —
+SURVEY.md §2.3 — so this is designed TPU-first, not translated).
+
+Axes:
+ - ``data``: batch / chunk / request parallelism over ICI (and DCN multi-host);
+ - ``model``: Megatron-style tensor parallelism inside each DiT block
+   (column-parallel qkv/FF-in, row-parallel out/FF-out) expressed purely as
+   ``PartitionSpec``s — XLA GSPMD inserts the all-reduces on ICI.
+
+Everything works on any mesh size including 1×1; tests exercise an 8-device
+virtual CPU mesh (``tests/conftest.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, model_parallel: int = 1, devices=None
+) -> Mesh:
+    """('data','model') mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    assert n_devices % model_parallel == 0, (n_devices, model_parallel)
+    grid = np.asarray(devices[:n_devices]).reshape(
+        n_devices // model_parallel, model_parallel
+    )
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def _path_names(path) -> list[str]:
+    out = []
+    for p in path:
+        if hasattr(p, "key"):
+            out.append(str(p.key))
+        elif hasattr(p, "idx"):
+            out.append(str(p.idx))
+        else:
+            out.append(str(p))
+    return out
+
+
+def dit_param_pspecs(params: Any) -> Any:
+    """PartitionSpec pytree for DiT params: tensor-parallel attention/FF,
+    replicated embeddings/norms. Works for both stacked (scan) and flat
+    layouts because rules key off leaf path names."""
+
+    def rule(path, leaf):
+        names = _path_names(path)
+        nd = leaf.ndim
+        leaf_name = names[-1]
+        parent = names[-2] if len(names) >= 2 else ""
+
+        def spec_last(axis_name):
+            return P(*([None] * (nd - 1) + [axis_name]))
+
+        def spec_axis(idx, axis_name):
+            s = [None] * nd
+            s[idx] = axis_name
+            return P(*s)
+
+        # column-parallel: qkv projections and FF expand — shard output features
+        if parent in ("to_q", "to_k", "to_v", "in_proj"):
+            return spec_last("model")
+        # row-parallel: output projections — shard the contraction axis
+        if parent in ("to_out", "out_proj") and leaf_name == "kernel":
+            return spec_axis(nd - 2, "model")
+        # AdaLN modulation: row-parallel over the input dim (output replicated,
+        # keeping the 6-way chunk split shard-agnostic)
+        if parent == "mod" and leaf_name == "kernel":
+            return spec_axis(nd - 2, "model")
+        return P()  # replicate
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def batch_pspecs(batch: Any) -> Any:
+    """Shard the leading (batch) axis of every array over 'data'."""
+    return jax.tree_util.tree_map(
+        lambda x: P("data") if getattr(x, "ndim", 0) >= 1 else P(), batch
+    )
+
+
+def shard_pytree(tree: Any, mesh: Mesh, specs: Any) -> Any:
+    """Place a pytree onto the mesh with the given PartitionSpecs."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+    )
+
+
+def data_parallel_sampler(sampler_fn, mesh: Mesh):
+    """Wrap a jitted sampler so batched synthesis shards requests/chunks over
+    the 'data' axis (the TPU equivalent of the reference's multi-process
+    fan-out, SURVEY.md §2.3)."""
+
+    def wrapped(params, cond, cond_mask, text_ids, duration, y0, *rest):
+        put = lambda x, spec: (
+            None if x is None else jax.device_put(x, NamedSharding(mesh, spec))
+        )
+        bspec = lambda nd: P(*(["data"] + [None] * (nd - 1)))
+        cond = put(cond, bspec(3))
+        cond_mask = put(cond_mask, bspec(2))
+        text_ids = put(text_ids, bspec(2))
+        duration = put(duration, bspec(1))
+        y0 = put(y0, bspec(3))
+        rest = tuple(put(r, bspec(getattr(r, "ndim", 3))) for r in rest)
+        return sampler_fn(params, cond, cond_mask, text_ids, duration, y0, *rest)
+
+    return wrapped

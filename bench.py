@@ -1,0 +1,124 @@
+"""RTF benchmark: flagship CFM/DiT synthesis at NFE=32 on one chip.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline north star (BASELINE.md): ≥20× real-time per chip at NFE=32.
+
+Measures the full generation path — jitted Euler/CFG sampler (2×22
+transformer blocks per step, fused Pallas VMEM attention) + batched masked
+Vocos decode — on randomly initialized flagship weights (RTF is
+weight-independent). Timing forces device completion by fetching a scalar
+reduction of the waveform; fetching the full audio is excluded because the
+benchmarking tunnel's device→host path (~3 MB/s) is not representative of
+TPU serving I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lemas_tts_tpu.cfm.sampler import SamplerSettings, make_sampler
+from lemas_tts_tpu.config import DiTArch
+from lemas_tts_tpu.models.dit import DiT
+from lemas_tts_tpu.models.vocos import Vocos
+from lemas_tts_tpu.ops.attention import default_backend
+
+SR = 24000
+HOP = 256
+NFE = 32
+N_BUCKET = 1024  # mel frames ≈ 10.9 s audio
+REF_FRAMES = 188  # ≈ 2 s reference audio
+BATCH = 1
+
+
+def fast_random_params(model, init_fn, key):
+    """Generate a random param pytree on-device in one program (model.init
+    through the tunnel costs minutes; this costs milliseconds)."""
+    shapes = jax.eval_shape(init_fn, jax.random.key(0))
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def gen(k):
+        ks = jax.random.split(k, len(leaves))
+        return treedef.unflatten(
+            [jax.random.normal(kk, l.shape, jnp.bfloat16) * 0.02
+             for kk, l in zip(ks, leaves)]
+        )
+
+    return jax.block_until_ready(gen(key))
+
+
+def main():
+    compute_dtype = jnp.bfloat16
+    arch = DiTArch()
+    model = DiT(arch=arch, mel_dim=100, text_num_embeds=898,
+                compute_dtype=compute_dtype, attn_backend=default_backend())
+    voc = Vocos(compute_dtype=compute_dtype)
+
+    rng = np.random.default_rng(0)
+    B, N, nt = BATCH, N_BUCKET, 256
+    text = jnp.asarray(rng.integers(1, 800, (B, nt)).astype(np.int32))
+
+    params = fast_random_params(
+        model,
+        lambda k: model.init(k, jnp.zeros((1, 8, 100)), jnp.zeros((1, 8, 100)),
+                             jnp.zeros((1, 4), jnp.int32), jnp.zeros((1,))),
+        jax.random.key(1),
+    )
+    vparams = fast_random_params(
+        voc, lambda k: voc.init(k, jnp.zeros((1, 100, 16))), jax.random.key(2)
+    )
+
+    cond = np.zeros((B, N, 100), np.float32)
+    cond[:, :REF_FRAMES] = rng.standard_normal((B, REF_FRAMES, 100)) * 0.5 - 5.0
+    cond_mask = np.zeros((B, N), bool)
+    cond_mask[:, :REF_FRAMES] = True
+    duration = np.full(B, N, np.int32)
+    y0 = rng.standard_normal((B, N, 100)).astype(np.float32)
+
+    settings = SamplerSettings(steps=NFE, cfg_strength=2.0, sway_sampling_coef=1.0)
+    run = make_sampler(model, settings)
+    gen_frames = N - REF_FRAMES
+    frame_mask = jnp.asarray((np.arange(N)[None, :] < gen_frames).repeat(B, axis=0))
+
+    @jax.jit
+    def vocode_sum(vp, mel):
+        gen = jnp.swapaxes(mel[:, REF_FRAMES:, :], -1, -2)
+        gen = jnp.pad(gen, ((0, 0), (0, 0), (0, REF_FRAMES)))
+        wave = voc.apply(vp, gen, frame_mask, method=Vocos.decode)
+        return jnp.sum(wave)
+
+    cond_j = jnp.asarray(cond)
+    mask_j = jnp.asarray(cond_mask)
+    dur_j = jnp.asarray(duration)
+
+    def synth(y):
+        mel = run(params, cond_j, mask_j, text, dur_j, y)
+        return float(vocode_sum(vparams, mel))  # scalar fetch = true completion
+
+    ys = [jnp.asarray(y0 * (1.0 + 0.01 * i)) for i in range(6)]
+    synth(ys[0])  # warmup / compile
+
+    times = []
+    for i in range(1, 6):
+        t0 = time.perf_counter()
+        synth(ys[i])
+        times.append(time.perf_counter() - t0)
+    wall = float(np.median(times))
+
+    audio_sec = B * (gen_frames - 1) * HOP / SR
+    rtf = audio_sec / wall
+    print(json.dumps({
+        "metric": "rtf_per_chip_nfe32",
+        "value": round(rtf, 3),
+        "unit": "audio_sec/wall_sec",
+        "vs_baseline": round(rtf / 20.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

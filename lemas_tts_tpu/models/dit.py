@@ -104,7 +104,7 @@ class _ScanBlock(nn.Module):
     """nn.scan carrier over identical DiT blocks (stacked params along axis 0)."""
 
     arch: DiTArch
-    use_flash: bool
+    attn_backend: str
     compute_dtype: jnp.dtype
 
     @nn.compact
@@ -116,7 +116,7 @@ class _ScanBlock(nn.Module):
             ff_mult=self.arch.ff_mult,
             qk_norm=self.arch.qk_norm,
             pe_attn_head=self.arch.pe_attn_head,
-            use_flash=self.use_flash,
+            attn_backend=self.attn_backend,
             compute_dtype=self.compute_dtype,
             name="block",
         )(x, t_emb, mask=mask, rope_angles_arr=rope)
@@ -130,7 +130,7 @@ class DiT(nn.Module):
     mel_dim: int = 100
     text_num_embeds: int = 256
     use_prosody_encoder: bool = False
-    use_flash: bool = False
+    attn_backend: str = "xla"
     compute_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -158,7 +158,7 @@ class DiT(nn.Module):
             split_rngs={"params": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             length=a.depth,
-        )(arch=a, use_flash=self.use_flash, compute_dtype=self.compute_dtype)
+        )(arch=a, attn_backend=self.attn_backend, compute_dtype=self.compute_dtype)
 
         if a.long_skip_connection:
             self.long_skip = nn.Dense(a.dim, use_bias=False, dtype=self.compute_dtype)

@@ -171,7 +171,7 @@ class Attention(nn.Module):
     dim_head: int = 64
     qk_norm: Optional[str] = None
     pe_attn_head: Optional[int] = None  # rope on first k heads only, None = all
-    use_flash: bool = False
+    attn_backend: str = "xla"
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -209,7 +209,7 @@ class Attention(nn.Module):
                 q = apply_rope(q, rope_angles_arr)
                 k = apply_rope(k, rope_angles_arr)
 
-        out = attention(q, k, v, mask=mask, use_flash=self.use_flash)
+        out = attention(q, k, v, mask=mask, backend=self.attn_backend)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
         out = nn.Dense(self.dim, dtype=self.compute_dtype, name="to_out")(out)
         if mask is not None:
@@ -266,7 +266,7 @@ class DiTBlock(nn.Module):
     ff_mult: int = 4
     qk_norm: Optional[str] = None
     pe_attn_head: Optional[int] = None
-    use_flash: bool = False
+    attn_backend: str = "xla"
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -280,7 +280,7 @@ class DiTBlock(nn.Module):
             dim_head=self.dim_head,
             qk_norm=self.qk_norm,
             pe_attn_head=self.pe_attn_head,
-            use_flash=self.use_flash,
+            attn_backend=self.attn_backend,
             compute_dtype=self.compute_dtype,
             name="attn",
         )(norm, mask=mask, rope_angles_arr=rope_angles_arr)

@@ -1,25 +1,24 @@
 """Self-attention kernels for the DiT inner loop.
 
-Two interchangeable implementations with identical semantics:
+Interchangeable backends with identical semantics (key-padding mask
+``[batch, seq]``, True = keep; padded *queries* are zeroed by the caller after
+the output projection, mirroring reference ``modules.py:499-501``):
+
  - ``sdpa``: plain XLA scaled-dot-product attention (fp32 softmax), matching
    ``F.scaled_dot_product_attention`` (reference ``modules.py:490``).
- - ``flash_attention``: fused Pallas TPU kernel (online-softmax tiling) for
-   long sequences; numerics agree with ``sdpa`` to fp32 tolerance.
+ - ``splash``: the Pallas TPU splash-attention kernel (online-softmax tiling,
+   no HBM logits materialization) with segment-ids encoding the padding mask.
 
-Layout is ``[batch, heads, seq, head_dim]`` throughout. ``mask`` is a
-key-padding mask ``[batch, seq]`` (True = keep), applied to keys only — the
-reference masks padded *queries* separately after the output projection
-(``modules.py:499-501``), and so do our callers.
+Layout is ``[batch, heads, seq, head_dim]`` throughout.
 """
 
 from __future__ import annotations
 
-import functools
 import math
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
 
 _NEG_INF = -1e30
 
@@ -45,85 +44,136 @@ def sdpa(
     return out.astype(dtype)
 
 
-# ---------------------------------------------------------------------------
-# Pallas fused attention (non-causal, key-padding mask) for TPU.
-# ---------------------------------------------------------------------------
+@lru_cache(maxsize=32)
+def _splash_kernel(heads: int, q_len: int, kv_len: int):
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+        splash_attention_mask as sm,
+    )
+
+    mask = sm.MultiHeadMask([sm.FullMask((q_len, kv_len)) for _ in range(heads)])
+    return sk.make_splash_mha(mask, head_shards=1, q_seq_shards=1)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int, sm_scale: float):
-    """One (batch*head, q-block) program: stream K/V blocks with online softmax."""
-    q = q_ref[0].astype(jnp.float32) * sm_scale  # [block_q, d]
-    block_q, head_dim = q.shape
-    kv_len = k_ref.shape[1]
-
-    m = jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32)
-    l = jnp.zeros((block_q, 1), dtype=jnp.float32)
-    acc = jnp.zeros((block_q, head_dim), dtype=jnp.float32)
-
-    num_kb = kv_len // block_k
-
-    def body(i, carry):
-        m_prev, l_prev, acc_prev = carry
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        msk = mask_ref[0, pl.ds(i * block_k, block_k)]  # [block_k] bool
-
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # [bq, bk]
-        s = jnp.where(msk[None, :], s, _NEG_INF)
-
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_cur)
-        alpha = jnp.exp(m_prev - m_cur)
-        l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_cur = acc_prev * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
-        return m_cur, l_cur, acc_cur
-
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m, l, acc))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_attention(
+def splash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     mask: jax.Array | None = None,
-    block_q: int = 256,
-    block_k: int = 256,
 ) -> jax.Array:
-    """Fused TPU attention. q,k,v: [B,H,N,D] with N a multiple of block sizes
-    (callers bucket N); mask: [B,N] bool key mask (True = attend)."""
+    """Fused Pallas attention. q,k,v: [B,H,N,D]; mask: [B,N] (True = valid)."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+    )
+
     B, H, N, D = q.shape
-    if N % block_q or N % block_k:
+    if N % 128 != 0:  # splash block constraint; tiny shapes fall back to XLA
+        return sdpa(q, k, v, mask)
+    kernel = _splash_kernel(H, N, N)
+    scaled = (q * (1.0 / math.sqrt(D))).astype(q.dtype)
+
+    if mask is None:
+        out = jax.vmap(kernel)(scaled, k, v)
+    else:
+        seg = mask.astype(jnp.int32)  # pad positions get segment 0, valid 1
+        segment_ids = sk.SegmentIds(q=seg, kv=seg)
+        out = jax.vmap(kernel)(scaled, k, v, segment_ids)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# VMEM-resident fused attention (Pallas): the DiT hot-loop kernel.
+#
+# At DiT shapes (N ≤ 4096, D = 64) the whole K/V for one (batch, head) fits in
+# VMEM, so one program computes an entire q-block row of the attention without
+# ever materializing logits in HBM — the XLA SDPA path spends ~0.5 ms per
+# layer on fp32 logit traffic; this kernel removes that entirely.
+# ---------------------------------------------------------------------------
+
+
+def _vmem_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, sm_scale: float):
+    q = q_ref[0]  # [bq, D] compute dtype
+    k = k_ref[0]  # [N, D]
+    v = v_ref[0]
+    msk = mask_ref[0]  # [1, N] bool
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale  # [bq, N] fp32, lives in VMEM only
+    s = jnp.where(msk, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / l).astype(v.dtype)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _pick_block_q(n: int) -> int:
+    # keep the fp32 score tile [bq, N] ≤ ~4 MB of VMEM
+    budget = 4 * 1024 * 1024 // (4 * n)
+    bq = max(128, min(n, (budget // 128) * 128))
+    while n % bq:
+        bq //= 2
+    return max(bq, 128)
+
+
+def vmem_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None = None,
+) -> jax.Array:
+    """Fused non-causal attention with key-padding mask; q,k,v: [B,H,N,D]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, N, D = q.shape
+    if N % 128 != 0 or D % 64 != 0:
         return sdpa(q, k, v, mask)
     if mask is None:
         mask = jnp.ones((B, N), dtype=jnp.bool_)
 
-    sm_scale = 1.0 / math.sqrt(D)
+    bq = _pick_block_q(N)
     bh = B * H
     qf = q.reshape(bh, N, D)
     kf = k.reshape(bh, N, D)
     vf = v.reshape(bh, N, D)
-    maskf = jnp.repeat(mask, H, axis=0)  # [B*H, N]
+    maskf = jnp.repeat(mask[:, None, :], H, axis=0).reshape(bh, 1, N)
 
-    grid = (bh, N // block_q)
+    import functools as _ft
+
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, sm_scale=sm_scale),
-        grid=grid,
+        _ft.partial(_vmem_attn_kernel, sm_scale=1.0 / math.sqrt(D)),
+        grid=(bh, N // bq),
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, N, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, N, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, N), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, N, D), q.dtype),
     )(qf, kf, vf, maskf)
     return out.reshape(B, H, N, D)
 
 
-def attention(q, k, v, mask=None, use_flash: bool = False):
-    """Dispatch between the Pallas kernel and XLA attention."""
-    if use_flash:
-        return flash_attention(q, k, v, mask)
+def default_backend() -> str:
+    """'vmem' (fused Pallas) on TPU, 'xla' elsewhere (CPU tests, GPUs)."""
+    import jax as _jax
+
+    try:
+        plat = _jax.devices()[0].platform.lower()
+    except Exception:
+        return "xla"
+    return "vmem" if plat in ("tpu", "axon") else "xla"
+
+
+def attention(q, k, v, mask=None, backend: str = "xla"):
+    """Dispatch between attention kernels: 'xla' (SDPA), 'vmem' (fused Pallas,
+    default for TPU inference), 'splash' (JAX splash kernel)."""
+    if backend == "splash":
+        return splash_attention(q, k, v, mask)
+    if backend == "vmem":
+        return vmem_attention(q, k, v, mask)
     return sdpa(q, k, v, mask)

@@ -1,0 +1,377 @@
+"""Top-level ``TTS`` facade — the package's public API.
+
+Mirrors the reference API surface (``lemas_tts/api.py:82-276``): construction
+loads config + vocoder + frontend + CFM model; ``infer`` runs zero-shot TTS
+from a reference audio/text pair; ``transcribe`` wraps ASR;
+``export_wav``/``export_spectrogram`` save artifacts; ``process_phone_list``
+adds language-id prefixes for mixed-language phone streams.
+
+TPU-first differences from the reference:
+ - one long-lived :class:`~lemas_tts_tpu.infer.pipeline.Synthesizer` holds the
+   jitted programs (the reference rebuilds its model per Gradio request,
+   SURVEY.md §3.4);
+ - device selection is a JAX platform fallback chain (tpu → gpu → cpu)
+   instead of cuda/xpu/mps (``api.py:111-124``);
+ - checkpoints load from either the reference torch format (converted on the
+   fly) or native orbax directories; with no checkpoint the model is
+   random-initialized so the full pipeline stays runnable hermetically.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import warnings
+from pathlib import Path
+from typing import Any, List, Optional, Sequence
+
+import numpy as np
+
+from lemas_tts_tpu.config import ModelConfig, load_model_config
+from lemas_tts_tpu.utils.vocab import Vocab, get_tokenizer
+
+THIS_FILE = Path(__file__)
+
+# Languages recognized as "(lang)" tags (reference ``api.py:109``).
+LANGS = {
+    "cmn": "zh", "zh": "zh", "en": "en-us", "it": "it", "es": "es",
+    "pt": "pt-br", "fr": "fr-fr", "de": "de", "ru": "ru", "id": "id",
+    "vi": "vi", "th": "th",
+}
+
+_PUNCS = {"#1", "#2", "#3", "#4", "_", "!", ",", ".", "?", '"', "'", "^",
+          "。", "，", "？", "！"}
+
+
+def find_repo_root() -> Path:
+    """Walk up from this file to a directory containing ``pretrained_models``
+    or a repo marker (reference ``api.py:28-45``)."""
+    p = THIS_FILE.parent
+    for cand in (p, *p.parents):
+        if (cand / "pretrained_models").is_dir() or (cand / ".git").exists():
+            return cand
+    return p.parent
+
+
+def find_pretrained_root() -> Path:
+    """``LEMAS_PRETRAINED_ROOT`` env override, else ``<repo>/pretrained_models``
+    (reference ``api.py:47-80``)."""
+    env = os.environ.get("LEMAS_PRETRAINED_ROOT")
+    if env:
+        return Path(env)
+    return find_repo_root() / "pretrained_models"
+
+
+def _select_platform(device: Optional[str]) -> str:
+    import jax
+
+    if device:
+        return device
+    for plat in ("tpu", "gpu", "cpu"):
+        try:
+            jax.devices(plat)
+            return plat
+        except RuntimeError:
+            continue
+    return "cpu"
+
+
+class TTS:
+    """Zero-shot multilingual TTS (reference ``api.py:82-276``)."""
+
+    def __init__(
+        self,
+        model: str = "multilingual",
+        ckpt_file: str = "",
+        vocab_file: str = "",
+        ode_method: str = "euler",
+        use_ema: bool = False,
+        vocoder_local_path: Optional[str] = None,
+        use_prosody_encoder: bool = False,
+        prosody_cfg_path: str = "",
+        prosody_ckpt_path: str = "",
+        device: Optional[str] = None,
+        frontend: Optional[str] = "phone",
+        compute_dtype: Optional[str] = None,
+        attn_backend: Optional[str] = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from lemas_tts_tpu.infer.checkpoints import load_cfm_checkpoint, load_native
+        from lemas_tts_tpu.infer.pipeline import Synthesizer
+        from lemas_tts_tpu.models.dit import DiT
+        from lemas_tts_tpu.models.vocos import Vocos, convert_vocos
+        from lemas_tts_tpu.ops.attention import default_backend
+
+        assert ode_method == "euler", "the jitted sampler implements Euler"
+        self.config: ModelConfig = load_model_config(model)
+        self.mel_spec_type = self.config.mel_spec.mel_spec_type
+        self.target_sample_rate = self.config.mel_spec.target_sample_rate
+        self.langs = dict(LANGS)
+        self.use_ema = use_ema
+        self.seed: Optional[int] = None
+
+        self.platform = _select_platform(device)
+        if compute_dtype is None:
+            compute_dtype = "bfloat16" if self.platform == "tpu" else "float32"
+        dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        if attn_backend is None:
+            attn_backend = default_backend()
+
+        # ---- vocab / tokenizer (checkpoint contract: custom vocab.txt)
+        if not vocab_file:
+            cand = find_pretrained_root() / "data" / f"{self.config.name}_grl" / "vocab.txt"
+            default_tok = Path(self.config.tokenizer_path)
+            if cand.is_file():
+                vocab_file = str(cand)
+            elif default_tok.is_file():
+                vocab_file = str(default_tok)
+        if vocab_file:
+            self.vocab: Vocab = get_tokenizer(vocab_file, "custom")
+        else:
+            warnings.warn("no vocab file found — using the byte tokenizer")
+            self.vocab = get_tokenizer("", "byte")
+
+        # ---- text frontend
+        if frontend is not None:
+            from lemas_tts_tpu.text import TextNorm
+
+            self.frontend = TextNorm(dtype=frontend)
+        else:
+            self.frontend = None
+
+        # ---- acoustic model
+        use_pros = use_prosody_encoder or self.config.use_prosody_encoder
+        self.use_prosody_encoder = use_pros
+        self.dit = DiT(
+            arch=self.config.arch,
+            mel_dim=self.config.mel_spec.n_mel_channels,
+            text_num_embeds=self.vocab.size,
+            use_prosody_encoder=use_pros,
+            attn_backend=attn_backend,
+            compute_dtype=dtype,
+        )
+        if ckpt_file and os.path.isdir(ckpt_file):
+            cfm_params = load_native(ckpt_file)
+        elif ckpt_file:
+            cfm_params = load_cfm_checkpoint(ckpt_file, use_ema=use_ema)
+        else:
+            warnings.warn("no checkpoint — random-initializing model weights")
+            cfm_params = {
+                "dit": self._random_dit_params(jax.random.key(0))["params"]
+            }
+        dit_params = {"params": cfm_params["dit"]}
+        self.prosody_to_mel = cfm_params.get("prosody_to_mel")
+
+        # ---- prosody encoder (frozen, optional)
+        self.prosody_encoder = None
+        if use_pros:
+            from lemas_tts_tpu.models.prosody import ProsodyEncoder
+
+            self.prosody_encoder = ProsodyEncoder.build(
+                cfg_path=prosody_cfg_path or self.config.prosody_cfg_path,
+                ckpt_path=prosody_ckpt_path or self.config.prosody_ckpt_path,
+            )
+
+        # ---- vocoder
+        voc_path = vocoder_local_path
+        if voc_path is None:
+            voc_path = str(find_pretrained_root() / "ckpts" / "vocos-mel-24khz")
+        voc = Vocos(
+            input_channels=self.config.mel_spec.n_mel_channels,
+            n_fft=self.config.mel_spec.n_fft,
+            hop_length=self.config.mel_spec.hop_length,
+            compute_dtype=dtype,
+        )
+        voc_params = self._load_vocoder_params(voc, voc_path, convert_vocos)
+
+        self.synth = Synthesizer(
+            self.dit,
+            dit_params,
+            voc,
+            voc_params,
+            self.vocab,
+            self.config.mel_spec,
+            prosody_encoder=self.prosody_encoder,
+            prosody_to_mel=self.prosody_to_mel,
+        )
+
+    # ------------------------------------------------------------------ setup
+    def _random_dit_params(self, key):
+        import jax.numpy as jnp
+
+        D = self.config.mel_spec.n_mel_channels
+        return self.dit.init(
+            key,
+            jnp.zeros((1, 32, D)),
+            jnp.zeros((1, 32, D)),
+            jnp.zeros((1, 8), jnp.int32),
+            jnp.zeros((1,)),
+        )
+
+    def _load_vocoder_params(self, voc, voc_path: str, convert_vocos):
+        import jax
+        import jax.numpy as jnp
+
+        p = Path(voc_path)
+        native = p / "native"
+        torch_bin = p / "pytorch_model.bin"
+        if native.is_dir():
+            from lemas_tts_tpu.infer.checkpoints import load_native
+
+            return load_native(str(native))
+        if torch_bin.is_file():
+            from lemas_tts_tpu.infer.checkpoints import load_state_dict
+
+            return {"params": convert_vocos(load_state_dict(str(torch_bin)))}
+        warnings.warn(f"no vocoder weights at {voc_path} — random init")
+        D = self.config.mel_spec.n_mel_channels
+        return voc.init(jax.random.key(1), jnp.zeros((1, D, 16)))
+
+    # ------------------------------------------------------------------- ASR
+    def transcribe(self, ref_audio: str, language: Optional[str] = None) -> str:
+        from lemas_tts_tpu.infer.asr import transcribe
+
+        return transcribe(ref_audio, language)
+
+    # --------------------------------------------------------------- exports
+    def export_wav(self, wav: np.ndarray, file_wave: str,
+                   remove_silence: bool = False) -> None:
+        from lemas_tts_tpu.infer.audio_prep import remove_long_silence
+        from lemas_tts_tpu.utils.audio_io import write_wav
+
+        if remove_silence:
+            wav = remove_long_silence(np.asarray(wav), self.target_sample_rate)
+        write_wav(file_wave, np.asarray(wav), self.target_sample_rate)
+
+    def export_spectrogram(self, spec: np.ndarray, file_spec: str) -> None:
+        """Save a [n_mels, T] spectrogram image (reference
+        ``utils_infer.py:646-651``)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure(figsize=(12, 4))
+        plt.imshow(np.asarray(spec), origin="lower", interpolation="nearest",
+                   aspect="auto")
+        plt.colorbar()
+        plt.savefig(file_spec)
+        plt.close(fig)
+
+    # ----------------------------------------------------------------- infer
+    def infer(
+        self,
+        ref_file: str,
+        ref_text: str,
+        gen_text: str,
+        show_info=print,
+        progress=None,
+        target_rms: float = 0.1,
+        cross_fade_duration: float = 0.15,
+        use_acc_grl: bool = False,
+        ref_ratio: Optional[float] = None,
+        no_ref_audio: bool = False,
+        cfg_strength: float = 2.0,
+        nfe_step: int = 32,
+        speed: float = 1.0,
+        sway_sampling_coef: Optional[float] = 5,
+        separate_langs: bool = False,
+        fix_duration: Optional[float] = None,
+        use_prosody_encoder: bool = True,
+        file_wave: Optional[str] = None,
+        file_spec: Optional[str] = None,
+        seed: Optional[int] = None,
+    ):
+        """Zero-shot TTS (reference ``api.py:171-249``). Returns
+        ``(wav, sample_rate, spec)``."""
+        from lemas_tts_tpu.config import SamplerConfig
+        from lemas_tts_tpu.infer.pipeline import chunk_text
+        from lemas_tts_tpu.infer.preprocess import preprocess_ref_audio_text
+
+        if seed is None:
+            seed = random.randint(0, 2**31 - 1)
+        self.seed = seed
+
+        wav, sr, ref_text = preprocess_ref_audio_text(
+            ref_file, ref_text, show_info=show_info
+        )
+
+        if self.frontend is not None and self.frontend.dtype == "phone":
+            ref_units = (
+                self.frontend.text2phn(ref_text + ". ")
+                .replace("(cmn)", "(zh)")
+                .split("|")
+            )
+            gen_chunks = [
+                self.frontend.text2phn(x + ". ").replace("(cmn)", "(zh)").split("|")
+                for x in gen_text.split("\n")
+            ]
+        elif self.frontend is not None:  # char frontend (api.py:206-211)
+            src_lang, norm = self.frontend.text2norm(ref_text + ". ")
+            ref_units = [f"({src_lang.replace('cmn', 'zh')})"] + list(norm)
+            gen_chunks = []
+            for x in gen_text.split("\n"):
+                lang, norm = self.frontend.text2norm(x + ". ")
+                gen_chunks.append([f"({lang.replace('cmn', 'zh')})"] + list(norm))
+        else:  # raw-string path with byte-budget chunking
+            ref_units = ref_text
+            max_chars = int(
+                len(ref_text.encode("utf-8"))
+                / (wav.shape[-1] / sr)
+                * (22 - wav.shape[-1] / sr)
+            ) if wav.shape[-1] > 0 else 135
+            gen_chunks = chunk_text(gen_text, max_chars=max(1, max_chars))
+
+        if separate_langs:
+            ref_units = self.process_phone_list(ref_units)
+            gen_chunks = [self.process_phone_list(x) for x in gen_chunks]
+
+        cfg = SamplerConfig(
+            nfe_steps=nfe_step,
+            cfg_strength=cfg_strength,
+            sway_sampling_coef=sway_sampling_coef,
+            speed=speed,
+            target_rms=target_rms,
+            cross_fade_duration=cross_fade_duration,
+            use_acc_grl=use_acc_grl,
+            use_prosody_encoder=use_prosody_encoder and self.use_prosody_encoder,
+            ref_ratio=ref_ratio,
+            no_ref_audio=no_ref_audio,
+            fix_duration=fix_duration,
+            seed=seed,
+        )
+        wave, out_sr, spec = self.synth.synthesize_chunks(
+            wav, sr, ref_units, gen_chunks, cfg=cfg, seed=seed
+        )
+
+        if file_wave is not None:
+            self.export_wav(wave, file_wave)
+        if file_spec is not None:
+            self.export_spectrogram(spec, file_spec)
+        return wave, out_sr, spec
+
+    # ------------------------------------------------------- phone-list utils
+    def process_phone_list(self, parts: Sequence[str]) -> List[str]:
+        return process_phone_list(parts, self.langs)
+
+
+def process_phone_list(parts: Sequence[str], langs=LANGS) -> List[str]:
+    """Prefix bare phones with the current ``(lang)`` tag and collapse
+    separator/punctuation runs (reference ``api.py:252-276``)."""
+    processed: List[str] = []
+    current_lang = ""
+    for part in parts:
+        if part.startswith("(") and part.endswith(")") and part[1:-1] in langs:
+            current_lang = part
+        elif part in _PUNCS:
+            if processed and processed[-1] == "_":
+                processed.pop()
+            elif processed and processed[-1] in _PUNCS and part == "_":
+                continue
+            processed.append(part)
+        elif current_lang is not None:
+            processed.append(f"{current_lang}{part}")
+    return processed

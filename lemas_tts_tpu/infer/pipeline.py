@@ -131,7 +131,11 @@ class Synthesizer:
         vocab: Vocab,
         mel_cfg: MelSpecConfig = MelSpecConfig(),
         max_duration: int = 4096,
+        prosody_encoder: Any = None,
+        prosody_to_mel: Any = None,
     ):
+        self.prosody_encoder = prosody_encoder
+        self.prosody_to_mel = prosody_to_mel
         self.dit_model = dit_model
         self.dit_params = dit_params
         self.vocoder_model = vocoder_model
@@ -248,6 +252,27 @@ class Synthesizer:
         cond_mean = cond_mel.mean(axis=0, keepdims=True)  # [1, D] (cfm.py:239)
         rng = np.random.default_rng(seed if seed is not None else None)
 
+        # --- optional global prosody conditioning (cfm.py:245-265,451-455):
+        # one embedding from the 16 kHz ref audio; mel-side injection over the
+        # ref frames (before masking, so the final paste keeps it) and
+        # text-side broadcast through both CFG passes.
+        prosody_text = None
+        if (
+            cfg.use_prosody_encoder
+            and self.prosody_encoder is not None
+            and self.prosody_to_mel is not None
+        ):
+            wav16 = np.asarray(resample(jnp.asarray(audio), sr, 16000))
+            emb = np.asarray(self.prosody_encoder.embed(wav16))  # [512]
+            w, b = (
+                np.asarray(self.prosody_to_mel["kernel"]),
+                np.asarray(self.prosody_to_mel["bias"]),
+            )
+            cond[:, :ref_frames] += (emb @ w + b)[None, None, :]
+            prosody_text = np.broadcast_to(
+                emb[None, None, :], (Bp, nt, emb.shape[-1])
+            ).astype(np.float32)
+
         step_cond = None
         if cfg.use_acc_grl and cfg.ref_ratio is not None and cfg.ref_ratio < 1:
             shuffled = clip_and_shuffle(
@@ -282,6 +307,7 @@ class Synthesizer:
             jnp.asarray(dur_arr),
             y0,
             None if step_cond is None else jnp.asarray(step_cond),
+            None if prosody_text is None else jnp.asarray(prosody_text),
         )
         out = np.asarray(out, dtype=np.float32)  # [Bp, N, D]
 

@@ -42,6 +42,32 @@ def split_syllable(syllable: str, neutral_tone_with_five: bool = True) -> Tuple[
     return initial, final
 
 
+# All valid pinyin final bases (strict=False: y/w are initials, ü written v).
+_FINALS = frozenset(
+    "a o e i u v ai ei ui ao ou iu ie ue ve er an en in un vn ang eng ing "
+    "ong ia iao ian iang iong ua uo uai uan uang ueng uen io ei n ng m".split()
+)
+
+
+def is_pinyin_syllable(token: str) -> bool:
+    """True for a lowercase TONE3 pinyin syllable (e.g. ``ni3``, ``lv4``).
+
+    Replaces the reference's lexicon-membership test
+    (``frontend.py:191 ``txt in self.cmn_dict``) with the algorithmic check:
+    tone digit present and the base decomposes into valid initial+final.
+    """
+    m = _TONE_RE.match(token)
+    if not m or token != token.lower() or not m.group(2):
+        return False
+    base = m.group(1)
+    if base in _FINALS:
+        return True
+    for ini in _INITIALS:
+        if base.startswith(ini) and base[len(ini):] in _FINALS:
+            return True
+    return False
+
+
 def to_initials(syllable: str) -> str:
     return split_syllable(syllable)[0]
 

@@ -162,6 +162,13 @@ class TTS:
             cfm_params = {
                 "dit": self._random_dit_params(jax.random.key(0))["params"]
             }
+            if use_pros:  # prosody_to_mel Linear(512→mel) (cfm.py:144)
+                k = jax.random.key(2)
+                D = self.config.mel_spec.n_mel_channels
+                cfm_params["prosody_to_mel"] = {
+                    "kernel": jax.random.normal(k, (512, D), jnp.float32) * 0.02,
+                    "bias": jnp.zeros((D,), jnp.float32),
+                }
         dit_params = {"params": cfm_params["dit"]}
         self.prosody_to_mel = cfm_params.get("prosody_to_mel")
 
@@ -209,6 +216,9 @@ class TTS:
             jnp.zeros((1, 32, D)),
             jnp.zeros((1, 8), jnp.int32),
             jnp.zeros((1,)),
+            prosody_text=(
+                jnp.zeros((1, 8, 512)) if self.use_prosody_encoder else None
+            ),
         )
 
     def _load_vocoder_params(self, voc, voc_path: str, convert_vocos):

@@ -142,17 +142,43 @@ class TTS:
         else:
             self.frontend = None
 
-        # ---- acoustic model
+        # ---- acoustic model (backbone per config, reference api.py:102)
         use_pros = use_prosody_encoder or self.config.use_prosody_encoder
         self.use_prosody_encoder = use_pros
-        self.dit = DiT(
-            arch=self.config.arch,
-            mel_dim=self.config.mel_spec.n_mel_channels,
-            text_num_embeds=self.vocab.size,
-            use_prosody_encoder=use_pros,
-            attn_backend=attn_backend,
-            compute_dtype=dtype,
-        )
+        a = self.config.arch
+        backbone = self.config.backbone
+        if backbone == "DiT":
+            self.dit = DiT(
+                arch=a,
+                mel_dim=self.config.mel_spec.n_mel_channels,
+                text_num_embeds=self.vocab.size,
+                use_prosody_encoder=use_pros,
+                attn_backend=attn_backend,
+                compute_dtype=dtype,
+            )
+        elif backbone == "MMDiT":
+            from lemas_tts_tpu.models.mmdit import MMDiT
+
+            self.dit = MMDiT(
+                dim=a.dim, depth=a.depth, heads=a.heads, dim_head=a.dim_head,
+                ff_mult=a.ff_mult, mel_dim=self.config.mel_spec.n_mel_channels,
+                text_num_embeds=self.vocab.size, qk_norm=a.qk_norm,
+                text_mask_padding=a.text_mask_padding,
+                attn_backend=attn_backend, compute_dtype=dtype,
+            )
+        elif backbone == "UNetT":
+            from lemas_tts_tpu.models.unett import UNetT
+
+            self.dit = UNetT(
+                dim=a.dim, depth=a.depth, heads=a.heads, dim_head=a.dim_head,
+                ff_mult=a.ff_mult, mel_dim=self.config.mel_spec.n_mel_channels,
+                text_num_embeds=self.vocab.size, text_dim=a.text_dim,
+                text_mask_padding=a.text_mask_padding, qk_norm=a.qk_norm,
+                conv_layers=a.conv_layers, pe_attn_head=a.pe_attn_head,
+                attn_backend=attn_backend, compute_dtype=dtype,
+            )
+        else:
+            raise ValueError(f"unknown backbone: {backbone}")
         if ckpt_file and os.path.isdir(ckpt_file):
             cfm_params = load_native(ckpt_file)
         elif ckpt_file:

@@ -40,10 +40,23 @@ def detect_silence(
     win = _samples(min_silence_len, sr)
     silence_starts = []
     last_start = length_ms - min_silence_len
-    for start_ms in range(0, last_start + 1, seek_step):
-        s = _samples(start_ms, sr)
-        if dbfs(x[s : s + win]) < silence_thresh:
-            silence_starts.append(start_ms)
+
+    profile = None
+    try:  # native sliding-window dBFS scan (the hot loop of this function)
+        from lemas_tts_tpu.native import audio as native_audio
+
+        profile = native_audio.scan_dbfs(x, sr, min_silence_len, seek_step)
+    except Exception:
+        profile = None
+    if profile is not None:
+        for i, start_ms in enumerate(range(0, last_start + 1, seek_step)):
+            if i < len(profile) and profile[i] < silence_thresh:
+                silence_starts.append(start_ms)
+    else:
+        for start_ms in range(0, last_start + 1, seek_step):
+            s = _samples(start_ms, sr)
+            if dbfs(x[s : s + win]) < silence_thresh:
+                silence_starts.append(start_ms)
     if not silence_starts:
         return []
     # merge overlapping windows

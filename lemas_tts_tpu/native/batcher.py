@@ -1,0 +1,148 @@
+"""ctypes bindings for the native serving micro-batcher
+(``native/scheduler.cpp``), with a pure-Python fallback implementation.
+
+Usage (serving engine):
+
+    b = Batcher(max_batch=8, max_wait_ms=20)
+    rid = b.submit(bucket=1024, cost=duration_frames)   # from request threads
+    ids, bucket = b.next_batch(timeout_ms=100)          # from the device loop
+"""
+
+from __future__ import annotations
+
+import ctypes
+import threading
+import time
+from collections import deque
+from typing import Dict, List, Optional, Tuple
+
+from lemas_tts_tpu.native import load_library
+
+
+class _PyBatcher:
+    """Fallback: same semantics as scheduler.cpp, in Python."""
+
+    def __init__(self, max_batch: int, max_cost: int, max_wait_us: int):
+        self.max_batch = max(1, max_batch)
+        self.max_cost = max_cost
+        self.max_wait_us = max_wait_us
+        self.mu = threading.Condition()
+        self.queues: Dict[int, deque] = {}
+        self.next_id = 1
+        self.closed = False
+
+    def submit(self, bucket: int, cost: int) -> int:
+        with self.mu:
+            if self.closed:
+                return 0
+            rid = self.next_id
+            self.next_id += 1
+            self.queues.setdefault(bucket, deque()).append(
+                (rid, max(1, cost), time.monotonic_ns() // 1000)
+            )
+            self.mu.notify_all()
+            return rid
+
+    def _pick(self) -> Optional[int]:
+        best, best_ts = None, None
+        for b, q in self.queues.items():
+            if q and (best_ts is None or q[0][2] < best_ts):
+                best, best_ts = b, q[0][2]
+        return best
+
+    def next_batch(self, timeout_us: int) -> Tuple[List[int], int]:
+        with self.mu:
+            deadline = time.monotonic() + timeout_us / 1e6
+            while self._pick() is None:
+                remain = deadline - time.monotonic()
+                if remain <= 0 or self.closed:
+                    return [], 0
+                self.mu.wait(remain)
+            bucket = self._pick()
+            if self.max_wait_us > 0:
+                flush_at = self.queues[bucket][0][2] + self.max_wait_us
+                while (len(self.queues[bucket]) < self.max_batch
+                       and not self.closed):
+                    remain = flush_at - time.monotonic_ns() // 1000
+                    if remain <= 0:
+                        break
+                    self.mu.wait(remain / 1e6)
+                    bucket = self._pick()
+            q = self.queues[bucket]
+            ids, cost = [], 0
+            while q and len(ids) < self.max_batch:
+                if self.max_cost > 0 and ids and cost + q[0][1] > self.max_cost:
+                    break
+                rid, c, _ = q.popleft()
+                ids.append(rid)
+                cost += c
+            return ids, bucket
+
+    def depth(self) -> int:
+        with self.mu:
+            return sum(len(q) for q in self.queues.values())
+
+    def close(self):
+        with self.mu:
+            self.closed = True
+            self.mu.notify_all()
+
+
+class Batcher:
+    """Shape-bucketed micro-batching queue (native when available)."""
+
+    def __init__(self, max_batch: int = 8, max_cost: int = 0,
+                 max_wait_ms: float = 20.0, force_python: bool = False):
+        self._lib = None if force_python else load_library("scheduler")
+        wait_us = int(max_wait_ms * 1000)
+        if self._lib is not None:
+            self._lib.batcher_create.restype = ctypes.c_void_p
+            self._lib.batcher_submit.restype = ctypes.c_uint64
+            self._lib.batcher_next_batch.restype = ctypes.c_int64
+            self._lib.batcher_depth.restype = ctypes.c_int64
+            self._h = ctypes.c_void_p(
+                self._lib.batcher_create(max_batch, max_cost, wait_us)
+            )
+            self.max_batch = max_batch
+        else:
+            self._py = _PyBatcher(max_batch, max_cost, wait_us)
+            self.max_batch = max_batch
+
+    @property
+    def is_native(self) -> bool:
+        return self._lib is not None
+
+    def submit(self, bucket: int, cost: int = 1) -> int:
+        if self._lib is not None:
+            return int(self._lib.batcher_submit(self._h, bucket, cost))
+        return self._py.submit(bucket, cost)
+
+    def next_batch(self, timeout_ms: float = 100.0) -> Tuple[List[int], int]:
+        """Returns (request_ids, bucket); ([], 0) on timeout/close."""
+        if self._lib is not None:
+            ids = (ctypes.c_uint64 * self.max_batch)()
+            buckets = (ctypes.c_int64 * self.max_batch)()
+            n = self._lib.batcher_next_batch(self._h, ids, buckets,
+                                             int(timeout_ms * 1000))
+            if n <= 0:
+                return [], 0
+            return [int(ids[i]) for i in range(n)], int(buckets[0])
+        return self._py.next_batch(int(timeout_ms * 1000))
+
+    def depth(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.batcher_depth(self._h))
+        return self._py.depth()
+
+    def close(self):
+        if self._lib is not None:
+            self._lib.batcher_close(self._h)
+        else:
+            self._py.close()
+
+    def __del__(self):
+        try:
+            if getattr(self, "_lib", None) is not None:
+                self._lib.batcher_destroy(self._h)
+        except Exception:
+            pass

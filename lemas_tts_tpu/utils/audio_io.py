@@ -1,10 +1,9 @@
 """Host-side audio file IO with zero mandatory native deps.
 
 The reference decodes via ffmpeg/pydub/torchaudio (``utils_infer.py:26,422``).
-Here: stdlib ``wave`` handles PCM WAV (the common case); ``soundfile`` and
-``ffmpeg`` are used opportunistically when present for other containers. The
-optional C++ runtime (``native/``) provides a faster vectorized decoder via
-:mod:`lemas_tts_tpu.runtime` and is picked up automatically when built.
+Here: the C++ runtime decoder (``native/audioproc.cpp``, incl. float32/24-bit
+WAV) is the fast path when built; stdlib ``wave`` handles plain PCM WAV;
+``soundfile`` and ``ffmpeg`` are used opportunistically for other containers.
 """
 
 from __future__ import annotations
@@ -43,13 +42,16 @@ def _read_wav_stdlib(path: str) -> Tuple[np.ndarray, int]:
 
 def read_audio(path: str) -> Tuple[np.ndarray, int]:
     """Decode an audio file → (float32 [channels, T], sample_rate)."""
-    try:
-        from lemas_tts_tpu.runtime import native_audio  # optional C++ fast path
+    if path.lower().endswith(".wav"):
+        try:
+            from lemas_tts_tpu.native import audio as native_audio
 
-        if native_audio.available() and path.lower().endswith(".wav"):
-            return native_audio.read_wav(path)
-    except Exception:
-        pass
+            with open(path, "rb") as f:
+                decoded = native_audio.wav_decode(f.read())
+            if decoded is not None:
+                return decoded
+        except Exception:
+            pass
     if path.lower().endswith(".wav"):
         try:
             return _read_wav_stdlib(path)

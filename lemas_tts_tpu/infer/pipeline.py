@@ -328,6 +328,110 @@ class Synthesizer:
         mel_concat = np.concatenate([g.T for g in gen_slices], axis=1)  # [D, T]
         return final, sr, mel_concat
 
+    # -------------------------------------------------- cross-request batching
+    def synthesize_requests(
+        self,
+        requests: Sequence[Dict[str, Any]],
+        cfg: SamplerConfig = SamplerConfig(),
+    ) -> List[Tuple[np.ndarray, int, np.ndarray]]:
+        """Serve MANY independent zero-shot requests as ONE sampler call.
+
+        Each request dict: ``{"ref_wav": [T], "ref_sr": int, "ref_units":
+        tokens|str, "gen_units": tokens|str, "seed": int|None}``. Unlike
+        ``synthesize_chunks`` (one shared reference, chunks batched), every
+        batch row here carries its own conditioning mel — the continuous-
+        batching path used by the serving engine (cross-request batching has
+        no reference equivalent; the reference serves one request at a time,
+        SURVEY.md §3.4). Sampler settings are shared per batch; the engine
+        groups requests accordingly. Returns [(wave, sr, mel [D, T])] in
+        request order.
+        """
+        sr = self.mel_cfg.target_sample_rate
+        hop = self.mel_cfg.hop_length
+        D = self.mel_cfg.n_mel_channels
+
+        rows = []
+        for r in requests:
+            audio = np.asarray(r["ref_wav"], dtype=np.float32)
+            if audio.ndim == 2:
+                audio = audio.mean(axis=0)
+            rms = float(np.sqrt(np.mean(np.square(audio)))) if audio.size else 0.0
+            if 0 < rms < cfg.target_rms:
+                audio = audio * (cfg.target_rms / rms)
+            if r["ref_sr"] != sr:
+                audio = np.asarray(resample(jnp.asarray(audio), r["ref_sr"], sr))
+            ref_audio_len = audio.shape[-1] // hop
+            cond_mel = self.ref_mel(audio)
+            ref_units, gen = r["ref_units"], r["gen_units"]
+            full = (
+                str(ref_units) + str(gen)
+                if isinstance(gen, str)
+                else list(ref_units) + list(gen)
+            )
+            ids = text_to_ids(full, self.vocab)
+            duration = ref_audio_len + int(
+                ref_audio_len / max(1, len(ref_units)) * len(gen) / cfg.speed
+            )
+            duration = max(max(len(ids), cond_mel.shape[0]) + 1, duration)
+            duration = min(duration, cfg.max_duration)
+            rows.append(dict(ids=ids, duration=duration, cond_mel=cond_mel,
+                             ref_audio_len=ref_audio_len, rms=rms,
+                             seed=r.get("seed")))
+
+        B = len(rows)
+        Bp = _pick(B, BATCH_BUCKETS)
+        N = pick_bucket(max(r["duration"] for r in rows), DURATION_BUCKETS)
+        nt = _pick(max(len(r["ids"]) for r in rows), TEXT_BUCKETS)
+
+        text_ids = pad_text_batch([r["ids"] for r in rows], pad_to=nt)
+        if Bp > B:
+            text_ids = np.concatenate(
+                [text_ids, np.full((Bp - B, nt), -1, dtype=np.int32)], axis=0
+            )
+        dur_arr = np.asarray(
+            [r["duration"] for r in rows] + [2] * (Bp - B), dtype=np.int32
+        )
+        cond = np.zeros((Bp, N, D), dtype=np.float32)
+        cond_mask = np.zeros((Bp, N), dtype=bool)
+        y0 = np.zeros((Bp, N, D), dtype=np.float32)
+        for i, r in enumerate(rows):
+            f = min(r["cond_mel"].shape[0], N)
+            cond[i, :f] = r["cond_mel"][:f]
+            cond_mask[i, :f] = True
+            seed = r["seed"] if r["seed"] is not None else i
+            y0[i] = np.asarray(
+                jax.random.normal(jax.random.key(int(seed)), (N, D), jnp.float32)
+            )
+
+        settings = SamplerSettings(
+            steps=cfg.nfe_steps,
+            cfg_strength=cfg.cfg_strength,
+            sway_sampling_coef=cfg.sway_sampling_coef,
+        )
+        out = np.asarray(
+            self._sampler(settings)(
+                self.dit_params, jnp.asarray(cond), jnp.asarray(cond_mask),
+                jnp.asarray(text_ids), jnp.asarray(dur_arr), jnp.asarray(y0),
+                None,
+            ),
+            dtype=np.float32,
+        )
+
+        gen_slices = [
+            out[i, rows[i]["ref_audio_len"] : rows[i]["duration"], :]
+            for i in range(B)
+        ]
+        waves = self.vocode_batch(gen_slices)
+        results = []
+        for i, r in enumerate(rows):
+            w = waves[i]
+            if 0 < r["rms"] < cfg.target_rms:
+                w = w * (r["rms"] / cfg.target_rms)
+            results.append(
+                (np.clip(w, -0.999, 0.999), sr, gen_slices[i].T)
+            )
+        return results
+
     # ------------------------------------------------------------- vocoding
     def vocode_batch(self, mels: Sequence[np.ndarray]) -> List[np.ndarray]:
         """Decode variable-length [T_i, D] mels as one masked batch call."""

@@ -1,0 +1,118 @@
+"""Training checkpoints: orbax-backed save/resume with the reference policy.
+
+The reference is load-only (SURVEY.md §5 checkpoint/resume); its save policy
+exists only as config fields (``configs/multilingual_grl.yaml:72-78``:
+``save_per_updates``, ``keep_last_n_checkpoints``, ``last_per_updates``).
+This module implements that policy natively:
+
+ - ``model_<step>`` snapshots every ``save_per_updates`` steps, pruned to
+   ``keep_last_n_checkpoints`` (−1 = keep all);
+ - a rolling ``model_last`` every ``last_per_updates`` steps (resume point);
+ - EMA params saved alongside raw params (the reference ships EMA weights
+   under ``ema_model.*`` keys, ``utils_infer.py:223-237``).
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lemas_tts_tpu.config import TrainConfig
+
+
+def ema_update(ema_params: Any, params: Any, decay: float = 0.999) -> Any:
+    """Classic EMA: ema ← decay·ema + (1−decay)·params (jit-friendly)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        ema_params, params,
+    )
+
+
+class CheckpointManager:
+    """Orbax StandardCheckpointer + reference save policy."""
+
+    def __init__(self, directory: str, cfg: TrainConfig = TrainConfig()):
+        import orbax.checkpoint as ocp
+
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.cfg = cfg
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ----------------------------------------------------------------- paths
+    def _snap_path(self, step: int) -> Path:
+        return self.dir / f"model_{step}"
+
+    @property
+    def last_path(self) -> Path:
+        return self.dir / "model_last"
+
+    def snapshots(self) -> Dict[int, Path]:
+        out = {}
+        for p in self.dir.iterdir():
+            m = re.fullmatch(r"model_(\d+)", p.name)
+            if m:
+                out[int(m.group(1))] = p
+        return dict(sorted(out.items()))
+
+    # ------------------------------------------------------------------ save
+    def _write(self, path: Path, payload: Any) -> None:
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckptr.save(path.resolve(), payload, force=True)
+        self._ckptr.wait_until_finished()
+
+    def maybe_save(self, step: int, params: Any, ema_params: Any,
+                   opt_state: Any = None) -> Optional[Path]:
+        """Apply the save policy at ``step``. Returns the snapshot path when
+        one was written."""
+        written = None
+        payload = {"step": step, "params": params, "ema_params": ema_params}
+        if opt_state is not None:
+            payload["opt_state"] = opt_state
+        if self.cfg.save_per_updates > 0 and step % self.cfg.save_per_updates == 0:
+            written = self._snap_path(step)
+            self._write(written, payload)
+            self._prune()
+        if self.cfg.last_per_updates > 0 and step % self.cfg.last_per_updates == 0:
+            self._write(self.last_path, payload)
+        return written
+
+    def _prune(self) -> None:
+        keep = self.cfg.keep_last_n_checkpoints
+        if keep is None or keep < 0:
+            return
+        snaps = self.snapshots()
+        for step in list(snaps)[: max(0, len(snaps) - keep)]:
+            shutil.rmtree(snaps[step])
+
+    # --------------------------------------------------------------- restore
+    def restore(self, step: Optional[int] = None, target: Any = None) -> Any:
+        """Restore a snapshot (default: ``model_last``, else newest)."""
+        if step is not None:
+            path = self._snap_path(step)
+        elif self.last_path.exists():
+            path = self.last_path
+        else:
+            snaps = self.snapshots()
+            if not snaps:
+                raise FileNotFoundError(f"no checkpoints under {self.dir}")
+            path = snaps[max(snaps)]
+        if target is not None:
+            return self._ckptr.restore(path.resolve(), target)
+        return self._ckptr.restore(path.resolve())
+
+    def latest_step(self) -> Optional[int]:
+        snaps = self.snapshots()
+        if self.last_path.exists():
+            try:
+                meta = self._ckptr.metadata(self.last_path.resolve())
+                del meta
+            except Exception:
+                pass
+        return max(snaps) if snaps else None

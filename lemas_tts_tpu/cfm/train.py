@@ -29,6 +29,7 @@ class TrainState:
     step: jax.Array
     params: Any  # {"dit": ..., "accent": ..., "ctc": ...?}
     opt_state: Any
+    ema_params: Any = None  # EMA of params["dit"] (ckpt `ema_model.*` parity)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -67,6 +68,7 @@ class Trainer:
                 hidden_size=dit_model.arch.dim, vocab_size=vocab_size
             )
         self.optimizer = make_optimizer(cfg)
+        self.ema_decay = 0.999
         self._step_cache: Dict[tuple, Any] = {}
 
     # ------------------------------------------------------------------ init
@@ -85,8 +87,13 @@ class Trainer:
         if "ctc" in self.aux_models:
             params["ctc"] = self.aux_models["ctc"].init(r_ctc, mel)
         opt_state = self.optimizer.init(params)
+        # independent buffers (a no-op astype would alias params and break
+        # jit donation: same buffer donated twice)
+        ema = jax.tree_util.tree_map(
+            lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params["dit"]
+        )
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                           opt_state=opt_state)
+                           opt_state=opt_state, ema_params=ema)
         if self.mesh is not None:
             state = self.shard_state(state)
         return state
@@ -109,8 +116,15 @@ class Trainer:
             lambda x: jax.device_put(x, NamedSharding(self.mesh, P())),
             state.opt_state,
         )
+        ema = (
+            None
+            if state.ema_params is None
+            else shard_pytree(state.ema_params, self.mesh,
+                              dit_param_pspecs(state.ema_params))
+        )
         # re-shard the adamw moments like the params
-        return TrainState(step=state.step, params=params, opt_state=opt_state)
+        return TrainState(step=state.step, params=params, opt_state=opt_state,
+                          ema_params=ema)
 
     # ------------------------------------------------------------------ step
     def _build_step(self, drop_audio: bool, drop_text: bool):
@@ -137,8 +151,15 @@ class Trainer:
                 grads, state.opt_state, state.params
             )
             new_params = optax.apply_updates(state.params, updates)
+            new_ema = state.ema_params
+            if new_ema is not None:
+                from lemas_tts_tpu.cfm.checkpoint import ema_update
+
+                new_ema = ema_update(new_ema, new_params["dit"],
+                                     decay=self.ema_decay)
             new_state = TrainState(
-                step=state.step + 1, params=new_params, opt_state=new_opt
+                step=state.step + 1, params=new_params, opt_state=new_opt,
+                ema_params=new_ema,
             )
             return new_state, metrics
 
@@ -154,8 +175,8 @@ class Trainer:
         import random as _pyrandom
 
         r = step_rng_host if step_rng_host is not None else _pyrandom
-        drop_audio = r.random() < 0.3
-        drop_text = r.random() < 0.1
+        drop_audio = r.random() < self.cfg.audio_drop_prob
+        drop_text = r.random() < self.cfg.text_drop_prob
         key = (drop_audio, drop_text)
         if key not in self._step_cache:
             self._step_cache[key] = self._build_step(*key)

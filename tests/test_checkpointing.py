@@ -1,0 +1,119 @@
+"""Trainer EMA + orbax checkpoint save/resume policy tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lemas_tts_tpu.cfm.checkpoint import CheckpointManager, ema_update
+from lemas_tts_tpu.cfm.train import Trainer, TrainState
+from lemas_tts_tpu.config import DiTArch, TrainConfig
+from lemas_tts_tpu.models.dit import DiT
+
+
+def _tiny_trainer(tmpdir=None, **cfg_kw):
+    arch = DiTArch(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2,
+                   text_dim=16, conv_layers=1)
+    dit = DiT(arch=arch, mel_dim=8, text_num_embeds=20)
+    cfg = TrainConfig(num_warmup_updates=2, **cfg_kw)
+    return Trainer(dit, vocab_size=20, mel_dim=8, cfg=cfg, use_ctc=False)
+
+
+def _batch(B=2, T=24, D=8):
+    rng = np.random.default_rng(0)
+    return {
+        "mel": jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32)),
+        "mel_lengths": jnp.asarray(np.full(B, T, np.int32)),
+        "text": jnp.asarray(rng.integers(0, 20, (B, 6)).astype(np.int32)),
+        "langs": jnp.asarray(rng.integers(0, 12, B).astype(np.int32)),
+    }
+
+
+def test_ema_update_math():
+    ema = {"w": jnp.ones((3,))}
+    p = {"w": jnp.zeros((3,))}
+    out = ema_update(ema, p, decay=0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.9)
+
+
+def test_trainer_tracks_ema():
+    import random
+
+    tr = _tiny_trainer()
+    batch = _batch()
+    state = tr.init_state(jax.random.key(0), batch)
+    ema0 = jax.tree_util.tree_leaves(state.ema_params)[0].copy()
+    state, _ = tr.train_step(state, batch, jax.random.key(1), random.Random(0))
+    state, _ = tr.train_step(state, batch, jax.random.key(2), random.Random(1))
+    ema2 = jax.tree_util.tree_leaves(state.ema_params)[0]
+    p2 = jax.tree_util.tree_leaves(state.params["dit"])[0]
+    # warmup lr is tiny, so compare exactly: EMA moved, and lags the raw params
+    assert not np.array_equal(np.asarray(ema0), np.asarray(ema2))
+    assert not np.array_equal(np.asarray(ema2), np.asarray(p2))
+
+
+def test_checkpoint_policy_and_resume(tmp_path):
+    import random
+
+    tr = _tiny_trainer(save_per_updates=2, keep_last_n_checkpoints=2,
+                       last_per_updates=1)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), tr.cfg)
+    batch = _batch()
+    state = tr.init_state(jax.random.key(0), batch)
+    host_rng = random.Random(0)
+    for i in range(6):
+        state, metrics = tr.train_step(state, batch, jax.random.key(i), host_rng)
+        mgr.maybe_save(int(state.step), state.params, state.ema_params)
+    # snapshots at steps 2,4,6 pruned to last 2 → {4, 6}
+    assert sorted(mgr.snapshots()) == [4, 6]
+    assert mgr.last_path.exists()
+    assert mgr.latest_step() == 6
+
+    restored = mgr.restore()
+    assert int(restored["step"]) == 6
+    ref = jax.tree_util.tree_leaves(state.params["dit"])[0]
+    got = jax.tree_util.tree_leaves(restored["params"]["dit"])[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+    # EMA round-trips too
+    e_ref = jax.tree_util.tree_leaves(state.ema_params)[0]
+    e_got = jax.tree_util.tree_leaves(restored["ema_params"])[0]
+    np.testing.assert_allclose(np.asarray(e_got), np.asarray(e_ref))
+
+    # restore a specific pruned-surviving snapshot
+    snap4 = mgr.restore(step=4)
+    assert int(snap4["step"]) == 4
+
+
+def test_restore_missing_raises(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "empty"), TrainConfig())
+    with pytest.raises(FileNotFoundError):
+        mgr.restore()
+
+
+def test_restored_params_drive_inference(tmp_path):
+    """A saved EMA pytree loads into the TTS sampler path (native format)."""
+    import random
+
+    from lemas_tts_tpu.cfm.sampler import SamplerSettings, make_sampler
+
+    tr = _tiny_trainer(save_per_updates=1, last_per_updates=1)
+    mgr = CheckpointManager(str(tmp_path / "ck"), tr.cfg)
+    batch = _batch()
+    state = tr.init_state(jax.random.key(0), batch)
+    state, _ = tr.train_step(state, batch, jax.random.key(1), random.Random(0))
+    mgr.maybe_save(1, state.params, state.ema_params)
+
+    restored = mgr.restore()
+    params = restored["params"]["dit"]
+    run = make_sampler(tr.dit_model, SamplerSettings(steps=2, cfg_strength=1.0))
+    B, N, D = 1, 32, 8
+    out = run(
+        params,
+        jnp.zeros((B, N, D)),
+        jnp.zeros((B, N), bool).at[:, :8].set(True),
+        jnp.zeros((B, 4), jnp.int32),
+        jnp.asarray([N], jnp.int32),
+        jax.random.normal(jax.random.key(0), (B, N, D)),
+    )
+    assert np.isfinite(np.asarray(out)).all()

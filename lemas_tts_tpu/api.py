@@ -208,17 +208,34 @@ class TTS:
                 ckpt_path=prosody_ckpt_path or self.config.prosody_ckpt_path,
             )
 
-        # ---- vocoder
+        # ---- vocoder (vocos | bigvgan, reference load_vocoder :120-159)
         voc_path = vocoder_local_path
-        if voc_path is None:
-            voc_path = str(find_pretrained_root() / "ckpts" / "vocos-mel-24khz")
-        voc = Vocos(
-            input_channels=self.config.mel_spec.n_mel_channels,
-            n_fft=self.config.mel_spec.n_fft,
-            hop_length=self.config.mel_spec.hop_length,
-            compute_dtype=dtype,
-        )
-        voc_params = self._load_vocoder_params(voc, voc_path, convert_vocos)
+        if self.mel_spec_type == "bigvgan":
+            from lemas_tts_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+
+            if voc_path is None:
+                voc_path = str(
+                    find_pretrained_root() / "ckpts"
+                    / "bigvgan_v2_24khz_100band_256x"
+                )
+            voc = BigVGAN(
+                cfg=BigVGANConfig.for_hop(
+                    self.config.mel_spec.hop_length,
+                    self.config.mel_spec.n_mel_channels,
+                ),
+                compute_dtype=dtype,
+            )
+            voc_params = self._load_bigvgan_params(voc, voc_path)
+        else:
+            if voc_path is None:
+                voc_path = str(find_pretrained_root() / "ckpts" / "vocos-mel-24khz")
+            voc = Vocos(
+                input_channels=self.config.mel_spec.n_mel_channels,
+                n_fft=self.config.mel_spec.n_fft,
+                hop_length=self.config.mel_spec.hop_length,
+                compute_dtype=dtype,
+            )
+            voc_params = self._load_vocoder_params(voc, voc_path, convert_vocos)
 
         self.synth = Synthesizer(
             self.dit,
@@ -265,6 +282,31 @@ class TTS:
         warnings.warn(f"no vocoder weights at {voc_path} — random init")
         D = self.config.mel_spec.n_mel_channels
         return voc.init(jax.random.key(1), jnp.zeros((1, D, 16)))
+
+    def _load_bigvgan_params(self, voc, voc_path: str):
+        import jax
+        import jax.numpy as jnp
+
+        from lemas_tts_tpu.models.bigvgan import convert_bigvgan
+
+        p = Path(voc_path)
+        cand = next(
+            (q for q in (p / "bigvgan_generator.pt", p / "pytorch_model.bin",
+                         p / "g_05000000", p)
+             if q.is_file()),
+            None,
+        )
+        if cand is not None:
+            from lemas_tts_tpu.infer.checkpoints import load_state_dict
+
+            sd = load_state_dict(str(cand))
+            if any(k.startswith("generator.") for k in sd):
+                sd = {k[len("generator."):]: v for k, v in sd.items()
+                      if k.startswith("generator.")}
+            return {"params": convert_bigvgan(sd, voc.cfg)}
+        warnings.warn(f"no BigVGAN weights at {voc_path} — random init")
+        D = self.config.mel_spec.n_mel_channels
+        return voc.init(jax.random.key(1), jnp.zeros((1, D, 8)))
 
     # ------------------------------------------------------------------- ASR
     def transcribe(self, ref_audio: str, language: Optional[str] = None) -> str:

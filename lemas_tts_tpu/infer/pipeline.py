@@ -152,10 +152,13 @@ class Synthesizer:
             mel_spec_type=mel_cfg.mel_spec_type,
         )
         self._samplers: Dict[SamplerSettings, Any] = {}
+        self.vocoder_kind = type(vocoder_model).__name__.lower() if vocoder_model else ""
         self._decode = (
             None
             if vocoder_model is None
-            else jax.jit(partial(vocoder_model.apply, method=Vocos.decode))
+            else jax.jit(
+                partial(vocoder_model.apply, method=type(vocoder_model).decode)
+            )
         )
 
     # ---------------------------------------------------------------- sampler
@@ -449,4 +452,8 @@ class Synthesizer:
         waves = np.asarray(
             self._decode(self.vocoder_params, jnp.asarray(batch), jnp.asarray(mask))
         )
+        if self.vocoder_kind == "bigvgan":  # pure conv stack: T frames → T×up
+            up = self.vocoder_model.cfg.total_upsample
+            return [waves[i, : lens[i] * up] for i in range(len(mels))]
+        # vocos iSTFT head: T frames → (T−1)×hop samples
         return [waves[i, : (lens[i] - 1) * hop] for i in range(len(mels))]

@@ -62,6 +62,20 @@ class CTCHead(nn.Module):
         return nn.Dense(self.vocab_size + 1, name="ctc_proj")(h)
 
 
+def info_nce_speaker(e_gt: jax.Array, e_pred: jax.Array,
+                     temperature: float = 0.1) -> jax.Array:
+    """In-batch InfoNCE between ground-truth and predicted speaker embeddings
+    (reference ``CFM.info_nce_speaker``, ``cfm.py:476-503``): row i of
+    ``e_pred`` is positive with row i of ``e_gt``, all other rows negative."""
+    e_gt = e_gt / jnp.clip(jnp.linalg.norm(e_gt, axis=1, keepdims=True), 1e-12)
+    e_pred = e_pred / jnp.clip(
+        jnp.linalg.norm(e_pred, axis=1, keepdims=True), 1e-12
+    )
+    logits = jnp.einsum("bd,cd->bc", e_pred, e_gt) / temperature
+    labels = jnp.arange(e_gt.shape[0])
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
 def cfm_training_loss(
     dit_model: Any,
     dit_params: Any,

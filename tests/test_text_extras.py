@@ -1,0 +1,69 @@
+"""Auxiliary text normalizers: English cleaners, Indonesian cleaners, gp2py."""
+
+from lemas_tts_tpu.text.en_tn import (
+    collapse_whitespace,
+    english_cleaners,
+    expand_abbreviations,
+    expand_numbers,
+    transliterate,
+)
+from lemas_tts_tpu.text.gp2py import GP2PY
+from lemas_tts_tpu.text.id_tn import (
+    expand_slang,
+    indonesian_cleaners,
+    number_to_words_id,
+    remove_emoji,
+)
+
+
+def test_english_cleaners_pipeline():
+    out = english_cleaners("Dr. Smith paid $20 on the 3rd of May, 1997 café!")
+    assert "doctor" in out
+    assert "twenty dollars" in out
+    assert "third" in out
+    assert "cafe" in out  # transliterated
+    assert "$" not in out and not any(c.isdigit() for c in out)
+
+
+def test_expand_numbers_variants():
+    assert "one hundred" in expand_numbers("100")
+    assert expand_numbers("1st").startswith("first")
+    assert "2nd" not in expand_numbers("the 2nd time")
+    assert "1,000" not in expand_numbers("1,000 things")
+
+
+def test_abbreviations_and_ws():
+    assert expand_abbreviations("Mr. and Mrs.") == "mister and misess"
+    assert collapse_whitespace("  a   b \n c ") == "a b c"
+    assert transliterate("naïve œuvre") == "naive oeuvre"
+
+
+def test_indonesian_cleaners():
+    out = indonesian_cleaners("gw gak tau 😂 knp 25 org dtg")
+    assert "saya" in out and "tidak" in out and "kenapa" in out
+    assert "😂" not in out
+    assert "dua puluh lima" in out
+
+
+def test_id_numbers():
+    assert number_to_words_id("11") == "sebelas"
+    assert number_to_words_id("21") == "dua puluh satu"
+    assert number_to_words_id("105") == "seratus lima"
+    assert number_to_words_id("1500") == "seribu lima ratus"
+    assert number_to_words_id("2000000") == "dua juta"
+    assert "koma" in number_to_words_id("3.14")
+
+
+def test_remove_emoji_and_slang():
+    assert remove_emoji("halo 🙂🙂 dunia").split() == ["halo", "dunia"]
+    assert expand_slang("yg bgt") == "yang banget"
+
+
+def test_gp2py_mixed_text():
+    g = GP2PY()
+    py, disp = g.gp2py("你好 world 123")
+    # without pypinyin the hanzi fall back to chars; either way latin is
+    # uppercased and numbers were normalized by cn_tn
+    assert "WORLD" in py and "WORLD" in disp
+    assert "你" in disp
+    assert "123" not in py  # read as Chinese numerals

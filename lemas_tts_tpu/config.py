@@ -108,6 +108,10 @@ class SamplerConfig:
     no_ref_audio: bool = False
     fix_duration: Optional[float] = None
     seed: Optional[int] = None
+    # inner-time-step observability corner (reference cfm.py:221-222,439-443):
+    # start the ODE at t_inter from a cond-duplicated state
+    duplicate_test: bool = False
+    t_inter: float = 0.1
 
 
 @dataclass(frozen=True)

@@ -296,10 +296,22 @@ class Synthesizer:
         )
         y0 = jnp.broadcast_to(noise[None], (Bp, N, self.mel_cfg.n_mel_channels))
 
+        t_start = 0.0
+        if cfg.duplicate_test:
+            # duplicate-test diagnostic (cfm.py:307-309,439-443): start the
+            # flow at t_inter from a state blended with the ref mel duplicated
+            # right after the prompt region.
+            t_start = cfg.t_inter
+            test_cond = np.zeros_like(cond)
+            dup_end = min(2 * ref_frames, N)
+            test_cond[:, ref_frames:dup_end] = cond_mel[None, : dup_end - ref_frames]
+            y0 = (1.0 - t_start) * y0 + t_start * jnp.asarray(test_cond)
+
         settings = SamplerSettings(
-            steps=cfg.nfe_steps,
+            steps=int(cfg.nfe_steps * (1.0 - t_start)) or 1,
             cfg_strength=cfg.cfg_strength,
             sway_sampling_coef=cfg.sway_sampling_coef,
+            t_start=t_start,
         )
         run = self._sampler(settings)
         out = run(

@@ -87,3 +87,20 @@ def test_synthesis_deterministic_and_batch_invariant(engine):
         ref, sr, list("ab"), [list("abc"), list("fg")], cfg, seed=7)
     assert len(w3) > len(w1)
     np.testing.assert_allclose(w3[: len(w1) // 2], w1[: len(w1) // 2], atol=1e-5)
+
+
+def test_duplicate_test_diagnostic(engine):
+    """duplicate_test starts the ODE at t_inter from a cond-duplicated state
+    with proportionally fewer steps (reference cfm.py:221-222,439-443)."""
+    sr = 8000
+    ref = (0.2 * np.sin(2 * np.pi * 180 * np.arange(sr) / sr)).astype(np.float32)
+    cfg = SamplerConfig(nfe_steps=4, cfg_strength=1.0, max_duration=512,
+                        duplicate_test=True, t_inter=0.25)
+    wave, out_sr, mel = engine.synthesize_chunks(
+        ref, sr, list("ab"), [list("abc")], cfg, seed=3)
+    assert out_sr == sr and wave.size > 0 and np.isfinite(wave).all()
+    # differs from the normal path with the same seed
+    w_norm, _, _ = engine.synthesize_chunks(
+        ref, sr, list("ab"), [list("abc")],
+        SamplerConfig(nfe_steps=4, cfg_strength=1.0, max_duration=512), seed=3)
+    assert wave.shape != w_norm.shape or not np.allclose(wave, w_norm)

@@ -184,6 +184,7 @@ class Synthesizer:
         gen_chunks: Sequence[Sequence[str] | str],
         cfg: SamplerConfig = SamplerConfig(),
         seed: Optional[int] = None,
+        return_parts: bool = False,
     ) -> Tuple[np.ndarray, int, np.ndarray]:
         """Zero-shot TTS over pre-tokenized chunks.
 
@@ -338,10 +339,39 @@ class Synthesizer:
         if rms < cfg.target_rms and rms > 0:
             waves = [w * (rms / cfg.target_rms) for w in waves]
 
+        if return_parts:  # streaming: per-chunk waves, no cross-fade
+            return [np.clip(w, -0.999, 0.999) for w in waves], sr, gen_slices
         final = cross_fade_concat(waves, sr, cfg.cross_fade_duration)
         final = np.clip(final, -0.999, 0.999)
         mel_concat = np.concatenate([g.T for g in gen_slices], axis=1)  # [D, T]
         return final, sr, mel_concat
+
+    # --------------------------------------------------------------- streaming
+    def synthesize_stream(
+        self,
+        ref_wav: np.ndarray,
+        ref_sr: int,
+        ref_text_units: Sequence[str] | str,
+        gen_chunks: Sequence[Sequence[str] | str],
+        cfg: SamplerConfig = SamplerConfig(),
+        seed: Optional[int] = None,
+        chunk_batch: int = 2,
+    ):
+        """Streaming synthesis: yield ``(wave, sample_rate)`` per text chunk as
+        soon as its mini-batch is done (reference streaming mode,
+        ``utils_infer.py:559-570`` — chunks yielded in order, no cross-fade).
+
+        Device utilization comes from ``chunk_batch`` chunks per sampler call;
+        latency-to-first-audio from keeping that small.
+        """
+        for i in range(0, len(gen_chunks), max(1, chunk_batch)):
+            batch = list(gen_chunks[i : i + chunk_batch])
+            waves, sr, _ = self.synthesize_chunks(
+                ref_wav, ref_sr, ref_text_units, batch, cfg=cfg, seed=seed,
+                return_parts=True,
+            )
+            for w in waves:
+                yield w, sr
 
     # -------------------------------------------------- cross-request batching
     def synthesize_requests(

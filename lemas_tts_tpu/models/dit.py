@@ -132,6 +132,7 @@ class DiT(nn.Module):
     use_prosody_encoder: bool = False
     attn_backend: str = "xla"
     compute_dtype: jnp.dtype = jnp.float32
+    scan_unroll: int = 1  # lax.scan unroll over blocks (perf knob)
 
     def setup(self):
         a = self.arch
@@ -158,6 +159,7 @@ class DiT(nn.Module):
             split_rngs={"params": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             length=a.depth,
+            unroll=self.scan_unroll,
         )(arch=a, attn_backend=self.attn_backend, compute_dtype=self.compute_dtype)
 
         if a.long_skip_connection:

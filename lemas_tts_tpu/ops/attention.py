@@ -104,8 +104,13 @@ def _vmem_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, sm_scale: float):
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / l).astype(v.dtype)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # defer the 1/l normalization to the [bq, D] output (64 cols) instead of
+    # dividing the [bq, N] probability tile (N cols) — pure VPU savings
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 def _pick_block_q(n: int) -> int:

@@ -1,0 +1,181 @@
+"""Spectrogram utilities for the UVR5 separation family.
+
+Numpy/JAX equivalents of the reference toolkit (``uvr5/lib_v5/spec_utils.py``):
+stereo/mid-side STFT packing, multi-band spectrogram combination (VR band
+params), high-frequency mirroring reconstruction, stem ensembling, and the
+per-channel aggressiveness mask shaping. librosa is replaced by the
+framework's XLA STFT (``ops/stft.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from lemas_tts_tpu.ops.stft import hann_window, istft as _istft, stft as _stft
+
+MIN_SPEC = "min_mag"
+MAX_SPEC = "max_mag"
+AVERAGE = "average"
+
+
+def stft_stereo(wave: np.ndarray, n_fft: int, hop_length: int) -> np.ndarray:
+    """[2, T] → complex [2, bins, frames] (reference ``stft``, ``:420-428``)."""
+    return np.asarray(
+        _stft(jnp.asarray(np.asarray(wave, np.float32)), n_fft, hop_length,
+              window=hann_window(n_fft))
+    )
+
+
+def istft_stereo(spec: np.ndarray, n_fft: int, hop_length: int,
+                 length: Optional[int] = None) -> np.ndarray:
+    """complex [2, bins, frames] → [2, T] (reference ``istft``, ``:430-437``)."""
+    return np.asarray(
+        _istft(jnp.asarray(spec), n_fft, hop_length,
+               window=hann_window(n_fft), length=length)
+    )
+
+
+def wave_to_spectrogram(
+    wave: np.ndarray, hop_length: int, n_fft: int,
+    mid_side: bool = False, mid_side_b2: bool = False, reverse: bool = False,
+) -> np.ndarray:
+    """Stereo wave → spectrogram with optional mid/side encodings
+    (reference ``wave_to_spectrogram``, ``:60-78``)."""
+    wave = np.asarray(wave, np.float32)
+    if reverse:
+        wave = np.stack([np.flip(wave[0]), np.flip(wave[1])])
+    elif mid_side:
+        wave = np.stack([(wave[0] + wave[1]) / 2, wave[0] - wave[1]])
+    elif mid_side_b2:
+        wave = np.stack([wave[1] * 0.5 + wave[0] * 0.5 * 0.5,
+                         wave[0] * 0.5 - wave[1] * 0.5 * 0.5])
+    return stft_stereo(wave, n_fft, hop_length)
+
+
+def spectrogram_to_wave(
+    spec: np.ndarray, hop_length: int,
+    mid_side: bool = False, mid_side_b2: bool = False, reverse: bool = False,
+    n_fft: Optional[int] = None,
+) -> np.ndarray:
+    """Inverse of :func:`wave_to_spectrogram` (reference ``:267-281``)."""
+    n_fft = n_fft if n_fft is not None else (spec.shape[1] - 1) * 2
+    wave = istft_stereo(spec, n_fft, hop_length)
+    if reverse:
+        return np.stack([np.flip(wave[0]), np.flip(wave[1])])
+    if mid_side:
+        return np.stack([wave[0] + wave[1] / 2, wave[0] - wave[1] / 2])
+    if mid_side_b2:  # note: reference round-trips b2 at 0.5× by design
+        return np.stack([wave[1] / 1.25 + 0.4 * wave[0],
+                         wave[0] / 1.25 - 0.4 * wave[1]])
+    return wave
+
+
+def combine_spectrograms(specs: Dict[int, np.ndarray],
+                         bands: Sequence[dict], total_bins: int) -> np.ndarray:
+    """Stack per-band spectrogram crops into one full-band spectrogram
+    (reference ``combine_spectrograms``, ``:154-178``). ``bands[d]`` has
+    ``crop_start``/``crop_stop``; band d+1 is keyed ``d+1`` in ``specs``."""
+    out = np.zeros((2, total_bins + 1, specs[1].shape[2]), np.complex64)
+    offset = 0
+    for d, band in enumerate(bands, start=1):
+        h = band["crop_stop"] - band["crop_start"]
+        out[:, offset : offset + h] = specs[d][:, band["crop_start"]:band["crop_stop"]]
+        offset += h
+    if offset > total_bins:
+        raise ValueError("too many crops")
+    return out
+
+
+def mirroring(algorithm: str, spec_m: np.ndarray, input_high_end: np.ndarray,
+              pre_filter_start: int) -> np.ndarray:
+    """High-frequency reconstruction by mirroring the band below the filter
+    cutoff (reference ``mirroring``, ``:367-378``)."""
+    hi = input_high_end.shape[1]
+    mirror = np.flip(
+        np.abs(spec_m[:, pre_filter_start - 10 - hi : pre_filter_start - 10, :]),
+        1,
+    )
+    if algorithm == "mirroring":
+        mirror = mirror * np.exp(1.0j * np.angle(input_high_end))
+        return np.where(np.abs(input_high_end) <= np.abs(mirror),
+                        input_high_end, mirror)
+    if algorithm == "mirroring2":
+        mi = np.multiply(mirror, input_high_end * 1.7)
+        return np.where(np.abs(input_high_end) <= np.abs(mi),
+                        input_high_end, mi)
+    raise ValueError(algorithm)
+
+
+def ensembling(algorithm: str, specs: List[np.ndarray]) -> np.ndarray:
+    """Combine stems per time-frequency cell by magnitude
+    (reference ``ensembling``, ``:481-497``)."""
+    spec = specs[0]
+    for other in specs[1:]:
+        ln = min(spec.shape[2], other.shape[2])
+        spec, other = spec[:, :, :ln], other[:, :, :ln]
+        if algorithm == MIN_SPEC:
+            spec = np.where(np.abs(other) <= np.abs(spec), other, spec)
+        elif algorithm == MAX_SPEC:
+            spec = np.where(np.abs(other) >= np.abs(spec), other, spec)
+        elif algorithm == AVERAGE:
+            spec = (spec + other) / 2
+        else:
+            raise ValueError(algorithm)
+    return spec
+
+
+def adjust_aggr(mask: np.ndarray, is_non_accom_stem: bool,
+                aggressiveness: dict) -> np.ndarray:
+    """Raise the mask power per channel, more below ``split_bin``
+    (reference ``adjust_aggr``, ``:380-401``)."""
+    aggr = aggressiveness["value"]
+    if aggr == 0:
+        return mask
+    if is_non_accom_stem:
+        aggr = 1 - aggr
+    aggr_lr = [aggr, aggr]
+    corr = aggressiveness.get("aggr_correction")
+    if corr is not None:
+        aggr_lr[0] += corr["left"]
+        aggr_lr[1] += corr["right"]
+    split = aggressiveness["split_bin"]
+    mask = np.array(mask, copy=True)
+    for ch in range(2):
+        mask[ch, :split] = np.power(mask[ch, :split], 1 + aggr_lr[ch] / 3)
+        mask[ch, split:] = np.power(mask[ch, split:], 1 + aggr_lr[ch])
+    return mask
+
+
+def merge_artifacts(y_mask: np.ndarray, thres: float = 0.01,
+                    min_range: int = 64, fade_size: int = 32) -> np.ndarray:
+    """Bridge short active gaps in a time mask with linear fades
+    (reference ``merge_artifacts``, ``:216-264``)."""
+    mask = np.array(y_mask, copy=True)
+    idx = np.where(y_mask.min(axis=(0, 1)) > thres)[0]
+    if len(idx) == 0:
+        return mask
+    start, end = idx[0], idx[-1] + 1
+    if end - start > min_range:
+        old_e = None
+        for s, e in _active_ranges(y_mask.min(axis=(0, 1)) > thres):
+            if old_e is not None and s - old_e < fade_size * 2:
+                mask[:, :, old_e:s] = 1.0  # bridge the gap
+            old_e = e
+    return mask
+
+
+def _active_ranges(active: np.ndarray):
+    out = []
+    s = None
+    for i, a in enumerate(active):
+        if a and s is None:
+            s = i
+        elif not a and s is not None:
+            out.append((s, i))
+            s = None
+    if s is not None:
+        out.append((s, len(active)))
+    return out

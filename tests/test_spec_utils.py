@@ -1,0 +1,94 @@
+"""UVR5 spec utilities + distributed helpers."""
+
+import numpy as np
+
+from lemas_tts_tpu.uvr5.spec_utils import (
+    AVERAGE,
+    MAX_SPEC,
+    MIN_SPEC,
+    adjust_aggr,
+    combine_spectrograms,
+    ensembling,
+    mirroring,
+    spectrogram_to_wave,
+    wave_to_spectrogram,
+)
+
+
+def _stereo(seed=0, n=4096):
+    rng = np.random.default_rng(seed)
+    return (0.3 * rng.standard_normal((2, n))).astype(np.float32)
+
+
+def test_wave_spectrogram_roundtrip():
+    x = _stereo()
+    # b2 round-trips at 0.5 gain by design (reference :279 decode formula)
+    for ms, ms2, rev, gain in ((False, False, False, 1.0),
+                               (True, False, False, 1.0),
+                               (False, True, False, 0.5),
+                               (False, False, True, 1.0)):
+        spec = wave_to_spectrogram(x, 256, 1024, ms, ms2, rev)
+        assert spec.shape[0] == 2 and spec.shape[1] == 513
+        y = spectrogram_to_wave(spec, 256, ms, ms2, rev)
+        n = min(x.shape[1], y.shape[1])
+        np.testing.assert_allclose(y[:, 256:n-256], gain * x[:, 256:n-256],
+                                   atol=2e-3)
+
+
+def test_ensembling_modes():
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((2, 8, 10)) + 1j * rng.standard_normal((2, 8, 10))
+    b = rng.standard_normal((2, 8, 12)) + 1j * rng.standard_normal((2, 8, 12))
+    mn = ensembling(MIN_SPEC, [a, b])
+    mx = ensembling(MAX_SPEC, [a, b])
+    assert mn.shape == (2, 8, 10)
+    assert (np.abs(mn) <= np.abs(mx) + 1e-9).all()
+    av = ensembling(AVERAGE, [a, b[:, :, :10]])
+    np.testing.assert_allclose(av, (a + b[:, :, :10]) / 2)
+
+
+def test_adjust_aggr_powers():
+    mask = np.full((2, 10, 4), 0.5)
+    out = adjust_aggr(mask, False, {"value": 0.3, "split_bin": 5,
+                                    "aggr_correction": None})
+    np.testing.assert_allclose(out[0, :5], 0.5 ** 1.1)
+    np.testing.assert_allclose(out[0, 5:], 0.5 ** 1.3)
+    # zero aggressiveness is identity
+    np.testing.assert_array_equal(
+        adjust_aggr(mask, False, {"value": 0, "split_bin": 5}), mask
+    )
+
+
+def test_mirroring_bounded():
+    rng = np.random.default_rng(2)
+    spec = rng.standard_normal((2, 64, 6)) + 1j * rng.standard_normal((2, 64, 6))
+    hi = rng.standard_normal((2, 10, 6)) + 1j * rng.standard_normal((2, 10, 6))
+    out = mirroring("mirroring", spec, hi, pre_filter_start=40)
+    assert out.shape == hi.shape
+    assert (np.abs(out) <= np.abs(hi) + 1e-9).all()  # never amplifies
+
+
+def test_combine_spectrograms():
+    rng = np.random.default_rng(3)
+    s1 = rng.standard_normal((2, 32, 5)).astype(np.complex64)
+    s2 = rng.standard_normal((2, 32, 5)).astype(np.complex64)
+    bands = [{"crop_start": 0, "crop_stop": 16},
+             {"crop_start": 4, "crop_stop": 20}]
+    out = combine_spectrograms({1: s1, 2: s2}, bands, total_bins=32)
+    assert out.shape == (2, 33, 5)
+    np.testing.assert_array_equal(out[:, :16], s1[:, 0:16])
+    np.testing.assert_array_equal(out[:, 16:32], s2[:, 4:20])
+
+
+def test_distributed_single_process_noop():
+    from lemas_tts_tpu.parallel.distributed import (
+        initialize,
+        is_primary,
+        make_global_mesh,
+    )
+
+    assert initialize() is False  # no coordinator env → single-process no-op
+    assert is_primary()
+    mesh = make_global_mesh(model_parallel=2)
+    assert mesh.shape["model"] == 2
+    assert mesh.shape["data"] * 2 == len(mesh.devices.flatten())

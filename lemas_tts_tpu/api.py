@@ -436,6 +436,30 @@ class TTS:
         return process_phone_list(parts, self.langs)
 
 
+def _main() -> None:
+    """Smoke entry (the reference's ``__main__`` is broken — ``api.py:280``
+    instantiates an undefined name; this one works hermetically)."""
+    import tempfile
+
+    from lemas_tts_tpu.utils.audio_io import write_wav
+
+    sr = 24000
+    t = np.arange(2 * sr) / sr
+    ref = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        ref_path = f"{d}/ref.wav"
+        write_wav(ref_path, ref, sr)
+        tts = TTS()
+        wav, out_sr, _ = tts.infer(
+            ref_file=ref_path,
+            ref_text="some call me nature, others call me mother nature.",
+            gen_text="I've been a silent spectator, watching species evolve.",
+            nfe_step=16,
+            file_wave=f"{d}/api_out.wav",
+        )
+        print(f"seed: {tts.seed}  wave: {len(wav) / out_sr:.2f}s @ {out_sr} Hz")
+
+
 def process_phone_list(parts: Sequence[str], langs=LANGS) -> List[str]:
     """Prefix bare phones with the current ``(lang)`` tag and collapse
     separator/punctuation runs (reference ``api.py:252-276``)."""
@@ -453,3 +477,7 @@ def process_phone_list(parts: Sequence[str], langs=LANGS) -> List[str]:
         elif current_lang is not None:
             processed.append(f"{current_lang}{part}")
     return processed
+
+
+if __name__ == "__main__":
+    _main()

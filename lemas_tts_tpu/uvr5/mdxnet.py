@@ -164,6 +164,26 @@ class ConvTDFNet(nn.Module):
         return nn.Conv(c.dim_c, (1, 1), name="final_conv")(h)
 
 
+class Mixer(nn.Module):
+    """Multi-stem blending head (reference ``mdxnet.py:126-140``): a bias-free
+    Linear over the (stems+mix)×2 channel stack, applied per sample.
+    [n_stems+1, 2, T] → [n_stems, 2, T]."""
+
+    n_stems: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        T = x.shape[-1]
+        h = x.reshape(1, (self.n_stems + 1) * 2, T).swapaxes(-1, -2)
+        h = nn.Dense(self.n_stems * 2, use_bias=False, name="linear")(h)
+        return h.swapaxes(-1, -2).reshape(self.n_stems, 2, T)
+
+
+def convert_mixer(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """``mixer.ckpt`` (torch Linear) → flax params."""
+    return {"linear": {"kernel": np.asarray(sd["linear.weight"]).T}}
+
+
 # ----------------------------------------------------------------- conversion
 def _conv2d(sd: Mapping[str, np.ndarray], p: str) -> Dict[str, np.ndarray]:
     w = np.asarray(sd[f"{p}.weight"])  # torch [out, in, kh, kw]

@@ -158,3 +158,19 @@ def test_uvr5_facade_denoise(tmp_path, sep):
     assert out_sr == 44100
     den = np.squeeze(den)
     assert den.ndim == 1 and den.size > 0 and np.isfinite(den).all()
+
+
+def test_mixer_shapes_and_conversion():
+    from lemas_tts_tpu.uvr5.mdxnet import Mixer, convert_mixer
+
+    rng = np.random.default_rng(5)
+    n_stems, T = 4, 100
+    w = rng.standard_normal((n_stems * 2, (n_stems + 1) * 2)).astype(np.float32)
+    params = {"params": convert_mixer({"linear.weight": w})}
+    x = jnp.asarray(rng.standard_normal((n_stems + 1, 2, T)), jnp.float32)
+    out = np.asarray(Mixer(n_stems=n_stems).apply(params, x))
+    assert out.shape == (n_stems, 2, T)
+    # matches the explicit linear blend
+    flat = np.asarray(x).reshape((n_stems + 1) * 2, T)
+    expect = (w @ flat).reshape(n_stems, 2, T)
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)

@@ -93,6 +93,37 @@ def collate(samples: Sequence[Dict[str, Any]],
     return {"mel": mel, "mel_lengths": mel_lengths, "text": text, "langs": langs}
 
 
+def compute_prosody_conds(
+    samples: Sequence[Dict[str, Any]],
+    prosody_encoder: Any,  # lemas_tts_tpu.models.prosody.ProsodyEncoder
+    T_mel: int,
+    T_text: int,
+) -> Dict[str, np.ndarray]:
+    """Per-segment prosody embeddings scattered into dense conditioning maps
+    (reference ``cfm.py:544-594``): each sample may carry ``audio_16k`` [Tw]
+    and ``prosody_idx`` — a list of
+    ``(text_start, text_end, mel_start, mel_end, audio_start, audio_end)``
+    segments. The frozen encoder embeds each audio segment; the embedding is
+    written over its mel-frame and text-token spans. Runs at data-prep time so
+    the jitted loss sees static [B, T, 512] arrays."""
+    B = len(samples)
+    mel_cond = np.zeros((B, T_mel, 512), np.float32)
+    text_cond = np.zeros((B, T_text, 512), np.float32)
+    for b, s in enumerate(samples):
+        audio = s.get("audio_16k")
+        segs = s.get("prosody_idx")
+        if audio is None or not segs:
+            continue
+        audio = np.asarray(audio, np.float32)
+        for ts, te, ms, me, a0, a1 in segs:
+            a0 = max(0, min(int(a0), audio.shape[0] - 1))
+            a1 = max(a0 + 1, min(int(a1), audio.shape[0]))
+            emb = prosody_encoder.embed(audio[a0:a1])  # [512], frozen
+            mel_cond[b, ms:me] = emb
+            text_cond[b, ts:te] = emb
+    return {"prosody_mel_cond": mel_cond, "prosody_text_cond": text_cond}
+
+
 class DataLoader:
     """Epoch iterator: frame-budget batches + background device prefetch."""
 

@@ -90,6 +90,8 @@ def cfm_training_loss(
     accent_weight: float = 0.1,
     ctc_weight: float = 0.1,
     vocab_size: Optional[int] = None,
+    prosody_params: Optional[Dict[str, Any]] = None,  # {"kernel","bias"} 512→D
+    prosody_dropout: float = 0.2,
 ):
     mel = batch["mel"]  # [B, T, D]
     lens = batch["mel_lengths"]
@@ -97,7 +99,7 @@ def cfm_training_loss(
     langs = batch["langs"]
     B, T, D = mel.shape
 
-    r_frac, r_span, r_noise, r_time = jax.random.split(rng, 4)
+    r_frac, r_span, r_noise, r_time, r_pdrop = jax.random.split(rng, 5)
 
     mask = lens_to_mask(lens, T)
     frac = jax.random.uniform(
@@ -113,11 +115,33 @@ def cfm_training_loss(
     flow = x1 - x0
 
     cond = jnp.where(rand_span_mask[..., None], 0.0, x1)
+
+    # --- optional prosody conditioning (cfm.py:544-624): dense per-frame /
+    # per-token embedding maps are pre-scattered by the data pipeline
+    # (cfm/data.py) so the jitted loss stays static-shaped; dropout 0.2 on
+    # both maps, mel-side projected and added to cond before grad reversal.
+    prosody_text_cond = batch.get("prosody_text_cond")
+    prosody_mel_cond = batch.get("prosody_mel_cond")
+    if prosody_mel_cond is not None and prosody_params is not None:
+        kd, kt = jax.random.split(r_pdrop)
+        if prosody_dropout > 0:
+            keep = 1.0 - prosody_dropout
+            prosody_mel_cond = prosody_mel_cond * (
+                jax.random.bernoulli(kd, keep, prosody_mel_cond.shape) / keep
+            )
+            if prosody_text_cond is not None:
+                prosody_text_cond = prosody_text_cond * (
+                    jax.random.bernoulli(kt, keep, prosody_text_cond.shape) / keep
+                )
+        proj = prosody_mel_cond @ prosody_params["kernel"] + prosody_params["bias"]
+        cond = cond + proj[:, :T, :]
+
     cond_grl = grad_reverse(cond, 1.0)
 
     pred = dit_model.apply(
         dit_params, phi, cond_grl, text, time, mask,
         drop_audio_cond=drop_audio_cond, drop_text=drop_text,
+        prosody_text=prosody_text_cond,
     )
 
     # --- flow loss: clamped masked MSE (cfm.py:647-661)

@@ -57,11 +57,15 @@ class Trainer:
         cfg: TrainConfig = TrainConfig(),
         use_ctc: bool = True,
         mesh: Optional[Mesh] = None,
+        use_prosody: bool = False,
+        mel_dim_out: Optional[int] = None,
     ):
         self.dit_model = dit_model
         self.cfg = cfg
         self.vocab_size = vocab_size
         self.mesh = mesh
+        self.use_prosody = use_prosody
+        self.mel_dim = mel_dim_out or mel_dim
         self.aux_models = {"accent": AccentClassifier(hidden_dim=dit_model.arch.dim)}
         if use_ctc:
             self.aux_models["ctc"] = CTCHead(
@@ -76,9 +80,12 @@ class Trainer:
         mel = sample_batch["mel"]
         text = sample_batch["text"]
         B, T, D = mel.shape
-        r_dit, r_acc, r_ctc = jax.random.split(rng, 3)
+        r_dit, r_acc, r_ctc, r_pros = jax.random.split(rng, 4)
         dit_params = self.dit_model.init(
-            r_dit, mel, mel, text, jnp.zeros((B,), mel.dtype)
+            r_dit, mel, mel, text, jnp.zeros((B,), mel.dtype),
+            prosody_text=(
+                jnp.zeros((B, text.shape[1], 512)) if self.use_prosody else None
+            ),
         )
         params = {
             "dit": dit_params,
@@ -86,6 +93,11 @@ class Trainer:
         }
         if "ctc" in self.aux_models:
             params["ctc"] = self.aux_models["ctc"].init(r_ctc, mel)
+        if self.use_prosody:  # trainable prosody→mel projection (cfm.py:144)
+            params["prosody_to_mel"] = {
+                "kernel": jax.random.normal(r_pros, (512, D), jnp.float32) * 0.02,
+                "bias": jnp.zeros((D,), jnp.float32),
+            }
         opt_state = self.optimizer.init(params)
         # independent buffers (a no-op astype would alias params and break
         # jit donation: same buffer donated twice)
@@ -129,7 +141,8 @@ class Trainer:
     # ------------------------------------------------------------------ step
     def _build_step(self, drop_audio: bool, drop_text: bool):
         def loss_fn(params, batch, rng):
-            aux_params = {k: params[k] for k in params if k != "dit"}
+            aux_params = {k: params[k] for k in params
+                          if k not in ("dit", "prosody_to_mel")}
             return cfm_training_loss(
                 self.dit_model,
                 params["dit"],
@@ -141,6 +154,7 @@ class Trainer:
                 drop_audio_cond=drop_audio,
                 drop_text=drop_text,
                 vocab_size=self.vocab_size if "ctc" in self.aux_models else None,
+                prosody_params=params.get("prosody_to_mel"),
             )
 
         def step(state: TrainState, batch, rng):

@@ -162,3 +162,16 @@ def test_tts_infer_multiline_and_separate_langs(tiny_tts, tmp_path):
         show_info=lambda *a, **k: None,
     )
     assert wave.size > 0 and out_sr == sr
+
+
+def test_bundled_configs_load():
+    """Both bundled YAML configs parse into valid typed configs
+    (reference configs/multilingual_grl.yaml + multilingual_prosody.yaml)."""
+    from lemas_tts_tpu.config import load_model_config
+
+    cfg = load_model_config("multilingual")
+    assert cfg.arch.dim == 1024 and cfg.arch.depth == 22
+    assert cfg.mel_spec.target_sample_rate == 24000
+    pros = load_model_config("multilingual_prosody")
+    assert pros.use_prosody_encoder is True
+    assert pros.arch.dim == cfg.arch.dim  # same arch, prosody flag differs

@@ -134,11 +134,15 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 2,
         to_device: Optional[Callable[[Dict[str, np.ndarray]], Any]] = None,
+        batch_multiple: int = 1,
     ):
         self.dataset = dataset
         self.cfg = cfg
         self.seed = seed
         self.prefetch = prefetch
+        # data-parallel sharding needs batch % mesh('data') == 0; short batches
+        # are padded by cyclically repeating real samples
+        self.batch_multiple = max(1, batch_multiple)
         if to_device is None:
             import jax
 
@@ -168,7 +172,10 @@ class DataLoader:
         stop = object()
 
         def producer():
+            m = self.batch_multiple
             for b in batches:
+                if len(b) % m:
+                    b = list(b) + [b[i % len(b)] for i in range(m - len(b) % m)]
                 q.put(self.to_device(collate([self.dataset[i] for i in b])))
             q.put(stop)
 

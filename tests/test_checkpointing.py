@@ -169,3 +169,24 @@ def test_prosody_training_path():
     state, metrics = tr.train_step(state, full, jax.random.key(1),
                                    random.Random(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_train_cli_and_resume(tmp_path):
+    from lemas_tts_tpu.scripts.train import main
+
+    ck = str(tmp_path / "ck")
+    rc = main(["--synthetic", "12", "--tiny", "--ckpt_dir", ck,
+               "--steps", "3", "--log_every", "1",
+               "--log_file", str(tmp_path / "log.jsonl")])
+    assert rc == 0
+    rc2 = main(["--synthetic", "12", "--tiny", "--ckpt_dir", ck,
+                "--steps", "5", "--resume", "--log_every", "1",
+                "--log_file", str(tmp_path / "log.jsonl")])
+    assert rc2 == 0
+    import json
+
+    events = [json.loads(l) for l in
+              (tmp_path / "log.jsonl").read_text().splitlines()]
+    assert any(e["event"] == "resumed" and e["step"] == 3 for e in events)
+    steps = [e["step"] for e in events if e["event"] == "train_step"]
+    assert max(steps) == 5

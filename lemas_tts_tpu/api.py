@@ -63,6 +63,20 @@ def find_pretrained_root() -> Path:
     return find_repo_root() / "pretrained_models"
 
 
+def resolve_ckpt(path: str) -> str:
+    """Resolve ``hf://repo/file`` checkpoint URIs via the HF hub cache
+    (reference local→HF fallback, ``tts_multilingual.py:89-117``);
+    plain paths pass through."""
+    if not path.startswith("hf://"):
+        return path
+    from huggingface_hub import hf_hub_download  # optional dep
+
+    rest = path[len("hf://"):]
+    repo_id, filename = rest.split("/", 2)[0] + "/" + rest.split("/", 2)[1], \
+        rest.split("/", 2)[2]
+    return hf_hub_download(repo_id=repo_id, filename=filename)
+
+
 def _select_platform(device: Optional[str]) -> str:
     import jax
 
@@ -179,6 +193,7 @@ class TTS:
             )
         else:
             raise ValueError(f"unknown backbone: {backbone}")
+        ckpt_file = resolve_ckpt(ckpt_file) if ckpt_file else ckpt_file
         if ckpt_file and os.path.isdir(ckpt_file):
             cfm_params = load_native(ckpt_file)
         elif ckpt_file:

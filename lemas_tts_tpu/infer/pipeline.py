@@ -133,9 +133,27 @@ class Synthesizer:
         max_duration: int = 4096,
         prosody_encoder: Any = None,
         prosody_to_mel: Any = None,
+        mesh: Any = None,
     ):
         self.prosody_encoder = prosody_encoder
         self.prosody_to_mel = prosody_to_mel
+        # multi-chip serving: shard batches over the mesh 'data' axis and
+        # replicate params (SURVEY §2.3 — batch is the scaling axis)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            dit_params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), dit_params
+            )
+            if vocoder_params is not None:
+                vocoder_params = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, rep), vocoder_params
+                )
+            self._batch_multiple = mesh.shape["data"]
+        else:
+            self._batch_multiple = 1
         self.dit_model = dit_model
         self.dit_params = dit_params
         self.vocoder_model = vocoder_model
@@ -166,8 +184,17 @@ class Synthesizer:
         fn = self._samplers.get(settings)
         if fn is None:
             fn = make_sampler(self.dit_model, settings)
+            if self.mesh is not None:
+                from lemas_tts_tpu.parallel.mesh import data_parallel_sampler
+
+                fn = data_parallel_sampler(fn, self.mesh)
             self._samplers[settings] = fn
         return fn
+
+    def _pick_batch(self, b: int) -> int:
+        bp = _pick(b, BATCH_BUCKETS)
+        m = self._batch_multiple
+        return bp if bp % m == 0 else ((bp + m - 1) // m) * m
 
     # ------------------------------------------------------------- mel utils
     def ref_mel(self, wav_24k: np.ndarray) -> np.ndarray:
@@ -237,7 +264,7 @@ class Synthesizer:
             durations.append(duration)
 
         B = len(texts)
-        Bp = _pick(B, BATCH_BUCKETS)
+        Bp = self._pick_batch(B)
         N = pick_bucket(max(durations), DURATION_BUCKETS)
         nt = _pick(max(len(t) for t in texts), TEXT_BUCKETS)
 
@@ -424,7 +451,7 @@ class Synthesizer:
                              seed=r.get("seed")))
 
         B = len(rows)
-        Bp = _pick(B, BATCH_BUCKETS)
+        Bp = self._pick_batch(B)
         N = pick_bucket(max(r["duration"] for r in rows), DURATION_BUCKETS)
         nt = _pick(max(len(r["ids"]) for r in rows), TEXT_BUCKETS)
 
@@ -485,7 +512,7 @@ class Synthesizer:
         hop = self.mel_cfg.hop_length
         lens = [m.shape[0] for m in mels]
         N = pick_bucket(max(lens), DURATION_BUCKETS)
-        B = _pick(len(mels), BATCH_BUCKETS)
+        B = self._pick_batch(len(mels))
         batch = np.zeros((B, self.mel_cfg.n_mel_channels, N), dtype=np.float32)
         mask = np.zeros((B, N), dtype=bool)
         for i, m in enumerate(mels):

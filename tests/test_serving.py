@@ -141,3 +141,48 @@ def test_stage_timers_and_json_logger(tmp_path):
 
     rec = json.loads(p.read_text().strip())
     assert rec["event"] == "evt" and rec["a"] == 1
+
+
+def test_engine_on_device_mesh():
+    """Continuous-batching serving over an 8-device data-parallel mesh:
+    params replicated, request batches sharded over 'data', results match the
+    single-device engine (SURVEY §2.3 scaling axis)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lemas_tts_tpu.parallel.mesh import make_mesh
+
+    mel_cfg = MelSpecConfig(n_mel_channels=20, n_fft=256, win_length=256,
+                            hop_length=64, target_sample_rate=8000)
+    arch = DiTArch(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2,
+                   text_dim=32, conv_layers=1)
+    vocab = Vocab(char_map={c: i for i, c in enumerate(" abcdefghij")}, size=11)
+    dit = DiT(arch=arch, mel_dim=20, text_num_embeds=vocab.size)
+    key = jax.random.key(0)
+    dparams = dit.init(key, jnp.zeros((1, 32, 20)), jnp.zeros((1, 32, 20)),
+                       jnp.zeros((1, 8), jnp.int32), jnp.zeros((1,)))
+    voc = Vocos(input_channels=20, dim=32, intermediate_dim=64, num_layers=2,
+                n_fft=256, hop_length=64)
+    vparams = voc.init(key, jnp.zeros((1, 20, 16)))
+
+    mesh = make_mesh(8, model_parallel=1)
+    sh = Synthesizer(dit, dparams, voc, vparams, vocab, mel_cfg, mesh=mesh)
+    s1 = Synthesizer(dit, dparams, voc, vparams, vocab, mel_cfg)
+    assert sh._pick_batch(3) % 8 == 0
+
+    cfg = SamplerConfig(nfe_steps=2, cfg_strength=1.0)
+    reqs = [_req(s) for s in (21, 22, 23)]
+    res_mesh = sh.synthesize_requests(reqs, cfg=cfg)
+    res_single = s1.synthesize_requests(reqs, cfg=cfg)
+    for (wm, srm, _), (ws, srs, _) in zip(res_mesh, res_single):
+        assert srm == srs
+        np.testing.assert_allclose(wm, ws, atol=2e-4)
+
+    eng = ServingEngine(sh, cfg=cfg, max_batch=8, max_wait_ms=20)
+    try:
+        futs = [eng.submit(TTSRequest(**_req(s))) for s in (31, 32, 33, 34)]
+        for f in futs:
+            w, sr, _ = f.result(timeout=180)
+            assert sr == 8000 and np.isfinite(w).all()
+    finally:
+        eng.shutdown()

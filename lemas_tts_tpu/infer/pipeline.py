@@ -352,7 +352,9 @@ class Synthesizer:
             None if step_cond is None else jnp.asarray(step_cond),
             None if prosody_text is None else jnp.asarray(prosody_text),
         )
-        out = np.asarray(out, dtype=np.float32)  # [Bp, N, D]
+        # np.array (copy): jax arrays view as read-only and the no_ref_audio
+        # branch mutates the generated region below
+        out = np.array(out, dtype=np.float32)  # [Bp, N, D]
 
         if cfg.no_ref_audio:  # mean re-alignment of generated region (cfm.py:464-467)
             gen_region = out[:, ref_frames:, :]

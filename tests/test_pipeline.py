@@ -104,3 +104,27 @@ def test_duplicate_test_diagnostic(engine):
         ref, sr, list("ab"), [list("abc")],
         SamplerConfig(nfe_steps=4, cfg_strength=1.0, max_duration=512), seed=3)
     assert wave.shape != w_norm.shape or not np.allclose(wave, w_norm)
+
+
+def test_no_ref_audio_and_ref_ratio_paths(engine):
+    """no_ref_audio replaces cond with mean-matched noise and re-centers the
+    generated region (cfm.py:320-324,464-467); ref_ratio<1 with GRL shuffles
+    the conditioning mel (cfm.py:267-280). Both must synthesize finite audio
+    that differs from the default path."""
+    sr = 8000
+    ref = (0.2 * np.sin(2 * np.pi * 170 * np.arange(sr) / sr)).astype(np.float32)
+    base_cfg = SamplerConfig(nfe_steps=2, cfg_strength=1.0, max_duration=512)
+    w0, _, _ = engine.synthesize_chunks(ref, sr, list("ab"), [list("abc")],
+                                        base_cfg, seed=11)
+    w1, _, _ = engine.synthesize_chunks(
+        ref, sr, list("ab"), [list("abc")],
+        SamplerConfig(nfe_steps=2, cfg_strength=1.0, max_duration=512,
+                      no_ref_audio=True), seed=11)
+    w2, _, _ = engine.synthesize_chunks(
+        ref, sr, list("ab"), [list("abc")],
+        SamplerConfig(nfe_steps=2, cfg_strength=1.0, max_duration=512,
+                      use_acc_grl=True, ref_ratio=0.5), seed=11)
+    for w in (w1, w2):
+        assert w.size > 0 and np.isfinite(w).all()
+    assert not np.array_equal(w0, w1)
+    assert not np.array_equal(w0, w2)

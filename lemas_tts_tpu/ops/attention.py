@@ -97,8 +97,12 @@ def _vmem_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, sm_scale: float):
     v = v_ref[0]
     msk = mask_ref[0]  # [1, N] bool
 
+    # full precision for f32 inputs (the MXU otherwise rounds f32 matmuls to
+    # bf16 passes inside Mosaic — ~2e-3 error); bf16 inputs are unaffected
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
     ) * sm_scale  # [bq, N] fp32, lives in VMEM only
     s = jnp.where(msk, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -108,7 +112,7 @@ def _vmem_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, sm_scale: float):
     # dividing the [bq, N] probability tile (N cols) — pure VPU savings
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
@@ -127,8 +131,13 @@ def vmem_attention(
     k: jax.Array,
     v: jax.Array,
     mask: jax.Array | None = None,
+    interpret: bool = False,
 ) -> jax.Array:
-    """Fused non-causal attention with key-padding mask; q,k,v: [B,H,N,D]."""
+    """Fused non-causal attention with key-padding mask; q,k,v: [B,H,N,D].
+
+    ``interpret=True`` runs the Pallas kernel in interpreter mode so its
+    numerics are testable on CPU CI (the TPU-only kernel otherwise has no
+    fake-backend coverage)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -159,6 +168,7 @@ def vmem_attention(
         out_specs=pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, N, D), q.dtype),
+        interpret=interpret,
     )(qf, kf, vf, maskf)
     return out.reshape(B, H, N, D)
 

@@ -1,0 +1,67 @@
+"""Attention kernel parity: the Pallas VMEM kernel (interpret mode on CPU)
+must match XLA SDPA bit-closely, with and without key-padding masks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lemas_tts_tpu.ops.attention import attention, sdpa, vmem_attention
+
+
+def _qkv(B=2, H=4, N=128, D=64, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((B, H, N, D)), dtype)
+    return mk(), mk(), mk()
+
+
+def test_vmem_matches_sdpa_unmasked():
+    q, k, v = _qkv()
+    ref = np.asarray(sdpa(q, k, v))
+    got = np.asarray(vmem_attention(q, k, v, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_vmem_matches_sdpa_masked():
+    q, k, v = _qkv(seed=1)
+    mask = jnp.asarray(np.arange(128)[None, :] < np.asarray([80, 128])[:, None])
+    ref = np.asarray(sdpa(q, k, v, mask))
+    got = np.asarray(vmem_attention(q, k, v, mask, interpret=True))
+    # valid queries must match; padded-query rows are zeroed later by the
+    # caller (modules.py Attention), so compare only the valid region
+    np.testing.assert_allclose(got[0, :, :80], ref[0, :, :80],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got[1], ref[1], rtol=2e-5, atol=2e-5)
+
+
+def test_vmem_bf16():
+    q, k, v = _qkv(seed=2, dtype=jnp.bfloat16)
+    ref = np.asarray(sdpa(q, k, v), np.float32)
+    got = np.asarray(vmem_attention(q, k, v, interpret=True), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_vmem_multi_qblock():
+    """N large enough that the kernel tiles queries into multiple blocks."""
+    q, k, v = _qkv(B=1, H=2, N=256, D=64, seed=3)
+    mask = jnp.asarray(np.arange(256)[None, :] < 200)
+    ref = np.asarray(sdpa(q, k, v, mask))
+    got = np.asarray(vmem_attention(q, k, v, mask, interpret=True))
+    np.testing.assert_allclose(got[:, :, :200], ref[:, :, :200],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_small_shapes_fall_back_to_sdpa():
+    # N not a multiple of 128 → XLA path (same function, same results)
+    q, k, v = _qkv(N=96, seed=4)
+    ref = np.asarray(sdpa(q, k, v))
+    got = np.asarray(attention(q, k, v, backend="vmem"))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_dispatch_backends():
+    q, k, v = _qkv(N=64, seed=5)
+    a = np.asarray(attention(q, k, v, backend="xla"))
+    b = np.asarray(attention(q, k, v, backend="splash"))  # small N → sdpa
+    np.testing.assert_allclose(a, b, rtol=1e-6)

@@ -21,10 +21,9 @@ from __future__ import annotations
 
 import os
 import random
-import sys
 import warnings
 from pathlib import Path
-from typing import Any, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 

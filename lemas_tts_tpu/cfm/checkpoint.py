@@ -20,7 +20,6 @@ from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 
 from lemas_tts_tpu.config import TrainConfig
 

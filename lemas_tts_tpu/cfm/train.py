@@ -10,7 +10,6 @@ inserting the collectives over ICI.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax

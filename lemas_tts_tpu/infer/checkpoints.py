@@ -16,7 +16,6 @@ No torch import is required unless a ``.pt`` file is read.
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, Mapping
 
 import numpy as np

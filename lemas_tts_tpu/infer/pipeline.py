@@ -13,7 +13,6 @@ prefix (mirroring the reference's per-sample re-seeding, ``cfm.py:430-435``).
 from __future__ import annotations
 
 import re
-from dataclasses import replace
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 

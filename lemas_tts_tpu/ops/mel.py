@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lemas_tts_tpu.ops.stft import hann_window, stft_magnitude
+from lemas_tts_tpu.ops.stft import stft_magnitude
 
 
 def _hz_to_mel_htk(f):

@@ -19,7 +19,7 @@ affine — folded at conversion time into the ``affine`` norm mode.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, List, Mapping, Tuple
+from typing import Any, Dict, List, Mapping
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ inference mode (running stats) — this is an inference framework component.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

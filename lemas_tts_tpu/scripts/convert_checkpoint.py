@@ -1,0 +1,89 @@
+"""Checkpoint conversion CLI: reference torch formats → native orbax.
+
+One-time conversion so production serving never needs torch at load time
+(SURVEY.md §5 checkpoint/resume: "one-time PyTorch→JAX weight converter
+(incl. EMA remap) + orbax-style native checkpoints"):
+
+  python -m lemas_tts_tpu.scripts.convert_checkpoint \
+      --ckpt model_last.safetensors --out ckpts/native_model [--use_ema]
+  python -m lemas_tts_tpu.scripts.convert_checkpoint \
+      --vocos pretrained/vocos-mel-24khz --out ckpts/vocos_native
+  python -m lemas_tts_tpu.scripts.convert_checkpoint \
+      --bigvgan bigvgan_generator.pt --out ckpts/bigvgan_native
+  python -m lemas_tts_tpu.scripts.convert_checkpoint \
+      --uvr5 Kim_Vocal_1.onnx --out ckpts/uvr5_native
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Convert reference checkpoints to native orbax.")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--ckpt", type=str, help="CFM/DiT .safetensors or .pt")
+    g.add_argument("--vocos", type=str, help="vocos dir (pytorch_model.bin) or file")
+    g.add_argument("--bigvgan", type=str, help="BigVGAN generator .pt/.bin")
+    g.add_argument("--uvr5", type=str, help="MDX-Net .onnx or .ckpt")
+    p.add_argument("--out", type=str, required=True, help="Output orbax directory.")
+    p.add_argument("--use_ema", action="store_true",
+                   help="Take the EMA weights from the CFM checkpoint.")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from lemas_tts_tpu.infer.checkpoints import (
+        load_cfm_checkpoint,
+        load_state_dict,
+        save_native,
+    )
+
+    if args.ckpt:
+        params = load_cfm_checkpoint(args.ckpt, use_ema=args.use_ema)
+        kind = "cfm"
+    elif args.vocos:
+        from lemas_tts_tpu.models.vocos import convert_vocos
+
+        p = Path(args.vocos)
+        f = p / "pytorch_model.bin" if p.is_dir() else p
+        params = {"params": convert_vocos(load_state_dict(str(f)))}
+        kind = "vocos"
+    elif args.bigvgan:
+        from lemas_tts_tpu.models.bigvgan import convert_bigvgan
+
+        sd = load_state_dict(args.bigvgan)
+        if any(k.startswith("generator.") for k in sd):
+            sd = {k[len("generator."):]: v for k, v in sd.items()
+                  if k.startswith("generator.")}
+        params = {"params": convert_bigvgan(sd)}
+        kind = "bigvgan"
+    else:
+        from lemas_tts_tpu.uvr5.mdxnet import (
+            convert_convtdfnet,
+            infer_config_from_state_dict,
+        )
+
+        if args.uvr5.endswith(".onnx"):
+            from lemas_tts_tpu.uvr5.onnx_weights import load_onnx_initializers
+
+            sd = load_onnx_initializers(args.uvr5)
+        else:
+            sd = load_state_dict(args.uvr5)
+        cfg = infer_config_from_state_dict(sd)
+        params = {"params": convert_convtdfnet(sd, cfg)}
+        kind = f"uvr5 (derived config: {cfg})"
+
+    save_native(params, str(Path(args.out).resolve()))
+    import jax
+
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"[convert] {kind}: {n / 1e6:.2f}M params → {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -190,3 +190,38 @@ def test_train_cli_and_resume(tmp_path):
     assert any(e["event"] == "resumed" and e["step"] == 3 for e in events)
     steps = [e["step"] for e in events if e["event"] == "train_step"]
     assert max(steps) == 5
+
+
+def test_convert_checkpoint_cli_roundtrip(tmp_path):
+    """torch EMA-layout ckpt → convert CLI → native orbax → sampler params."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_ref.dit_torch import DiTRef
+
+    from lemas_tts_tpu.infer.checkpoints import load_native
+    from lemas_tts_tpu.scripts.convert_checkpoint import main as convert_main
+
+    tref = DiTRef(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=8,
+                  text_num_embeds=20, text_dim=16, conv_layers=1)
+    sd = {f"ema_model.transformer.{k}": v for k, v in tref.state_dict().items()}
+    sd["ema_model.initted"] = torch.tensor(True)
+    sd["ema_model.step"] = torch.tensor(7)
+    ckpt = tmp_path / "ref.pt"
+    torch.save(sd, str(ckpt))
+
+    out = tmp_path / "native"
+    assert convert_main(["--ckpt", str(ckpt), "--use_ema",
+                         "--out", str(out)]) == 0
+    params = load_native(str(out))
+    assert "dit" in params
+    # converted pytree drives the flax DiT
+    from lemas_tts_tpu.cfm.sampler import SamplerSettings, make_sampler
+
+    arch = DiTArch(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2,
+                   text_dim=16, conv_layers=1)
+    dit = DiT(arch=arch, mel_dim=8, text_num_embeds=20)
+    run = make_sampler(dit, SamplerSettings(steps=2, cfg_strength=1.0))
+    o = run({"params": params["dit"]}, jnp.zeros((1, 32, 8)),
+            jnp.zeros((1, 32), bool).at[:, :8].set(True),
+            jnp.zeros((1, 4), jnp.int32), jnp.asarray([32], jnp.int32),
+            jax.random.normal(jax.random.key(0), (1, 32, 8)))
+    assert np.isfinite(np.asarray(o)).all()

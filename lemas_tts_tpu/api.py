@@ -293,6 +293,24 @@ class TTS:
             from lemas_tts_tpu.infer.checkpoints import load_state_dict
 
             return {"params": convert_vocos(load_state_dict(str(torch_bin)))}
+        try:  # HF-hub fallback (reference load_vocoder, utils_infer.py:127-131):
+            # always check the local HF cache; hit the network only when
+            # LEMAS_HF_FALLBACK=1 (keeps hermetic/offline runs fast)
+            from huggingface_hub import hf_hub_download
+
+            from lemas_tts_tpu.infer.checkpoints import load_state_dict
+
+            try:
+                f = hf_hub_download("charactr/vocos-mel-24khz",
+                                    "pytorch_model.bin", local_files_only=True)
+            except Exception:
+                if os.environ.get("LEMAS_HF_FALLBACK") != "1":
+                    raise
+                f = hf_hub_download("charactr/vocos-mel-24khz",
+                                    "pytorch_model.bin")
+            return {"params": convert_vocos(load_state_dict(f))}
+        except Exception:
+            pass
         warnings.warn(f"no vocoder weights at {voc_path} — random init")
         D = self.config.mel_spec.n_mel_channels
         return voc.init(jax.random.key(1), jnp.zeros((1, D, 16)))

@@ -28,7 +28,11 @@ import numpy as np
 
 from lemas_tts_tpu.cfm.sampler import DURATION_BUCKETS, SamplerSettings, pick_bucket
 from lemas_tts_tpu.config import SamplerConfig
-from lemas_tts_tpu.infer.pipeline import TEXT_BUCKETS, Synthesizer, _pick
+from lemas_tts_tpu.infer.pipeline import (
+    TEXT_BUCKETS,
+    Synthesizer,
+    _pick,  # shared bucket helper (same rounding as the synthesis engine)
+)
 from lemas_tts_tpu.ops.resample import resample
 from lemas_tts_tpu.utils.vocab import pad_text_batch, text_to_ids
 

@@ -13,6 +13,7 @@ prefix (mirroring the reference's per-sample re-seeding, ``cfm.py:430-435``).
 from __future__ import annotations
 
 import re
+import threading
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -169,6 +170,7 @@ class Synthesizer:
             mel_spec_type=mel_cfg.mel_spec_type,
         )
         self._samplers: Dict[SamplerSettings, Any] = {}
+        self._sampler_lock = threading.Lock()
         self.vocoder_kind = type(vocoder_model).__name__.lower() if vocoder_model else ""
         self._decode = (
             None
@@ -180,14 +182,23 @@ class Synthesizer:
 
     # ---------------------------------------------------------------- sampler
     def _sampler(self, settings: SamplerSettings):
+        # Thread-safe program cache: the Synthesizer is shared by serving
+        # threads (the reference's analogous path — a mutable text cache under
+        # a ThreadPool — was an actual data race, SURVEY.md §5; here the only
+        # shared mutable state is this cache, and it's locked).
         fn = self._samplers.get(settings)
         if fn is None:
-            fn = make_sampler(self.dit_model, settings)
-            if self.mesh is not None:
-                from lemas_tts_tpu.parallel.mesh import data_parallel_sampler
+            with self._sampler_lock:
+                fn = self._samplers.get(settings)
+                if fn is None:
+                    fn = make_sampler(self.dit_model, settings)
+                    if self.mesh is not None:
+                        from lemas_tts_tpu.parallel.mesh import (
+                            data_parallel_sampler,
+                        )
 
-                fn = data_parallel_sampler(fn, self.mesh)
-            self._samplers[settings] = fn
+                        fn = data_parallel_sampler(fn, self.mesh)
+                    self._samplers[settings] = fn
         return fn
 
     def _pick_batch(self, b: int) -> int:

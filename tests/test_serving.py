@@ -186,3 +186,32 @@ def test_engine_on_device_mesh():
             assert sr == 8000 and np.isfinite(w).all()
     finally:
         eng.shutdown()
+
+
+def test_synthesizer_thread_safety(synth):
+    """Direct concurrent use of one Synthesizer from many threads (the
+    reference's equivalent path had a ThreadPool text-cache data race,
+    SURVEY §5); here the only shared mutable state is the locked program
+    cache, and concurrent results match serial ones."""
+    cfg = SamplerConfig(nfe_steps=2, cfg_strength=1.0)
+    serial = {
+        s: synth.synthesize_requests([_req(s)], cfg=cfg)[0][0]
+        for s in range(41, 45)
+    }
+    results = {}
+    errs = []
+
+    def worker(s):
+        try:
+            results[s] = synth.synthesize_requests([_req(s)], cfg=cfg)[0][0]
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(41, 45)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    for s in range(41, 45):
+        np.testing.assert_allclose(results[s], serial[s], atol=1e-5)

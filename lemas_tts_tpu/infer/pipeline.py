@@ -206,6 +206,50 @@ class Synthesizer:
         m = self._batch_multiple
         return bp if bp % m == 0 else ((bp + m - 1) // m) * m
 
+    def warmup(
+        self,
+        cfg: SamplerConfig = SamplerConfig(),
+        duration_buckets: Sequence[int] = (1024,),
+        text_buckets: Sequence[int] = (256,),
+        batch_buckets: Sequence[int] = (1,),
+    ) -> int:
+        """Precompile sampler+vocoder programs for the given shape buckets so
+        the first real request pays no compile latency (serving startup hook;
+        first XLA compiles run tens of seconds on TPU). Returns the number of
+        programs compiled."""
+        D = self.mel_cfg.n_mel_channels
+        settings = SamplerSettings(
+            steps=cfg.nfe_steps,
+            cfg_strength=cfg.cfg_strength,
+            sway_sampling_coef=cfg.sway_sampling_coef,
+        )
+        run = self._sampler(settings)
+        n = 0
+        for B in batch_buckets:
+            B = self._pick_batch(B)
+            for N in duration_buckets:
+                for nt in text_buckets:
+                    out = run(
+                        self.dit_params,
+                        jnp.zeros((B, N, D)),
+                        jnp.zeros((B, N), bool).at[:, :8].set(True),
+                        jnp.full((B, nt), -1, jnp.int32),
+                        jnp.full((B,), N, jnp.int32),
+                        jnp.zeros((B, N, D)),
+                        None,
+                    )
+                    jax.block_until_ready(out)
+                    if self._decode is not None:
+                        jax.block_until_ready(
+                            self._decode(
+                                self.vocoder_params,
+                                jnp.zeros((B, D, N)),
+                                jnp.zeros((B, N), bool).at[:, :8].set(True),
+                            )
+                        )
+                    n += 1
+        return n
+
     # ------------------------------------------------------------- mel utils
     def ref_mel(self, wav_24k: np.ndarray) -> np.ndarray:
         """[T] float wave @ target sr → [frames, n_mels] log-mel."""

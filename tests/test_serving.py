@@ -215,3 +215,22 @@ def test_synthesizer_thread_safety(synth):
     assert not errs
     for s in range(41, 45):
         np.testing.assert_allclose(results[s], serial[s], atol=1e-5)
+
+
+def test_warmup_precompiles(synth):
+    """warmup() compiles the bucket programs; a following request with the
+    same shapes reuses them (measurably faster than a cold compile)."""
+    import time
+
+    from lemas_tts_tpu.config import SamplerConfig
+
+    cfg = SamplerConfig(nfe_steps=3, cfg_strength=1.5)
+    n = synth.warmup(cfg, duration_buckets=(256,), text_buckets=(64,),
+                     batch_buckets=(1,))
+    assert n == 1
+    t0 = time.perf_counter()
+    out = synth.synthesize_requests([_req(99, text="abc")], cfg=cfg)
+    warm_time = time.perf_counter() - t0
+    assert np.isfinite(out[0][0]).all()
+    # warm path must be far below CPU compile cost (which is seconds)
+    assert warm_time < 5.0, warm_time

@@ -44,9 +44,11 @@ class ServingEngine:
         max_batch: int = 8,
         max_wait_ms: float = 15.0,
         logger: Optional[JsonLogger] = None,
+        max_queue: int = 256,
     ):
         self.synth = synthesizer
         self.cfg = cfg
+        self.max_queue = max_queue
         self.batcher = Batcher(max_batch=max_batch, max_wait_ms=max_wait_ms)
         self.log = logger or JsonLogger()
         self._pending: Dict[int, TTSRequest] = {}
@@ -68,9 +70,16 @@ class ServingEngine:
         return pick_bucket(min(dur, self.cfg.max_duration), DURATION_BUCKETS)
 
     def submit(self, req: TTSRequest) -> Future:
-        """Enqueue a request; the returned Future yields (wave, sr, mel)."""
+        """Enqueue a request; the returned Future yields (wave, sr, mel).
+        Raises when the engine is shut down or the queue is full
+        (backpressure — callers should retry with backoff or shed load)."""
         bucket = self._estimate_bucket(req)
         with self._lock:
+            if self.batcher.depth() >= self.max_queue:
+                self.log.log("queue_full", depth=self.batcher.depth())
+                raise RuntimeError(
+                    f"engine queue full ({self.max_queue} pending)"
+                )
             rid = self.batcher.submit(bucket=bucket, cost=bucket)
             if rid == 0:
                 raise RuntimeError("engine is shut down")

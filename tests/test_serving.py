@@ -234,3 +234,49 @@ def test_warmup_precompiles(synth):
     assert np.isfinite(out[0][0]).all()
     # warm path must be far below CPU compile cost (which is seconds)
     assert warm_time < 5.0, warm_time
+
+
+def test_engine_backpressure(synth):
+    """A full queue rejects new submits instead of growing unboundedly."""
+    cfg = SamplerConfig(nfe_steps=2, cfg_strength=1.0)
+    eng = ServingEngine(synth, cfg=cfg, max_batch=1, max_wait_ms=1,
+                        max_queue=2)
+    try:
+        subs = []
+        rejected = 0
+        for s in range(61, 70):
+            try:
+                subs.append(eng.submit(TTSRequest(**_req(s))))
+            except RuntimeError as e:
+                assert "queue full" in str(e)
+                rejected += 1
+        assert rejected >= 1  # backpressure engaged
+        for f in subs:  # accepted requests still complete
+            w, sr, _ = f.result(timeout=180)
+            assert np.isfinite(w).all()
+    finally:
+        eng.shutdown()
+
+
+def test_gradio_helpers_without_gradio():
+    """get_tts caches per config key; system_stats reports devices — both run
+    without gradio installed."""
+    from lemas_tts_tpu.scripts.inference_gradio import (
+        _model_cache,
+        get_tts,
+        system_stats,
+    )
+
+    stats = system_stats()
+    assert "jax backend" in stats and "devices" in stats
+
+    import warnings
+    from pathlib import Path
+
+    tiny = str(Path(__file__).parent / "data" / "tiny.yaml")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        a = get_tts(tiny, "", "", device="cpu")
+        b = get_tts(tiny, "", "", device="cpu")
+    assert a is b  # persistent cache (no per-request rebuilds)
+    assert any(k[0] == tiny for k in _model_cache)

@@ -17,6 +17,7 @@ import argparse
 import os
 import sys
 import threading
+from pathlib import Path
 from typing import Dict, Optional, Tuple
 
 _model_cache: Dict[tuple, object] = {}
@@ -39,6 +40,27 @@ def get_tts(model: str, ckpt_file: str, vocab_file: str,
                       use_prosody_encoder=use_prosody_encoder, device=device)
             _model_cache[key] = tts
         return tts
+
+
+def list_checkpoints(root: Optional[str] = None) -> Dict[str, list]:
+    """Discover checkpoint files per project directory under
+    ``pretrained_models/ckpts`` (reference dropdown population,
+    ``inference_gradio.py:122-176``)."""
+    from lemas_tts_tpu.api import find_pretrained_root
+
+    base = Path(root) if root else find_pretrained_root() / "ckpts"
+    out: Dict[str, list] = {}
+    if not base.is_dir():
+        return out
+    for proj in sorted(p for p in base.iterdir() if p.is_dir()):
+        ckpts = sorted(
+            str(f) for f in proj.iterdir()
+            if f.suffix in (".safetensors", ".pt", ".bin")
+            or (f.is_dir() and (f / "_METADATA").exists())  # orbax dirs
+        )
+        if ckpts:
+            out[proj.name] = ckpts
+    return out
 
 
 def system_stats() -> str:

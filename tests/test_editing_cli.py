@@ -168,3 +168,36 @@ def test_tts_cli_end_to_end(tmp_path):
             "--seed", "4",
         ])
     assert rc == 0 and out.exists()
+
+
+def test_g2p_cli(tmp_path):
+    import subprocess
+    import sys
+
+    src = tmp_path / "in.txt"
+    src.write_text("hello world\nabc def\n")
+    out = tmp_path / "out.txt"
+    import os
+
+    r = subprocess.run(
+        [sys.executable, "-m", "lemas_tts_tpu.scripts.g2p",
+         "--input", str(src), "--output", str(out), "--workers", "2"],
+        capture_output=True, text=True,
+        env={**os.environ, "PYTHONPATH": str(Path(__file__).parents[1]),
+             "PYTHONWARNINGS": "ignore", "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr
+    lines = out.read_text().splitlines()
+    assert len(lines) == 2
+    assert all("|" in l for l in lines)  # phone-string format
+
+
+def test_list_checkpoints(tmp_path):
+    from lemas_tts_tpu.scripts.inference_gradio import list_checkpoints
+
+    (tmp_path / "projA").mkdir()
+    (tmp_path / "projA" / "model_last.safetensors").write_text("x")
+    (tmp_path / "projB").mkdir()  # empty → excluded
+    found = list_checkpoints(str(tmp_path))
+    assert list(found) == ["projA"]
+    assert found["projA"][0].endswith("model_last.safetensors")

@@ -127,6 +127,14 @@ class TTS:
         self.seed: Optional[int] = None
 
         self.platform = _select_platform(device)
+        # Pin the model to a device of the selected platform: params are
+        # committed there, so every jitted program follows (this is what makes
+        # device='cpu' and the CLI tpu→cpu fallback actually take effect).
+        try:
+            self.jax_device = jax.devices(self.platform)[0]
+        except RuntimeError:
+            self.jax_device = jax.devices()[0]
+            self.platform = self.jax_device.platform
         if compute_dtype is None:
             compute_dtype = "bfloat16" if self.platform == "tpu" else "float32"
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
@@ -251,6 +259,9 @@ class TTS:
             )
             voc_params = self._load_vocoder_params(voc, voc_path, convert_vocos)
 
+        # commit params to the selected device — jit follows their placement
+        dit_params = jax.device_put(dit_params, self.jax_device)
+        voc_params = jax.device_put(voc_params, self.jax_device)
         self.synth = Synthesizer(
             self.dit,
             dit_params,

@@ -153,7 +153,9 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         return self.epoch(self.seed)
 
-    def epoch(self, seed: int) -> Iterator[Dict[str, Any]]:
+    def _epoch_batches(self, seed: int) -> List[List[int]]:
+        """The single source of truth for batch composition (epoch() and
+        __len__ must agree — train loops size max_steps from len())."""
         budget = (
             self.cfg.batch_size_per_gpu
             if self.cfg.batch_size_type == "frame"
@@ -164,9 +166,12 @@ class DataLoader:
             if self.cfg.batch_size_type == "frame"
             else self.cfg.batch_size_per_gpu
         )
-        batches = frame_budget_batches(
+        return frame_budget_batches(
             self._lengths, budget, max_samples, shuffle_seed=seed
         )
+
+    def epoch(self, seed: int) -> Iterator[Dict[str, Any]]:
+        batches = self._epoch_batches(seed)
 
         q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
         stop = object()
@@ -188,10 +193,4 @@ class DataLoader:
             yield item
 
     def __len__(self) -> int:
-        budget = (
-            self.cfg.batch_size_per_gpu
-            if self.cfg.batch_size_type == "frame"
-            else 10**9
-        )
-        return len(frame_budget_batches(self._lengths, budget,
-                                        self.cfg.max_samples))
+        return len(self._epoch_batches(self.seed))

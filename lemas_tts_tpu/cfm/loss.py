@@ -136,6 +136,11 @@ def cfm_training_loss(
         proj = prosody_mel_cond @ prosody_params["kernel"] + prosody_params["bias"]
         cond = cond + proj[:, :T, :]
 
+    # NOTE: the prosody projection is added BEFORE grad_reverse, exactly as the
+    # reference does (cfm.py:612-624) — which means prosody_to_mel receives
+    # the *reversed* flow-loss gradient through the transformer path (its only
+    # well-behaved training signal is the accent head). Kept for checkpoint /
+    # behavior parity; flip the order if training prosody models from scratch.
     cond_grl = grad_reverse(cond, 1.0)
 
     pred = dit_model.apply(

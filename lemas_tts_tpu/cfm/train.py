@@ -57,14 +57,12 @@ class Trainer:
         use_ctc: bool = True,
         mesh: Optional[Mesh] = None,
         use_prosody: bool = False,
-        mel_dim_out: Optional[int] = None,
     ):
         self.dit_model = dit_model
         self.cfg = cfg
         self.vocab_size = vocab_size
         self.mesh = mesh
         self.use_prosody = use_prosody
-        self.mel_dim = mel_dim_out or mel_dim
         self.aux_models = {"accent": AccentClassifier(hidden_dim=dit_model.arch.dim)}
         if use_ctc:
             self.aux_models["ctc"] = CTCHead(

@@ -160,7 +160,10 @@ def edit_speech(
     text_ids = pad_text_batch([ids], pad_to=nt)
 
     cond = np.zeros((1, N, D), dtype=np.float32)
-    cond[0, :frames] = cond_mel
+    f = min(frames, N)  # utterances beyond the largest bucket are truncated
+    cond[0, :f] = cond_mel[:f]
+    frames = f
+    edit_mask = edit_mask[:N]
     keep = np.zeros((1, N), dtype=bool)
     keep[0, : min(frames, edit_mask.shape[0])] = edit_mask[: min(frames, edit_mask.shape[0])]
 

@@ -274,6 +274,25 @@ class Synthesizer:
         sampling, vocoding, RMS restore, cross-fade stitch. Returns
         (wave, sample_rate, concatenated mel [n_mels, T]).
         """
+        # more chunks than the largest batch bucket → process in groups
+        # (batch-invariant per-chunk noise keeps results identical)
+        max_b = BATCH_BUCKETS[-1]
+        if len(gen_chunks) > max_b:
+            waves: List[np.ndarray] = []
+            slices: List[np.ndarray] = []
+            for i in range(0, len(gen_chunks), max_b):
+                w, sr_out, s = self.synthesize_chunks(
+                    ref_wav, ref_sr, ref_text_units,
+                    list(gen_chunks[i : i + max_b]), cfg, seed,
+                    return_parts=True,
+                )
+                waves += w
+                slices += s
+            if return_parts:
+                return waves, sr_out, slices
+            final = cross_fade_concat(waves, sr_out, cfg.cross_fade_duration)
+            final = np.clip(final, -0.999, 0.999)
+            return final, sr_out, np.concatenate([g.T for g in slices], axis=1)
         sr = self.mel_cfg.target_sample_rate
         hop = self.mel_cfg.hop_length
 
@@ -474,6 +493,13 @@ class Synthesizer:
         groups requests accordingly. Returns [(wave, sr, mel [D, T])] in
         request order.
         """
+        max_b = BATCH_BUCKETS[-1]
+        if len(requests) > max_b:  # overflow → groups (results independent)
+            out: List[Tuple[np.ndarray, int, np.ndarray]] = []
+            for i in range(0, len(requests), max_b):
+                out += self.synthesize_requests(requests[i : i + max_b], cfg)
+            return out
+
         sr = self.mel_cfg.target_sample_rate
         hop = self.mel_cfg.hop_length
         D = self.mel_cfg.n_mel_channels
@@ -565,6 +591,12 @@ class Synthesizer:
         """Decode variable-length [T_i, D] mels as one masked batch call."""
         if self._decode is None:
             raise RuntimeError("no vocoder configured")
+        max_b = BATCH_BUCKETS[-1]
+        if len(mels) > max_b:  # overflow → groups
+            out: List[np.ndarray] = []
+            for i in range(0, len(mels), max_b):
+                out += self.vocode_batch(mels[i : i + max_b])
+            return out
         hop = self.mel_cfg.hop_length
         lens = [m.shape[0] for m in mels]
         N = pick_bucket(max(lens), DURATION_BUCKETS)

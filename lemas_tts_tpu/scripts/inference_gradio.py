@@ -103,9 +103,10 @@ def build_app(args):
         if "uvr" not in uvr_holder:
             uvr_holder["uvr"] = UVR5(model_path=args.uvr5_model or None)
         sr, wav = audio
-        wav = np.asarray(wav, dtype=np.float32)
+        wav = np.asarray(wav)
         if wav.dtype.kind == "i" or np.abs(wav).max() > 2.0:
             wav = wav.astype(np.float32) / 32768.0
+        wav = wav.astype(np.float32)
         if wav.ndim == 2:
             wav = wav.T  # gradio gives [T, ch]
         den, out_sr = uvr_holder["uvr"].denoise(wav, sr)
@@ -136,6 +137,7 @@ def build_app(args):
             ref_path, ref_text or "", gen_text,
             nfe_step=int(nfe_step), cfg_strength=float(cfg_strength),
             sway_sampling_coef=float(sway),
+            use_acc_grl=ref_ratio < 1,  # the GRL shuffle path gates ref_ratio
             ref_ratio=float(ref_ratio) if ref_ratio < 1 else None,
             speed=float(speed), separate_langs=bool(separate_langs),
             seed=seed, show_info=lambda *a, **k: None,

@@ -186,9 +186,11 @@ def main(argv=None) -> int:
                 state, batch, jax.random.key(1000 + step), host_rng
             )
             step = int(state.step)
+            # orbax saves of mesh-sharded arrays must run on ALL processes
+            # (each host contributes its shards); only logging is primary-only
+            mgr.maybe_save(step, state.params, state.ema_params,
+                           opt_state=state.opt_state)
             if is_primary():
-                mgr.maybe_save(step, state.params, state.ema_params,
-                               opt_state=state.opt_state)
                 if step % args.log_every == 0 or step == max_steps:
                     log.log("train_step", step=step,
                             loss=float(metrics["loss"]),
@@ -196,10 +198,10 @@ def main(argv=None) -> int:
                             sps=step / max(time.time() - t0, 1e-9))
         if step >= max_steps:
             break
+    mgr._write(mgr.last_path, {"step": step, "params": state.params,
+                               "ema_params": state.ema_params,
+                               "opt_state": state.opt_state})
     if is_primary():
-        mgr._write(mgr.last_path, {"step": step, "params": state.params,
-                                   "ema_params": state.ema_params,
-                                   "opt_state": state.opt_state})
         log.log("train_done", step=step)
     print(f"[train] done at step {step} → {args.ckpt_dir}")
     return 0

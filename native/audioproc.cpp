@@ -8,6 +8,7 @@
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -58,7 +59,10 @@ API int audioproc_wav_info(const uint8_t* buf, int64_t len, int32_t* channels,
         std::memcpy(&v16, ck + 32, 2); fmt = v16;  // first 2 bytes of SubFormat GUID
       }
     } else if (!std::memcmp(ck, "data", 4)) {
-      data_len = ck_len;
+      // never trust the header: clamp to the bytes actually present
+      // (truncated/malicious files would otherwise cause out-of-bounds reads)
+      const int64_t remaining = len - (pos + 8);
+      data_len = std::min<int64_t>(ck_len, remaining < 0 ? 0 : remaining);
       break;
     }
     pos += 8 + ck_len + (ck_len & 1);

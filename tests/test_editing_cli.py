@@ -201,3 +201,19 @@ def test_list_checkpoints(tmp_path):
     found = list_checkpoints(str(tmp_path))
     assert list(found) == ["projA"]
     assert found["projA"][0].endswith("model_last.safetensors")
+
+
+def test_edit_speech_overlong_utterance(tiny_tts):
+    """Utterances beyond the largest duration bucket are truncated, not
+    crashed (cond/keep-mask clamped to N)."""
+    from lemas_tts_tpu.config import SamplerConfig
+    from lemas_tts_tpu.infer.editing import edit_speech
+
+    sr = 8000
+    wav = (0.1 * np.random.default_rng(0).standard_normal(40 * sr)).astype(np.float32)
+    out, out_sr, _ = edit_speech(
+        tiny_tts.synth, wav, sr, list("abc"), [(1.0, 2.0)],
+        cfg=SamplerConfig(nfe_steps=2, cfg_strength=1.0, max_duration=512),
+        seed=1,
+    )
+    assert out_sr == sr and out.size > 0 and np.isfinite(out).all()

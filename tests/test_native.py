@@ -157,3 +157,19 @@ def test_batcher_timeout_empty(force_python):
     got, _ = b.next_batch(timeout_ms=30)
     assert got == [] and time.monotonic() - t0 < 5.0
     b.close()
+
+
+@needs_native
+def test_wav_decode_truncated_file_is_safe():
+    """Header claims more data than present → decoder clamps instead of
+    reading out of bounds."""
+    sr = 8000
+    x = (0.5 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+    blob = wav_encode(x, sr)
+    for cut in (60, 100, 500):
+        out = wav_decode(blob[:cut])
+        if out is not None:
+            dec, dsr = out
+            assert dsr == sr
+            assert dec.shape[1] <= (cut - 44) // 2 + 1
+            assert np.isfinite(dec).all()

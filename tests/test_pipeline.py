@@ -128,3 +128,25 @@ def test_no_ref_audio_and_ref_ratio_paths(engine):
         assert w.size > 0 and np.isfinite(w).all()
     assert not np.array_equal(w0, w1)
     assert not np.array_equal(w0, w2)
+
+
+def test_more_chunks_than_max_batch_bucket(engine):
+    """>32 chunks previously crashed on mismatched batch dims; now processed
+    in groups with identical per-chunk results (batch invariance)."""
+    sr = 8000
+    ref = (0.2 * np.sin(2 * np.pi * 190 * np.arange(sr) / sr)).astype(np.float32)
+    cfg = SamplerConfig(nfe_steps=2, cfg_strength=1.0, max_duration=512,
+                        cross_fade_duration=0.0)
+    chunks = [list("ab"), list("cd")] * 17  # 34 chunks
+    w, out_sr, mel = engine.synthesize_chunks(ref, sr, list("ab"), chunks,
+                                              cfg, seed=5)
+    assert out_sr == sr and np.isfinite(w).all()
+    # per-chunk waves match a direct 2-chunk run (grouping is invisible)
+    parts, _, _ = engine.synthesize_chunks(ref, sr, list("ab"), chunks, cfg,
+                                           seed=5, return_parts=True)
+    solo, _, _ = engine.synthesize_chunks(ref, sr, list("ab"),
+                                          [list("ab"), list("cd")], cfg,
+                                          seed=5, return_parts=True)
+    assert len(parts) == 34
+    np.testing.assert_allclose(parts[0], solo[0], atol=1e-5)
+    np.testing.assert_allclose(parts[33], solo[1], atol=1e-5)

@@ -280,3 +280,31 @@ def test_gradio_helpers_without_gradio():
         b = get_tts(tiny, "", "", device="cpu")
     assert a is b  # persistent cache (no per-request rebuilds)
     assert any(k[0] == tiny for k in _model_cache)
+
+
+def test_engine_propagates_batch_errors(synth):
+    """A failing device batch must reject the affected futures with the
+    exception (not hang clients) and keep the engine alive for later work."""
+    cfg = SamplerConfig(nfe_steps=2, cfg_strength=1.0)
+    eng = ServingEngine(synth, cfg=cfg, max_batch=4, max_wait_ms=10)
+    original = synth.synthesize_requests
+    calls = {"n": 0}
+
+    def flaky(requests, cfg=cfg):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected device failure")
+        return original(requests, cfg=cfg)
+
+    synth.synthesize_requests = flaky
+    try:
+        bad = eng.submit(TTSRequest(**_req(71)))
+        with pytest.raises(RuntimeError, match="injected"):
+            bad.result(timeout=60)
+        # engine still serves subsequent requests
+        good = eng.submit(TTSRequest(**_req(72)))
+        w, sr, _ = good.result(timeout=120)
+        assert sr == 8000 and np.isfinite(w).all()
+    finally:
+        synth.synthesize_requests = original
+        eng.shutdown()

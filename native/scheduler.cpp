@@ -110,9 +110,10 @@ API int64_t batcher_next_batch(void* h, uint64_t* ids, int64_t* bucket_out,
     if (!has_work()) return 0;  // closed
   }
 
-  // oldest head across buckets
+  // oldest head across buckets; sentinel when another consumer drained all
+  constexpr int64_t kNoBucket = INT64_MIN;
   auto pick = [&]() -> int64_t {
-    int64_t best_bucket = 0, best_ts = INT64_MAX;
+    int64_t best_bucket = kNoBucket, best_ts = INT64_MAX;
     for (auto& kv : b->queues) {
       if (!kv.second.empty() && kv.second.front().enqueue_us < best_ts) {
         best_ts = kv.second.front().enqueue_us;
@@ -123,16 +124,26 @@ API int64_t batcher_next_batch(void* h, uint64_t* ids, int64_t* bucket_out,
   };
 
   int64_t bucket = pick();
-  // allow the chosen bucket to fill up to the flush deadline
+  if (bucket == kNoBucket) return 0;  // raced with another consumer
+  // allow the chosen bucket to fill up to the flush deadline (tracked against
+  // the CURRENT pick's head — an older bucket may appear while waiting)
   if (b->max_wait_us > 0) {
-    const int64_t deadline = b->queues[bucket].front().enqueue_us + b->max_wait_us;
-    while (int64_t(b->queues[bucket].size()) < b->max_batch &&
-           !b->closed.load()) {
+    while (!b->closed.load()) {
+      auto& bq = b->queues[bucket];
+      if (bq.empty()) {
+        bucket = pick();
+        if (bucket == kNoBucket) return 0;
+        continue;
+      }
+      if (int64_t(bq.size()) >= b->max_batch) break;
+      const int64_t deadline = bq.front().enqueue_us + b->max_wait_us;
       const int64_t remain = deadline - now_us();
       if (remain <= 0) break;
       b->cv.wait_for(lk, std::chrono::microseconds(remain));
-      bucket = pick();  // an older bucket may have appeared
+      const int64_t repick = pick();
+      if (repick != kNoBucket) bucket = repick;
     }
+    if (bucket == kNoBucket || b->queues[bucket].empty()) return 0;
   }
 
   auto& q = b->queues[bucket];

@@ -173,3 +173,29 @@ def test_wav_decode_truncated_file_is_safe():
             assert dsr == sr
             assert dec.shape[1] <= (cut - 44) // 2 + 1
             assert np.isfinite(dec).all()
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+def test_batcher_multi_consumer(force_python):
+    """Two consumer threads racing over one queue: every id delivered exactly
+    once, no crash (the native path previously had UB on a drained deque)."""
+    b = Batcher(max_batch=2, max_wait_ms=5, force_python=force_python)
+    got = []
+    lock = threading.Lock()
+
+    def consume():
+        while True:
+            ids, _ = b.next_batch(timeout_ms=100)
+            if not ids:
+                break
+            with lock:
+                got.extend(ids)
+
+    consumers = [threading.Thread(target=consume) for _ in range(2)]
+    for t in consumers:
+        t.start()
+    submitted = [b.submit(bucket=128, cost=1) for _ in range(40)]
+    for t in consumers:
+        t.join()
+    assert sorted(got) == sorted(submitted)
+    b.close()

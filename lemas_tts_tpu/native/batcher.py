@@ -59,15 +59,28 @@ class _PyBatcher:
                     return [], 0
                 self.mu.wait(remain)
             bucket = self._pick()
+            if bucket is None:  # raced with another consumer
+                return [], 0
             if self.max_wait_us > 0:
-                flush_at = self.queues[bucket][0][2] + self.max_wait_us
-                while (len(self.queues[bucket]) < self.max_batch
-                       and not self.closed):
-                    remain = flush_at - time.monotonic_ns() // 1000
+                while not self.closed:
+                    bq = self.queues.get(bucket)
+                    if not bq:  # drained by another consumer → re-pick
+                        bucket = self._pick()
+                        if bucket is None:
+                            return [], 0
+                        continue
+                    if len(bq) >= self.max_batch:
+                        break
+                    # deadline tracks the CURRENT pick's head
+                    remain = bq[0][2] + self.max_wait_us - time.monotonic_ns() // 1000
                     if remain <= 0:
                         break
                     self.mu.wait(remain / 1e6)
-                    bucket = self._pick()
+                    repick = self._pick()
+                    if repick is not None:
+                        bucket = repick
+                if bucket is None or not self.queues.get(bucket):
+                    return [], 0
             q = self.queues[bucket]
             ids, cost = [], 0
             while q and len(ids) < self.max_batch:

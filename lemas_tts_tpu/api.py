@@ -232,6 +232,7 @@ class TTS:
 
         # ---- vocoder (vocos | bigvgan, reference load_vocoder :120-159)
         voc_path = vocoder_local_path
+        self._vocoder_path_is_default = vocoder_local_path is None
         if self.mel_spec_type == "bigvgan":
             from lemas_tts_tpu.models.bigvgan import BigVGAN, BigVGANConfig
 
@@ -304,24 +305,29 @@ class TTS:
             from lemas_tts_tpu.infer.checkpoints import load_state_dict
 
             return {"params": convert_vocos(load_state_dict(str(torch_bin)))}
-        try:  # HF-hub fallback (reference load_vocoder, utils_infer.py:127-131):
-            # always check the local HF cache; hit the network only when
-            # LEMAS_HF_FALLBACK=1 (keeps hermetic/offline runs fast)
-            from huggingface_hub import hf_hub_download
-
-            from lemas_tts_tpu.infer.checkpoints import load_state_dict
-
+        # HF-hub fallback (reference load_vocoder, utils_infer.py:127-131) —
+        # ONLY for the default path; an explicitly-passed-but-missing
+        # vocoder_local_path must fail loudly, not silently substitute stock
+        # weights. Cache checked offline-fast; network gated behind
+        # LEMAS_HF_FALLBACK=1. Conversion errors propagate (a corrupt file is
+        # a real error, not a reason to run on random weights).
+        if getattr(self, "_vocoder_path_is_default", False):
+            f = None
             try:
+                from huggingface_hub import hf_hub_download
+
                 f = hf_hub_download("charactr/vocos-mel-24khz",
                                     "pytorch_model.bin", local_files_only=True)
             except Exception:
-                if os.environ.get("LEMAS_HF_FALLBACK") != "1":
-                    raise
-                f = hf_hub_download("charactr/vocos-mel-24khz",
-                                    "pytorch_model.bin")
-            return {"params": convert_vocos(load_state_dict(f))}
-        except Exception:
-            pass
+                if os.environ.get("LEMAS_HF_FALLBACK") == "1":
+                    from huggingface_hub import hf_hub_download
+
+                    f = hf_hub_download("charactr/vocos-mel-24khz",
+                                        "pytorch_model.bin")
+            if f is not None:
+                from lemas_tts_tpu.infer.checkpoints import load_state_dict
+
+                return {"params": convert_vocos(load_state_dict(f))}
         warnings.warn(f"no vocoder weights at {voc_path} — random init")
         D = self.config.mel_spec.n_mel_channels
         return voc.init(jax.random.key(1), jnp.zeros((1, D, 16)))

@@ -60,9 +60,21 @@ class CheckpointManager:
         return dict(sorted(out.items()))
 
     # ------------------------------------------------------------------ save
+    @staticmethod
+    def _sync(tag: str) -> None:
+        """Barrier across hosts (no-op single-process)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
+
     def _write(self, path: Path, payload: Any) -> None:
-        if path.exists():
+        # multi-host: only process 0 clears the old directory, everyone then
+        # participates in the collective orbax save (sharded arrays need each
+        # host's shards) — the barrier keeps the rmtree from racing the save.
+        if jax.process_index() == 0 and path.exists():
             shutil.rmtree(path)
+        self._sync(f"ckpt_clear:{path.name}")
         self._ckptr.save(path.resolve(), payload, force=True)
         self._ckptr.wait_until_finished()
 
@@ -86,9 +98,11 @@ class CheckpointManager:
         keep = self.cfg.keep_last_n_checkpoints
         if keep is None or keep < 0:
             return
-        snaps = self.snapshots()
-        for step in list(snaps)[: max(0, len(snaps) - keep)]:
-            shutil.rmtree(snaps[step])
+        if jax.process_index() == 0:  # one host deletes; others wait
+            snaps = self.snapshots()
+            for step in list(snaps)[: max(0, len(snaps) - keep)]:
+                shutil.rmtree(snaps[step])
+        self._sync("ckpt_prune")
 
     # --------------------------------------------------------------- restore
     def restore(self, step: Optional[int] = None, target: Any = None) -> Any:

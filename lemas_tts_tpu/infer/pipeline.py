@@ -240,13 +240,17 @@ class Synthesizer:
                     )
                     jax.block_until_ready(out)
                     if self._decode is not None:
-                        jax.block_until_ready(
-                            self._decode(
-                                self.vocoder_params,
-                                jnp.zeros((B, D, N)),
-                                jnp.zeros((B, N), bool).at[:, :8].set(True),
+                        # real requests vocode at pick_bucket(duration −
+                        # ref_len), which is usually SMALLER than the sampler
+                        # bucket — precompile every decode bucket up to N
+                        for dn in [b for b in DURATION_BUCKETS if b <= N]:
+                            jax.block_until_ready(
+                                self._decode(
+                                    self.vocoder_params,
+                                    jnp.zeros((B, D, dn)),
+                                    jnp.zeros((B, dn), bool).at[:, :8].set(True),
+                                )
                             )
-                        )
                     n += 1
         return n
 
@@ -348,6 +352,10 @@ class Synthesizer:
             )
         dur_arr = np.asarray(durations + [ref_frames + 1] * (Bp - B), dtype=np.int32)
 
+        # ref audio longer than the largest bucket → truncate its mel (same
+        # clamp as synthesize_requests / edit_speech)
+        ref_frames = min(ref_frames, N)
+        cond_mel = cond_mel[:ref_frames]
         cond = np.zeros((Bp, N, self.mel_cfg.n_mel_channels), dtype=np.float32)
         cond[:, :ref_frames] = cond_mel[None]
         cond_mask = np.zeros((Bp, N), dtype=bool)
@@ -436,7 +444,11 @@ class Synthesizer:
             )
 
         # --- vocode generated regions, batched with frame masks
-        gen_slices = [out[i, ref_audio_len : durations[i], :] for i in range(B)]
+        # degenerate truncation guard: keep at least one generated frame
+        gen_slices = [
+            out[i, min(ref_audio_len, durations[i] - 1) : durations[i], :]
+            for i in range(B)
+        ]
         waves = self.vocode_batch(gen_slices)
         if rms < cfg.target_rms and rms > 0:
             waves = [w * (rms / cfg.target_rms) for w in waves]

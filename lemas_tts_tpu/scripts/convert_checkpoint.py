@@ -42,17 +42,22 @@ def main(argv=None) -> int:
         save_native,
     )
 
-    if args.ckpt:
+    for name in ("ckpt", "vocos", "bigvgan", "uvr5"):
+        val = getattr(args, name)
+        if val is not None and not val.strip():
+            print(f"--{name} is empty", file=sys.stderr)
+            return 2
+    if args.ckpt is not None:
         params = load_cfm_checkpoint(args.ckpt, use_ema=args.use_ema)
         kind = "cfm"
-    elif args.vocos:
+    elif args.vocos is not None:
         from lemas_tts_tpu.models.vocos import convert_vocos
 
         p = Path(args.vocos)
         f = p / "pytorch_model.bin" if p.is_dir() else p
         params = {"params": convert_vocos(load_state_dict(str(f)))}
         kind = "vocos"
-    elif args.bigvgan:
+    elif args.bigvgan is not None:
         from lemas_tts_tpu.models.bigvgan import convert_bigvgan
 
         sd = load_state_dict(args.bigvgan)

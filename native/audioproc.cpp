@@ -48,15 +48,17 @@ API int audioproc_wav_info(const uint8_t* buf, int64_t len, int32_t* channels,
     const uint8_t* ck = buf + pos;
     uint32_t ck_len;
     std::memcpy(&ck_len, ck + 4, 4);
-    if (!std::memcmp(ck, "fmt ", 4) && ck_len >= 16) {
+    // never read past the buffer: each field access below is bounds-checked
+    // against the bytes actually present, not the header's claimed length
+    if (!std::memcmp(ck, "fmt ", 4) && ck_len >= 16 && pos + 24 <= len) {
       uint16_t v16;
       std::memcpy(&v16, ck + 8, 2); fmt = v16;
       std::memcpy(&v16, ck + 10, 2); chans = v16;
       uint32_t v32;
       std::memcpy(&v32, ck + 12, 4); rate = int(v32);
       std::memcpy(&v16, ck + 22, 2); bits = v16;
-      if (fmt == 0xFFFE && ck_len >= 40) {  // WAVE_FORMAT_EXTENSIBLE
-        std::memcpy(&v16, ck + 32, 2); fmt = v16;  // first 2 bytes of SubFormat GUID
+      if (fmt == 0xFFFE && ck_len >= 40 && pos + 34 <= len) {  // EXTENSIBLE
+        std::memcpy(&v16, ck + 32, 2); fmt = v16;  // SubFormat GUID head
       }
     } else if (!std::memcmp(ck, "data", 4)) {
       // never trust the header: clamp to the bytes actually present
@@ -92,11 +94,11 @@ API int audioproc_wav_decode(const uint8_t* buf, int64_t len, float* out) {
     const uint8_t* ck = buf + pos;
     uint32_t ck_len;
     std::memcpy(&ck_len, ck + 4, 4);
-    if (!std::memcmp(ck, "fmt ", 4)) {
+    if (!std::memcmp(ck, "fmt ", 4) && ck_len >= 16 && pos + 24 <= len) {
       uint16_t v16;
       std::memcpy(&v16, ck + 8, 2); fmt = v16;
       std::memcpy(&v16, ck + 22, 2); bits = v16;
-      if (fmt == 0xFFFE && ck_len >= 40) {
+      if (fmt == 0xFFFE && ck_len >= 40 && pos + 34 <= len) {
         std::memcpy(&v16, ck + 32, 2);
         fmt = v16;
       }

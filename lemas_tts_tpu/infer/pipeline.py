@@ -218,6 +218,11 @@ class Synthesizer:
         first XLA compiles run tens of seconds on TPU). Returns the number of
         programs compiled."""
         D = self.mel_cfg.n_mel_channels
+        # NOTE: the ref-mel/resample programs compile per *ref sample count*
+        # (exact-length STFT keeps mel parity with the reference's reflect
+        # padding), so they cannot be usefully precompiled here; a deployment
+        # that needs zero cold-start should pin its reference audio to fixed
+        # lengths at the preprocessing boundary.
         settings = SamplerSettings(
             steps=cfg.nfe_steps,
             cfg_strength=cfg.cfg_strength,

@@ -50,14 +50,28 @@ class MDXSeparator:
         compensate: float = 1.035,
         batch_size: int = 8,
         adjust: float = 1.0,
+        mesh: Optional[Any] = None,
     ):
         self.cfg = cfg
         self.model = ConvTDFNet(cfg=cfg)
         self.params = params
         self.is_denoise = is_denoise
         self.compensate = compensate
-        self.batch_size = batch_size
         self.adjust = adjust
+
+        # Data-parallel chunk batches: shard the batch axis over the mesh's
+        # 'data' axis (GSPMD; replaces the reference's per-GPU ProcessPool,
+        # ``multiprocess_cuda_infer.py:404-433``). Batch is rounded up so every
+        # device gets equal rows; padded rows are trimmed after the istft.
+        self._in_sharding = None
+        if mesh is not None and not mesh.empty:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            dp = mesh.shape.get("data", 1)
+            if dp > 1:
+                batch_size = -(-batch_size // dp) * dp
+                self._in_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        self.batch_size = batch_size
 
         self.trim = cfg.n_fft // 2
         self.chunk_size = cfg.hop * (cfg.dim_t - 1)
@@ -129,7 +143,10 @@ class MDXSeparator:
 
     def run_model(self, mix: jax.Array, is_match_mix: bool = False) -> np.ndarray:
         """[B, 2, chunk] → [2, B*gen] (reference ``run_model``, ``:259-271``)."""
-        spek = self.pack_stft(jnp.asarray(mix)) * self.adjust
+        mix = jnp.asarray(mix)
+        if self._in_sharding is not None and mix.shape[0] % self._in_sharding.mesh.shape["data"] == 0:
+            mix = jax.device_put(mix, self._in_sharding)
+        spek = self.pack_stft(mix) * self.adjust
         # zero the 3 lowest-frequency bins (:262)
         spek = spek.at[:, :, :3, :].set(0.0)
         spec_pred = spek if is_match_mix else self._run(self.params, spek)
@@ -164,10 +181,17 @@ class MDXSeparator:
             mix_waves, pad = self.initialize_mix(mix[sl])
             parts = []
             for i in range(0, mix_waves.shape[0], self.batch_size):
-                parts.append(
-                    self.run_model(mix_waves[i : i + self.batch_size],
-                                   is_match_mix=is_match_mix)
-                )
+                chunk = mix_waves[i : i + self.batch_size]
+                n_real = chunk.shape[0]
+                if n_real < self.batch_size:
+                    # pad ragged tail to the fixed batch shape: one compiled
+                    # program for the whole run, and even device sharding
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((self.batch_size - n_real, 2,
+                                          self.chunk_size), np.float32)]
+                    )
+                out_b = self.run_model(chunk, is_match_mix=is_match_mix)
+                parts.append(out_b[:, : n_real * self.gen_size])
             tar = np.concatenate(parts, axis=-1)[:, :-pad]
             start = 0 if sl == 0 else margin
             end = None if sl == keys[-1] or margin == 0 else -margin
@@ -211,19 +235,21 @@ class UVR5:
 
     def __init__(self, model_path: Optional[str] = None,
                  is_denoise: bool = True, batch_size: int = 8,
-                 separator: Optional[MDXSeparator] = None):
+                 separator: Optional[MDXSeparator] = None,
+                 mesh: Optional[Any] = None):
         if separator is not None:
             self.sep = separator
         elif model_path and Path(model_path).is_file():
             self.sep = MDXSeparator.from_file(
-                model_path, is_denoise=is_denoise, batch_size=batch_size
+                model_path, is_denoise=is_denoise, batch_size=batch_size,
+                mesh=mesh,
             )
         else:
             warnings.warn(
                 f"no UVR5 weights at {model_path!r} — random init (testing only)"
             )
             self.sep = MDXSeparator.random_init(
-                is_denoise=is_denoise, batch_size=batch_size
+                is_denoise=is_denoise, batch_size=batch_size, mesh=mesh
             )
 
     def denoise(self, audio: np.ndarray, sr: int) -> Tuple[np.ndarray, int]:

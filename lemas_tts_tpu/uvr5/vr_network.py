@@ -246,6 +246,8 @@ class VRSeparator:
         x = np.asarray(audio, dtype=np.float32)
         if x.ndim == 1:
             x = np.stack([x, x])
+        elif x.shape[0] == 1:
+            x = np.concatenate([x, x], axis=0)
         spec = stft(jnp.asarray(x), self.n_fft, self.hop,
                     window=hann_window(self.n_fft))  # [2, bins, T]
         mag = jnp.abs(spec)[None]  # [1, 2, bins, T]

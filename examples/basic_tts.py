@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main() -> int:
     p = argparse.ArgumentParser()
+    p.add_argument("--model", default="multilingual", help="config name or yaml path")
     p.add_argument("--ckpt", default="", help="CFM checkpoint (torch or orbax)")
     p.add_argument("--vocab", default="", help="vocab.txt")
     p.add_argument("--ref", default="", help="reference wav (default: synthetic tone)")
@@ -45,7 +46,7 @@ def main() -> int:
         write_wav(ref, wav, sr)
         print(f"[example] no --ref given; wrote a synthetic reference to {ref}")
 
-    tts = lemas_tts_tpu.TTS(ckpt_file=args.ckpt, vocab_file=args.vocab)
+    tts = lemas_tts_tpu.TTS(model=args.model, ckpt_file=args.ckpt, vocab_file=args.vocab)
     wave, out_sr, _ = tts.infer(
         ref_file=ref,
         ref_text=args.ref_text,

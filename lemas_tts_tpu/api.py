@@ -62,7 +62,7 @@ def find_pretrained_root() -> Path:
     return find_repo_root() / "pretrained_models"
 
 
-def resolve_ckpt(path: str) -> str:
+def resolve_ckpt(path: str, hf_cache_dir: Optional[str] = None) -> str:
     """Resolve ``hf://repo/file`` checkpoint URIs via the HF hub cache
     (reference local→HF fallback, ``tts_multilingual.py:89-117``);
     plain paths pass through."""
@@ -73,7 +73,8 @@ def resolve_ckpt(path: str) -> str:
     rest = path[len("hf://"):]
     repo_id, filename = rest.split("/", 2)[0] + "/" + rest.split("/", 2)[1], \
         rest.split("/", 2)[2]
-    return hf_hub_download(repo_id=repo_id, filename=filename)
+    return hf_hub_download(repo_id=repo_id, filename=filename,
+                           cache_dir=hf_cache_dir)
 
 
 def _select_platform(device: Optional[str]) -> str:
@@ -105,6 +106,7 @@ class TTS:
         prosody_cfg_path: str = "",
         prosody_ckpt_path: str = "",
         device: Optional[str] = None,
+        hf_cache_dir: Optional[str] = None,
         frontend: Optional[str] = "phone",
         compute_dtype: Optional[str] = None,
         attn_backend: Optional[str] = None,
@@ -200,7 +202,8 @@ class TTS:
             )
         else:
             raise ValueError(f"unknown backbone: {backbone}")
-        ckpt_file = resolve_ckpt(ckpt_file) if ckpt_file else ckpt_file
+        self.hf_cache_dir = hf_cache_dir
+        ckpt_file = resolve_ckpt(ckpt_file, hf_cache_dir) if ckpt_file else ckpt_file
         if ckpt_file and os.path.isdir(ckpt_file):
             cfm_params = load_native(ckpt_file)
         elif ckpt_file:
@@ -317,13 +320,15 @@ class TTS:
                 from huggingface_hub import hf_hub_download
 
                 f = hf_hub_download("charactr/vocos-mel-24khz",
-                                    "pytorch_model.bin", local_files_only=True)
+                                    "pytorch_model.bin", local_files_only=True,
+                                    cache_dir=getattr(self, "hf_cache_dir", None))
             except Exception:
                 if os.environ.get("LEMAS_HF_FALLBACK") == "1":
                     from huggingface_hub import hf_hub_download
 
                     f = hf_hub_download("charactr/vocos-mel-24khz",
-                                        "pytorch_model.bin")
+                                        "pytorch_model.bin",
+                                        cache_dir=getattr(self, "hf_cache_dir", None))
             if f is not None:
                 from lemas_tts_tpu.infer.checkpoints import load_state_dict
 

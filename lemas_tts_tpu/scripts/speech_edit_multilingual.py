@@ -113,7 +113,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frontend", type=str, default="phone",
                    choices=["phone", "char", "none"])
     p.add_argument("--use_ema", action="store_true")
-    p.add_argument("--enable_prosody_encoder", action="store_true")
+    # reference spells this flag --use_prosody_encoder here but
+    # --enable_prosody_encoder in the TTS CLI; accept both
+    p.add_argument("--enable_prosody_encoder", "--use_prosody_encoder",
+                   dest="enable_prosody_encoder", action="store_true")
     p.add_argument("--prosody_cfg_path", type=str, default="")
     p.add_argument("--prosody_ckpt_path", type=str, default="")
     p.add_argument("--vocoder_local_path", type=str, default=None)
@@ -123,6 +126,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sway_sampling_coef", type=float, default=3.0)
     p.add_argument("--ref_ratio", type=float, default=1.0)
     p.add_argument("--no_ref_audio", action="store_true")
+    # unused but kept for invocation compatibility (reference :367)
+    p.add_argument("--speed", type=float, default=1.0)
     p.add_argument("--use_acc_grl", action="store_true")
     p.add_argument("--seed", type=int, default=-1)
     p.add_argument("--device", type=str, default=None)

@@ -40,6 +40,9 @@ def main() -> int:
 
     tts = lemas_tts_tpu.TTS(model=args.model, ckpt_file=args.ckpt, vocab_file=args.vocab)
     cfg = SamplerConfig(nfe_steps=args.nfe)
+    print("[serving] warming shape buckets (first compiles happen here, "
+          "not in request latency)...")
+    tts.synth.warmup(cfg)
     eng = ServingEngine(tts.synth, cfg=cfg, max_batch=args.max_batch)
 
     texts = [

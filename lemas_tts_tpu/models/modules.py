@@ -83,8 +83,9 @@ class GroupedConvTaps(nn.Module):
         w_tap = jnp.transpose(
             kernel.reshape(K, cin, G, cout), (0, 2, 1, 3)
         ).astype(self.compute_dtype)  # [K, G, cin, cout]
+        # SAME padding split must match XLA/flax: floor((K-1)/2) low, ceil high
         xpad = jnp.pad(x.astype(self.compute_dtype),
-                       ((0, 0), (K // 2, K - 1 - K // 2), (0, 0)))
+                       ((0, 0), ((K - 1) // 2, K // 2), (0, 0)))
         xg = xpad.reshape(B, N + K - 1, G, cin)
         out = jnp.zeros((B, N, G, cout), jnp.float32)
         for t in range(K):

@@ -19,25 +19,30 @@ import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 
-def collect_files(audio_path: str, result_path: str) -> List[str]:
-    """Walk ``audio_path`` for .wav files, skipping those whose vocal stem
-    already exists in ``result_path`` (resume semantics of reference
-    ``walkFile``, ``multiprocess_cuda_infer.py:364-377``)."""
+def collect_files(audio_path: str, result_path: str) -> List[Tuple[str, str]]:
+    """Walk ``audio_path`` for .wav files → (input path, output stem) pairs,
+    skipping inputs whose vocal stem already exists in ``result_path``
+    (resume semantics of reference ``walkFile``,
+    ``multiprocess_cuda_infer.py:364-377``). Output stems mirror the input
+    directory structure so same-named files in different subdirs can't
+    clobber each other (the reference's flat naming could)."""
     p = Path(audio_path)
     if p.is_file():
-        return [str(p)]
+        return [(str(p), p.stem)]
     out = []
     for root, _dirs, files in os.walk(str(p)):
         for f in sorted(files):
             if f.lower().endswith(".wav"):
-                done = Path(result_path) / f"{Path(f).stem}_vocal.wav"
-                if not done.exists():
-                    out.append(os.path.join(root, f))
+                wav_path = Path(root) / f
+                rel = wav_path.relative_to(p).with_suffix("")
+                stem = rel.as_posix()
+                if not (Path(result_path) / f"{stem}_vocal.wav").exists():
+                    out.append((str(wav_path), stem))
     return out
 
 
@@ -51,54 +56,50 @@ def build_separator(args: argparse.Namespace):
     if args.process_method == "VR Arc":
         from lemas_tts_tpu.uvr5.vr_network import VRSeparator
 
+        if args.model_path:
+            return VRSeparator.from_file(args.model_path)
         return VRSeparator()
-    from lemas_tts_tpu.uvr5.inference import MDXSeparator
+    from lemas_tts_tpu.uvr5.inference import UVR5
 
-    if args.model_path and Path(args.model_path).is_file():
-        return MDXSeparator.from_file(
-            args.model_path, is_denoise=args.is_denoise,
-            batch_size=args.batch_size, mesh=mesh,
-        )
-    import warnings
-
-    warnings.warn(
-        f"no UVR5 weights at {args.model_path!r} — random init (testing only)"
-    )
-    return MDXSeparator.random_init(
-        is_denoise=args.is_denoise, batch_size=args.batch_size, mesh=mesh
-    )
+    # the facade owns the from_file / random-init-with-warning policy
+    return UVR5(args.model_path or None, is_denoise=args.is_denoise,
+                batch_size=args.batch_size, mesh=mesh).sep
 
 
 def process_files(
     sep,
-    files: Sequence[str],
+    files: Sequence,
     result_path: str,
     *,
     save_background: bool = False,
     io_workers: int = 2,
     aggressiveness: float = 0.0,
 ) -> List[str]:
-    """Run separation over ``files``, pipelining host IO with device compute:
-    decode of file i+1 and encode of file i-1 overlap the demix of file i.
-    Returns the written vocal-stem paths."""
+    """Run separation over ``files`` (paths, or (path, output-stem) pairs from
+    :func:`collect_files`), pipelining host IO with device compute: decode of
+    file i+1 and encode of file i-1 overlap the demix of file i. Returns the
+    written vocal-stem paths."""
     from lemas_tts_tpu.utils.audio_io import read_audio, write_wav
+    from lemas_tts_tpu.uvr5.vr_network import VRSeparator
 
+    items = [(f, Path(f).stem) if isinstance(f, str) else tuple(f)
+             for f in files]
     os.makedirs(result_path, exist_ok=True)
     written: List[str] = []
     total_audio = 0.0
     t_start = time.time()
 
     with ThreadPoolExecutor(max_workers=max(1, io_workers)) as pool:
-        pending_writes = []
-        decode_futs = [pool.submit(read_audio, f) for f in files[:2]]
-        for i, path in enumerate(files):
+        pending_writes: List = []
+        max_pending = 2 * max(1, io_workers)
+        decode_futs = [pool.submit(read_audio, f) for f, _ in items[:2]]
+        for i, (path, stem) in enumerate(items):
             wav, sr = decode_futs[i].result()
-            if i + 2 < len(files):
-                decode_futs.append(pool.submit(read_audio, files[i + 2]))
+            if i + 2 < len(items):
+                decode_futs.append(pool.submit(read_audio, items[i + 2][0]))
 
-            stem = Path(path).stem
             vocal_path = os.path.join(result_path, f"{stem}_vocal.wav")
-            if hasattr(sep, "separate") and type(sep).__name__ == "VRSeparator":
+            if isinstance(sep, VRSeparator):
                 vocal = sep.separate(wav, sr, aggressiveness=aggressiveness)
                 bg, out_sr = None, sr
             else:
@@ -115,6 +116,10 @@ def process_files(
                 pending_writes.append(
                     pool.submit(write_wav, bg_path, np.asarray(bg), out_sr)
                 )
+            # bound the encode backlog so pending waveforms don't pile up in
+            # host memory when the device outruns the IO workers
+            while len(pending_writes) > max_pending:
+                pending_writes.pop(0).result()
         for fut in pending_writes:
             fut.result()
 

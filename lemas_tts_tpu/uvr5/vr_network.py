@@ -218,9 +218,128 @@ class CascadedNet(nn.Module):
         )
 
 
+# --------------------------------------------------------------- conversion
+def _cv(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d kernel [O, I, kh, kw] → flax [kh, kw, I, O]."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _conv_bn(sd, prefix: str):
+    """Reference ``Conv2DBNActiv`` (``layers_new.py:7-24``: Sequential of
+    Conv2d/BatchNorm2d/activ) → our ``ConvBNActiv`` params + batch stats."""
+    p = {"conv": {"kernel": _cv(sd[f"{prefix}.conv.0.weight"])},
+         "bn": {"scale": sd[f"{prefix}.conv.1.weight"],
+                "bias": sd[f"{prefix}.conv.1.bias"]}}
+    s = {"bn": {"mean": sd[f"{prefix}.conv.1.running_mean"],
+                "var": sd[f"{prefix}.conv.1.running_var"]}}
+    return p, s
+
+
+def _lstm_cell(sd, prefix: str, reverse: bool):
+    """torch bidirectional ``nn.LSTM`` direction → flax OptimizedLSTMCell.
+    torch gate order in the stacked [4H, ·] weights is i, f, g, o; flax keeps
+    per-gate Dense modules (input side bias-free, so torch's two biases sum
+    into the hidden side)."""
+    sfx = "_reverse" if reverse else ""
+    w_ih = sd[f"{prefix}.weight_ih_l0{sfx}"]
+    w_hh = sd[f"{prefix}.weight_hh_l0{sfx}"]
+    b = sd[f"{prefix}.bias_ih_l0{sfx}"] + sd[f"{prefix}.bias_hh_l0{sfx}"]
+    H = w_hh.shape[1]
+    out = {}
+    for gi, g in enumerate("ifgo"):
+        sl = slice(gi * H, (gi + 1) * H)
+        out[f"i{g}"] = {"kernel": w_ih[sl].T}
+        out[f"h{g}"] = {"kernel": w_hh[sl].T, "bias": b[sl]}
+    return out
+
+
+def _lstm_module(sd, prefix: str):
+    """Reference ``LSTMModule`` (``layers_new.py:102-126``)."""
+    p, s = {}, {}
+    p["conv"], s["conv"] = _conv_bn(sd, f"{prefix}.conv")
+    p["OptimizedLSTMCell_0"] = _lstm_cell(sd, f"{prefix}.lstm", reverse=False)
+    p["OptimizedLSTMCell_1"] = _lstm_cell(sd, f"{prefix}.lstm", reverse=True)
+    p["dense"] = {"kernel": sd[f"{prefix}.dense.0.weight"].T,
+                  "bias": sd[f"{prefix}.dense.0.bias"]}
+    p["dense_bn"] = {"scale": sd[f"{prefix}.dense.1.weight"],
+                     "bias": sd[f"{prefix}.dense.1.bias"]}
+    s["dense_bn"] = {"mean": sd[f"{prefix}.dense.1.running_mean"],
+                     "var": sd[f"{prefix}.dense.1.running_var"]}
+    return p, s
+
+
+def _aspp(sd, prefix: str):
+    """Reference ``ASPPModule`` (``layers_new.py:64-98``); torch ``conv1`` is
+    Sequential(AdaptiveAvgPool2d, Conv2DBNActiv) → its ConvBNActiv is ``.1``;
+    torch conv3/4/5 map to our plain conv+bn pairs."""
+    p, s = {}, {}
+    p["conv1"], s["conv1"] = _conv_bn(sd, f"{prefix}.conv1.1")
+    p["conv2"], s["conv2"] = _conv_bn(sd, f"{prefix}.conv2")
+    for i in (3, 4, 5):
+        p[f"conv{i}_conv"] = {"kernel": _cv(sd[f"{prefix}.conv{i}.conv.0.weight"])}
+        p[f"conv{i}_bn"] = {"scale": sd[f"{prefix}.conv{i}.conv.1.weight"],
+                            "bias": sd[f"{prefix}.conv{i}.conv.1.bias"]}
+        s[f"conv{i}_bn"] = {"mean": sd[f"{prefix}.conv{i}.conv.1.running_mean"],
+                            "var": sd[f"{prefix}.conv{i}.conv.1.running_var"]}
+    p["bottleneck"], s["bottleneck"] = _conv_bn(sd, f"{prefix}.bottleneck")
+    return p, s
+
+
+def _basenet(sd, prefix: str):
+    """Reference ``BaseNet`` (``nets_new.py:6-39``)."""
+    p, s = {}, {}
+    p["enc1"], s["enc1"] = _conv_bn(sd, f"{prefix}.enc1")
+    for enc in ("enc2", "enc3", "enc4", "enc5"):
+        pe, se = {}, {}
+        for c in ("conv1", "conv2"):
+            pe[c], se[c] = _conv_bn(sd, f"{prefix}.{enc}.{c}")
+        p[enc], s[enc] = pe, se
+    p["aspp"], s["aspp"] = _aspp(sd, f"{prefix}.aspp")
+    for dec in ("dec4", "dec3", "dec2", "dec1"):
+        pd, sd_ = {}, {}
+        pd["conv1"], sd_["conv1"] = _conv_bn(sd, f"{prefix}.{dec}.conv1")
+        p[dec], s[dec] = pd, sd_
+    p["lstm_dec2"], s["lstm_dec2"] = _lstm_module(sd, f"{prefix}.lstm_dec2")
+    return p, s
+
+
+def convert_cascadednet(sd):
+    """Reference VR-arch torch state dict → (flax variables, n_fft, nout,
+    nout_lstm). Hyper-parameters are inferred from weight shapes (covers the
+    ``nn_arch_size == 218409 → nout 64`` quirk, ``nets_new.py:50``)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    nout = sd["out.weight"].shape[1]
+    nout_lstm = sd["stg1_low_band_net.0.lstm_dec2.lstm.weight_ih_l0"].shape[0] // 2
+    n_fft = 8 * sd["stg1_low_band_net.0.lstm_dec2.dense.0.weight"].shape[0]
+    p, s = {}, {}
+    p["stg1_low"], s["stg1_low"] = _basenet(sd, "stg1_low_band_net.0")
+    p["stg1_low_out"], s["stg1_low_out"] = _conv_bn(sd, "stg1_low_band_net.1")
+    p["stg1_high"], s["stg1_high"] = _basenet(sd, "stg1_high_band_net")
+    p["stg2_low"], s["stg2_low"] = _basenet(sd, "stg2_low_band_net.0")
+    p["stg2_low_out"], s["stg2_low_out"] = _conv_bn(sd, "stg2_low_band_net.1")
+    p["stg2_high"], s["stg2_high"] = _basenet(sd, "stg2_high_band_net")
+    p["stg3_full"], s["stg3_full"] = _basenet(sd, "stg3_full_band_net")
+    p["out"] = {"kernel": _cv(sd["out.weight"])}  # aux_out is training-only
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, {"params": p, "batch_stats": s}
+    )
+    return variables, n_fft, nout, nout_lstm
+
+
 class VRSeparator:
     """Mask-based VR separation: |STFT| → CascadedNet mask → masked iSTFT.
     Minimal inference path of the reference VR arc (``vr_network``)."""
+
+    @classmethod
+    def from_file(cls, path: str, hop: int = 1024) -> "VRSeparator":
+        """Load reference VR-arch torch weights (``.pth``/``.ckpt``/
+        ``.safetensors``) and convert (hyper-params inferred from shapes)."""
+        from lemas_tts_tpu.infer.checkpoints import load_state_dict
+
+        sd = load_state_dict(str(path))
+        variables, n_fft, nout, nout_lstm = convert_cascadednet(sd)
+        return cls(n_fft=n_fft, hop=hop, nout=nout, nout_lstm=nout_lstm,
+                   params=variables)
 
     def __init__(self, n_fft: int = 2048, hop: int = 1024, nout: int = 32,
                  nout_lstm: int = 128, params=None):

@@ -34,14 +34,29 @@ def test_collect_files_resume(tmp_path):
     src.mkdir()
     paths = _write_inputs(src)
     files = denoise_cli.collect_files(str(src), str(out))
-    assert sorted(files) == sorted(paths)
+    assert sorted(p for p, _ in files) == sorted(paths)
     # finished stems are skipped on re-run (reference walkFile :372)
     out.mkdir()
     (out / "clip1_vocal.wav").write_bytes(b"")
     files = denoise_cli.collect_files(str(src), str(out))
-    assert all("clip1" not in f for f in files) and len(files) == 2
+    assert all("clip1" not in p for p, _ in files) and len(files) == 2
     # single-file input
-    assert denoise_cli.collect_files(paths[0], str(out)) == [paths[0]]
+    assert denoise_cli.collect_files(paths[0], str(out)) == \
+        [(paths[0], "clip0")]
+
+
+def test_collect_files_subdir_no_collision(tmp_path):
+    """Same basename in two subdirs must not clobber (output stems mirror
+    the input tree; the reference's flat naming could collide)."""
+    src, out = tmp_path / "in", tmp_path / "out"
+    (src / "a").mkdir(parents=True)
+    (src / "b").mkdir()
+    for sub in ("a", "b"):
+        write_wav(str(src / sub / "track.wav"),
+                  np.zeros(1000, np.float32), 44100)
+    files = denoise_cli.collect_files(str(src), str(out))
+    stems = sorted(stem for _, stem in files)
+    assert stems == ["a/track", "b/track"]
 
 
 def test_process_files_writes_stems(tmp_path, tiny_sep):

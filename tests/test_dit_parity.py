@@ -123,18 +123,19 @@ def test_grouped_conv_taps_matches_nn_conv():
 
     from lemas_tts_tpu.models.modules import GroupedConvTaps
 
-    D, K, G = 64, 7, 4
-    ref = nn.Conv(D, (K,), padding="SAME", feature_group_count=G)
-    tap = GroupedConvTaps(D, K, G)
-    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 33, D)),
-                    jnp.float32)
-    p_ref = ref.init(jax.random.key(1), x)
-    # identical tree: taps init must be loadable into nn.Conv and vice versa
-    assert jax.tree_util.tree_structure(
-        tap.init(jax.random.key(1), x)
-    ) == jax.tree_util.tree_structure(p_ref)
-    assert p_ref["params"]["kernel"].shape == (K, D // G, D)
-    y_ref = ref.apply(p_ref, x)
-    y_tap = tap.apply(p_ref, x)
-    np.testing.assert_allclose(np.asarray(y_tap), np.asarray(y_ref),
-                               rtol=2e-5, atol=2e-6)
+    D, G = 64, 4
+    for K in (7, 4):  # odd and even kernels: SAME pad split must match XLA
+        ref = nn.Conv(D, (K,), padding="SAME", feature_group_count=G)
+        tap = GroupedConvTaps(D, K, G)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 33, D)),
+                        jnp.float32)
+        p_ref = ref.init(jax.random.key(1), x)
+        # identical tree: taps init must be loadable into nn.Conv and back
+        assert jax.tree_util.tree_structure(
+            tap.init(jax.random.key(1), x)
+        ) == jax.tree_util.tree_structure(p_ref)
+        assert p_ref["params"]["kernel"].shape == (K, D // G, D)
+        y_ref = ref.apply(p_ref, x)
+        y_tap = tap.apply(p_ref, x)
+        np.testing.assert_allclose(np.asarray(y_tap), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-6, err_msg=f"K={K}")

@@ -73,3 +73,50 @@ def test_vr_separate_end_to_end(vr):
     assert np.isfinite(out).all()
     # sigmoid mask ≤ 1 → output energy bounded by input (within OLA tolerance)
     assert np.abs(out).max() <= np.abs(x).max() * 1.5
+
+
+def test_convert_cascadednet_parity_vs_torch():
+    """Reference-format VR torch weights → flax, activation parity."""
+    torch = pytest.importorskip("torch")
+    import numpy as np
+
+    from tests.torch_ref.vr_torch import CascadedNetTorch
+    from lemas_tts_tpu.uvr5.vr_network import CascadedNet, convert_cascadednet
+
+    n_fft, nout, nout_lstm = 64, 8, 8
+    tm = CascadedNetTorch(n_fft, nout=nout, nout_lstm=nout_lstm)
+    tm.eval()
+    # randomize running stats so BN conversion is actually exercised
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.7, 1.4)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    variables, got_nfft, got_nout, got_nlstm = convert_cascadednet(sd)
+    assert (got_nfft, got_nout, got_nlstm) == (n_fft, nout, nout_lstm)
+
+    rng = np.random.default_rng(0)
+    x = np.abs(rng.standard_normal((2, 2, n_fft // 2 + 1, 16))).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    net = CascadedNet(n_fft=n_fft, nout=nout, nout_lstm=nout_lstm)
+    ours = np.asarray(net.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_vrseparator_from_file(tmp_path):
+    torch = pytest.importorskip("torch")
+    from tests.torch_ref.vr_torch import CascadedNetTorch
+
+    tm = CascadedNetTorch(64, nout=8, nout_lstm=8)
+    torch.save(tm.state_dict(), tmp_path / "vr.pth")
+    sep = VRSeparator.from_file(str(tmp_path / "vr.pth"), hop=32)
+    assert sep.n_fft == 64
+    import numpy as np
+
+    x = np.random.default_rng(1).standard_normal((2, 800)).astype(np.float32) * 0.2
+    out = sep.separate(x, 8000)
+    assert out.shape == x.shape and np.isfinite(out).all()

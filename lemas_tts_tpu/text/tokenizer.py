@@ -94,3 +94,75 @@ def txt2phone(tokenizer: TextTokenizer, text: str) -> str:
         else:
             phones += tokenizer.phonemize_to_tokens(part)
     return "|".join(phones).replace("(|", "(").replace("|)", ")")
+
+
+class AudioTokenizer:
+    """Neural audio codec tokenizer (reference ``tokenizer.py:146-178``: an
+    EnCodec wrapper via audiocraft — defined but never called by any entry
+    point). Kept for API parity, gated on the optional dependency."""
+
+    def __init__(self, device=None, signature=None) -> None:
+        try:
+            from audiocraft.solvers import CompressionSolver  # optional dep
+        except ImportError as e:  # pragma: no cover - dep absent in CI
+            raise ImportError(
+                "AudioTokenizer needs the optional 'audiocraft' package "
+                "(unused by the TTS pipeline; reference tokenizer.py:146-178)"
+            ) from e
+        model = CompressionSolver.model_from_checkpoint(signature)
+        self.sample_rate = model.sample_rate
+        self.channels = model.channels
+        self._device = device or "cpu"
+        self.codec = model.to(self._device)
+
+    @property
+    def device(self):
+        return self._device
+
+    def encode(self, wav):
+        codes = self.codec.encode(wav.to(self._device))
+        return [(codes[0], None)]
+
+    def decode(self, frames):
+        return self.codec.decode(frames[0][0])
+
+
+class AudioSR:
+    """DAC codec wrapper (reference ``tokenizer.py:199-235`` — defined but
+    never called). Kept for API parity, gated on the optional dependency."""
+
+    def __init__(self, model_path, device="cpu") -> None:
+        try:
+            import dac  # optional dep
+        except ImportError as e:  # pragma: no cover - dep absent in CI
+            raise ImportError(
+                "AudioSR needs the optional 'descript-audio-codec' package "
+                "(unused by the TTS pipeline; reference tokenizer.py:199-235)"
+            ) from e
+        import math as _math
+
+        import torch as _torch
+
+        self._math, self._torch = _math, _torch
+        self.codec = dac.DAC.load(model_path)
+        self.codec.to(device)
+        self.codec.eval()
+        self.sample_rate = self.codec.sample_rate
+        self.channels = 1
+        self._device = device
+
+    @property
+    def device(self):
+        return self._device
+
+    def encode(self, wav):
+        length = wav.shape[-1]
+        hop = self.codec.hop_length
+        pad = self._math.ceil(length / hop) * hop - length
+        wav = self._torch.nn.functional.pad(wav, (0, pad))
+        z, codes, _, _, _ = self.codec.encode(wav.to(self._device))
+        return [(codes, z)]
+
+    def decode(self, frames):
+        with self._torch.no_grad():
+            return self.codec.decode(frames[0][1])

@@ -179,3 +179,44 @@ def _active_ranges(active: np.ndarray):
     if s is not None:
         out.append((s, len(active)))
     return out
+
+
+def normalize(wave: np.ndarray, is_normalize: bool = False) -> np.ndarray:
+    """Clip-guard peak normalization (reference ``spec_utils.py:111-127``,
+    minus its console chatter)."""
+    maxv = np.max(np.abs(wave)) if wave.size else 0.0
+    if maxv > 1.0 and is_normalize:
+        wave = wave / maxv
+    return wave
+
+
+def to_shape(x: np.ndarray, target_shape) -> np.ndarray:
+    """Zero-pad trailing edges up to ``target_shape`` (reference
+    ``spec_utils.py:523-530``)."""
+    pads = tuple((0, t - s) for s, t in zip(x.shape, target_shape))
+    return np.pad(x, pads, mode="constant")
+
+
+def augment_audio(export_path: str, audio_file: str, rate: float,
+                  is_normalization: bool = False, is_pitch: bool = False) -> str:
+    """Offline time-stretch / pitch-shift augmentation via rubberband
+    (reference ``spec_utils.py:542-563``); host-side by design. Requires the
+    ``rubberband`` CLI — raises RuntimeError otherwise."""
+    from lemas_tts_tpu.uvr5 import pyrb
+    from lemas_tts_tpu.utils.audio_io import read_audio, write_wav
+
+    wav, sr = read_audio(audio_file)
+    if wav.ndim == 1:
+        wav = np.stack([wav, wav])
+    elif wav.shape[0] == 1:
+        wav = np.concatenate([wav, wav], axis=0)
+    fn = pyrb.pitch_shift if is_pitch else pyrb.time_stretch
+    wav_1 = fn(wav[0], sr, rate)
+    wav_2 = fn(wav[1], sr, rate)
+    if wav_1.shape > wav_2.shape:
+        wav_2 = to_shape(wav_2, wav_1.shape)
+    elif wav_1.shape < wav_2.shape:
+        wav_1 = to_shape(wav_1, wav_2.shape)
+    mix = normalize(np.stack([wav_1, wav_2]), is_normalization)
+    write_wav(export_path, mix, sr)
+    return export_path

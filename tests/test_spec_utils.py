@@ -92,3 +92,39 @@ def test_distributed_single_process_noop():
     mesh = make_global_mesh(model_parallel=2)
     assert mesh.shape["model"] == 2
     assert mesh.shape["data"] * 2 == len(mesh.devices.flatten())
+
+
+def test_pyrb_and_augment_audio_gated(tmp_path):
+    """rubberband wrapper (reference pyrb.py): identity fast-paths work
+    without the binary; the shell-out path either runs (binary present) or
+    raises the reference's RuntimeError message."""
+    import shutil
+
+    import numpy as np
+
+    from lemas_tts_tpu.uvr5 import pyrb
+    from lemas_tts_tpu.uvr5.spec_utils import augment_audio, normalize, to_shape
+    from lemas_tts_tpu.utils.audio_io import read_audio, write_wav
+
+    y = np.random.default_rng(0).uniform(-0.5, 0.5, 400).astype(np.float32)
+    assert pyrb.time_stretch(y, 8000, 1.0) is y  # rate 1.0 = no-op
+    assert pyrb.pitch_shift(y, 8000, 0) is y
+    import pytest
+
+    with pytest.raises(ValueError):
+        pyrb.time_stretch(y, 8000, 0.0)
+
+    assert to_shape(np.ones((2, 3)), (2, 5)).shape == (2, 5)
+    big = np.array([2.0, -4.0])
+    np.testing.assert_allclose(normalize(big, True), [0.5, -1.0])
+    assert normalize(big, False) is big
+
+    src = tmp_path / "in.wav"
+    write_wav(str(src), y, 8000)
+    if shutil.which("rubberband"):
+        out = augment_audio(str(tmp_path / "out.wav"), str(src), 1.5)
+        wav, sr = read_audio(out)
+        assert sr == 8000 and wav.shape[-1] > 0
+    else:
+        with pytest.raises(RuntimeError, match="rubberband"):
+            augment_audio(str(tmp_path / "out.wav"), str(src), 1.5)

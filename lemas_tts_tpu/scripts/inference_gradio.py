@@ -199,6 +199,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from lemas_tts_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()  # no-op unless LEMAS_COMPILE_CACHE is set
     try:
         import gradio  # noqa: F401
     except ImportError:

@@ -49,6 +49,9 @@ class ServingEngine:
         logger: Optional[JsonLogger] = None,
         max_queue: int = 256,
     ):
+        from lemas_tts_tpu.utils.misc import enable_compile_cache
+
+        enable_compile_cache()  # no-op unless LEMAS_COMPILE_CACHE is set
         self.synth = synthesizer
         self.cfg = cfg
         self.max_queue = max_queue

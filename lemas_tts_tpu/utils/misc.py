@@ -29,3 +29,27 @@ def repetition_found(text: str, length: int = 2, tolerance: int = 10) -> bool:
         if count > tolerance:
             return True
     return False
+
+
+def enable_compile_cache(path: str | None = None,
+                         min_compile_seconds: float = 1.0) -> str | None:
+    """Turn on JAX's persistent compilation cache so server restarts reuse
+    yesterday's XLA binaries instead of recompiling every shape bucket
+    (first TPU compiles run tens of seconds; no reference counterpart —
+    torch has no AOT compile step).
+
+    ``path`` defaults to the ``LEMAS_COMPILE_CACHE`` env var; returns the
+    cache dir in use, or None if disabled (no path configured).
+    """
+    import os
+
+    import jax
+
+    path = path or os.environ.get("LEMAS_COMPILE_CACHE")
+    if not path:
+        return None
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_seconds)
+    return path

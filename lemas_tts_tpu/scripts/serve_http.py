@@ -1,0 +1,188 @@
+"""Dependency-free HTTP serving endpoint on the continuous-batching engine.
+
+The reference serves only through Gradio (``scripts/inference_gradio.py``);
+a production deployment wants a plain HTTP API. Stdlib-only
+(``http.server`` with a thread pool — request threads block on engine
+futures while the single worker thread drives the TPU, so concurrency maps
+directly onto the engine's micro-batching).
+
+Endpoints:
+  POST /tts     JSON {"ref_b64": <base64 WAV>, "ref_text": str, "text": str,
+                      "seed": int?} → audio/wav bytes
+                (or {"ref_path": server-local path} instead of ref_b64)
+  GET  /healthz → {"ok": true, "queue_depth": N}
+  GET  /stats   → engine stats JSON (queue depth, stage timers)
+
+Run:  python -m lemas_tts_tpu.scripts.serve_http --port 8080 \
+          --ckpt_file ... --vocab_file ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import sys
+import threading
+import wave as wave_mod
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+    pcm = (np.clip(np.asarray(wav, np.float32), -1.0, 1.0) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1 if pcm.ndim == 1 else pcm.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.T.tobytes() if pcm.ndim == 2 else pcm.tobytes())
+    return buf.getvalue()
+
+
+def _decode_ref(payload: dict):
+    """(wav [T] float32, sr) from ref_b64 WAV bytes or a server-local path."""
+    from lemas_tts_tpu.utils.audio_io import read_audio
+
+    if payload.get("ref_b64"):
+        raw = base64.b64decode(payload["ref_b64"])
+        with wave_mod.open(io.BytesIO(raw), "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            ch = w.getnchannels()
+            pcm = np.frombuffer(w.readframes(n), dtype="<i2")
+        wav = pcm.astype(np.float32) / 32768.0
+        if ch > 1:
+            wav = wav.reshape(-1, ch).mean(axis=1)
+        return wav, sr
+    if payload.get("ref_path"):
+        wav, sr = read_audio(payload["ref_path"])
+        if wav.ndim == 2:
+            wav = wav.mean(axis=0)
+        return wav, sr
+    raise ValueError("request needs ref_b64 or ref_path")
+
+
+def make_handler(tts, engine):
+    """Bind a handler class over the shared TTS facade + engine."""
+    from lemas_tts_tpu.serve.engine import TTSRequest
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through engine logger
+            engine.log.log("http", line=(fmt % args))
+
+        def _reply(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _reply_json(self, code: int, obj):
+            self._reply(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply_json(200, {"ok": True,
+                                       "queue_depth": engine.batcher.depth()})
+            elif self.path == "/stats":
+                self._reply_json(200, engine.stats())
+            else:
+                self._reply_json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/tts":
+                self._reply_json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                ref_wav, ref_sr = _decode_ref(payload)
+                ref_text = payload.get("ref_text", "")
+                gen_text = payload.get("text", "")
+                if not gen_text:
+                    raise ValueError("request needs non-empty 'text'")
+                if tts.frontend is not None and tts.frontend.dtype == "phone":
+                    ref_units = tts.frontend.text2phn(ref_text + ". ")
+                    gen_units = tts.frontend.text2phn(gen_text + ". ")
+                else:
+                    ref_units, gen_units = ref_text, gen_text
+                fut = engine.submit(TTSRequest(
+                    ref_wav=ref_wav, ref_sr=ref_sr, ref_units=ref_units,
+                    gen_units=gen_units, seed=payload.get("seed"),
+                ))
+                out = fut.result(timeout=float(payload.get("timeout_s", 300)))
+                wav = out[0] if isinstance(out, tuple) else out
+                sr = out[1] if isinstance(out, tuple) and len(out) > 1 \
+                    else tts.target_sample_rate
+                self._reply(200, _wav_bytes(np.asarray(wav), int(sr)),
+                            "audio/wav")
+            except RuntimeError as e:  # queue full → backpressure status
+                self._reply_json(503, {"error": str(e)})
+            except Exception as e:
+                self._reply_json(400, {"error": str(e)})
+
+    return Handler
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="HTTP TTS serving endpoint.")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--model", type=str, default="multilingual")
+    p.add_argument("--ckpt_file", type=str, default="")
+    p.add_argument("--vocab_file", type=str, default="")
+    p.add_argument("--frontend", type=str, default="phone",
+                   choices=["phone", "char", "none"])
+    p.add_argument("--nfe_step", type=int, default=32)
+    p.add_argument("--cfg_strength", type=float, default=3.0)
+    p.add_argument("--sway_sampling_coef", type=float, default=1.0)
+    p.add_argument("--max_batch", type=int, default=4)
+    p.add_argument("--no_warmup", action="store_true")
+    return p
+
+
+def serve(args, *, ready_event: Optional[threading.Event] = None,
+          server_box: Optional[list] = None) -> None:
+    """Build model + engine, then serve forever. ``ready_event``/``server_box``
+    let tests start/stop the server from another thread."""
+    import lemas_tts_tpu
+    from lemas_tts_tpu.config import SamplerConfig
+    from lemas_tts_tpu.serve.engine import ServingEngine
+
+    tts = lemas_tts_tpu.TTS(
+        model=args.model, ckpt_file=args.ckpt_file,
+        vocab_file=args.vocab_file, frontend=args.frontend or None,
+    )
+    cfg = SamplerConfig(
+        nfe_steps=args.nfe_step, cfg_strength=args.cfg_strength,
+        sway_sampling_coef=args.sway_sampling_coef,
+    )
+    if not args.no_warmup:
+        tts.synth.warmup(cfg)
+    engine = ServingEngine(tts.synth, cfg=cfg, max_batch=args.max_batch)
+    httpd = ThreadingHTTPServer((args.host, args.port),
+                                make_handler(tts, engine))
+    if server_box is not None:
+        server_box.append((httpd, engine))
+    print(f"[serve_http] listening on {args.host}:{httpd.server_address[1]}")
+    if ready_event is not None:
+        ready_event.set()
+    try:
+        httpd.serve_forever()
+    finally:
+        engine.shutdown()
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    serve(build_parser().parse_args(argv))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

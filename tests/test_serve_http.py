@@ -1,0 +1,120 @@
+"""HTTP serving endpoint: health/stats, synthesis round-trip, error paths."""
+
+import base64
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from lemas_tts_tpu.scripts import serve_http
+
+DATA = __import__("pathlib").Path(__file__).parent / "data"
+
+
+@pytest.fixture(scope="module")
+def tiny_tts(tmp_path_factory):
+    import warnings
+
+    from lemas_tts_tpu import TTS
+
+    vocab_path = tmp_path_factory.mktemp("vocab") / "vocab.txt"
+    tokens = [" "] + list("abcdefghijklmnopqrstuvwxyz") + [
+        "(en)", "(zh)", "_", ",", ".", "!", "?", "#1", "#2", "#3", "#4",
+    ]
+    vocab_path.write_text("\n".join(tokens) + "\n")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return TTS(model=str(DATA / "tiny.yaml"), vocab_file=str(vocab_path),
+                   device="cpu", frontend="phone")
+
+
+@pytest.fixture(scope="module")
+def server(tiny_tts):
+    args = serve_http.build_parser().parse_args(
+        ["--port", "0", "--nfe_step", "2", "--cfg_strength", "1.0",
+         "--no_warmup"]
+    )
+    ready = threading.Event()
+    box = []
+
+    # build the engine over the session-tiny TTS instead of the flagship
+    import lemas_tts_tpu
+
+    orig = lemas_tts_tpu.TTS
+    lemas_tts_tpu.TTS = lambda **kw: tiny_tts
+    try:
+        t = threading.Thread(
+            target=serve_http.serve,
+            args=(args,), kwargs={"ready_event": ready, "server_box": box},
+            daemon=True,
+        )
+        t.start()
+        assert ready.wait(timeout=300), "server failed to start"
+    finally:
+        lemas_tts_tpu.TTS = orig
+    httpd, engine = box[0]
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, r.read()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def _ref_b64(sr=8000):
+    t = np.arange(sr) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    pcm = (wav * 32767).astype("<i2")
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_healthz_and_stats(server):
+    code, body = _get(server + "/healthz")
+    assert code == 200 and json.loads(body)["ok"] is True
+    code, body = _get(server + "/stats")
+    assert code == 200 and "queue_depth" in json.loads(body)
+
+
+def test_tts_roundtrip(server):
+    code, ctype, body = _post(server + "/tts", {
+        "ref_b64": _ref_b64(), "ref_text": "hello there",
+        "text": "general kenobi", "seed": 7,
+    })
+    assert code == 200 and ctype == "audio/wav"
+    import io
+    import wave as wave_mod
+
+    with wave_mod.open(io.BytesIO(body), "rb") as w:
+        assert w.getframerate() == 8000
+        assert w.getnframes() > 0
+
+
+def test_error_paths(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server + "/tts", {"ref_b64": _ref_b64(), "text": ""})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server + "/nope")
+    assert e.value.code == 404

@@ -51,20 +51,23 @@ class TimestepEmbedding(nn.Module):
 
 
 class GroupedConvTaps(nn.Module):
-    """Grouped 1-D SAME conv computed as per-tap grouped matmuls.
+    """Grouped 1-D SAME conv with a batch-adaptive compute strategy.
 
     Parameter tree is identical to ``nn.Conv(feature_group_count=groups)``
     (kernel ``[K, Cin/g, Cout]`` + bias), so converted checkpoints load
-    unchanged — but the compute is K shifted ``[B,N,g,Cin/g]×[g,Cin/g,Cout/g]``
-    einsums accumulated in fp32. XLA's grouped-conv lowering runs at ~6% MXU
-    utilization for these shapes; the tap-matmul form measures 2.3× faster on
-    v5e (443→192 µs at B=2, N=1024, D=1024, k=31, g=16).
+    unchanged. At small rows (B·N ≤ 3072, the serving B=1 hot path) the conv
+    runs as K shifted ``[B,N,g,Cin/g]×[g,Cin/g,Cout/g]`` einsums accumulated
+    in fp32 — XLA's grouped-conv lowering is ~6% MXU utilization there and
+    the tap form measures 2.3× faster on v5e (443→192 µs at B=2, N=1024,
+    D=1024, k=31, g=16). At larger batch the lowering flips: taps lose
+    (B=8: 1558 vs 581 µs), so bigger shapes keep ``lax`` grouped conv.
     """
 
     features: int
     kernel_size: int
     groups: int
     compute_dtype: jnp.dtype = jnp.float32
+    tap_row_threshold: int = 3072  # B·N at/below which tap matmuls win (v5e)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -80,6 +83,15 @@ class GroupedConvTaps(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         B, N, _ = x.shape
+        if B * N > self.tap_row_threshold:
+            out = jax.lax.conv_general_dilated(
+                x.astype(self.compute_dtype),
+                kernel.astype(self.compute_dtype),
+                (1,), "SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=G,
+            )
+            return (out + bias).astype(self.compute_dtype)
         w_tap = jnp.transpose(
             kernel.reshape(K, cin, G, cout), (0, 2, 1, 3)
         ).astype(self.compute_dtype)  # [K, G, cin, cout]

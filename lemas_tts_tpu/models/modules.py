@@ -59,15 +59,19 @@ class GroupedConvTaps(nn.Module):
     runs as K shifted ``[B,N,g,Cin/g]×[g,Cin/g,Cout/g]`` einsums accumulated
     in fp32 — XLA's grouped-conv lowering is ~6% MXU utilization there and
     the tap form measures 2.3× faster on v5e (443→192 µs at B=2, N=1024,
-    D=1024, k=31, g=16). At larger batch the lowering flips: taps lose
-    (B=8: 1558 vs 581 µs), so bigger shapes keep ``lax`` grouped conv.
+    D=1024, k=31, g=16). The crossover is *batch*-driven, not row-driven —
+    lax grouped conv scales sublinearly with batch (B=2/4/8 at N=1024:
+    443/483/581 µs) while taps scale with rows (192/632/1558 µs), yet taps
+    still win at B=2 for every N bucket (N=512/1024/2048/4096:
+    116/192/635/1557 vs 255/443/836/1665 µs) — so: taps iff batch ≤ 2
+    (the CFG-stacked B=1 serving hot path), lax above.
     """
 
     features: int
     kernel_size: int
     groups: int
     compute_dtype: jnp.dtype = jnp.float32
-    tap_row_threshold: int = 3072  # B·N at/below which tap matmuls win (v5e)
+    tap_batch_threshold: int = 2  # conv batch at/below which taps win (v5e)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -83,7 +87,7 @@ class GroupedConvTaps(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         B, N, _ = x.shape
-        if B * N > self.tap_row_threshold:
+        if B > self.tap_batch_threshold:
             out = jax.lax.conv_general_dilated(
                 x.astype(self.compute_dtype),
                 kernel.astype(self.compute_dtype),

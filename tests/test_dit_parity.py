@@ -140,7 +140,7 @@ def test_grouped_conv_taps_matches_nn_conv():
         np.testing.assert_allclose(np.asarray(y_tap), np.asarray(y_ref),
                                    rtol=2e-5, atol=2e-6, err_msg=f"K={K}")
         # large-batch branch (tap_row_threshold exceeded → lax grouped conv)
-        big = GroupedConvTaps(D, K, G, tap_row_threshold=0)
+        big = GroupedConvTaps(D, K, G, tap_batch_threshold=0)
         y_big = big.apply(p_ref, x)
         np.testing.assert_allclose(np.asarray(y_big), np.asarray(y_ref),
                                    rtol=2e-5, atol=2e-6, err_msg=f"lax K={K}")

@@ -31,7 +31,6 @@ from lemas_tts_tpu.config import SamplerConfig
 from lemas_tts_tpu.infer.pipeline import (
     TEXT_BUCKETS,
     Synthesizer,
-    _pick,  # shared bucket helper (same rounding as the synthesis engine)
 )
 from lemas_tts_tpu.ops.resample import resample
 from lemas_tts_tpu.utils.vocab import pad_text_batch, text_to_ids
@@ -156,7 +155,7 @@ def edit_speech(
     duration = min(duration, cfg.max_duration)
 
     N = pick_bucket(duration, DURATION_BUCKETS)
-    nt = _pick(len(ids), TEXT_BUCKETS)
+    nt = pick_bucket(len(ids), TEXT_BUCKETS)
     text_ids = pad_text_batch([ids], pad_to=nt)
 
     cond = np.zeros((1, N, D), dtype=np.float32)

@@ -91,11 +91,14 @@ def clip_and_shuffle(
     """Accent-GRL conditioning shuffle (reference ``cfm.py:39-83``): crop a
     segment, shuffle ~1 s chunks, repeat to original length. mel: [T, D]."""
     total = mel.shape[0]
+    if total <= 1:  # nothing to shuffle (degenerate short reference)
+        return mel
     seg_len = (
         int(total * ratio)
         if ratio
         else int(rng.integers(int(0.25 * total), max(int(0.25 * total) + 1, int(0.75 * total) + 1)))
     )
+    seg_len = max(1, seg_len)
     start = int(rng.integers(0, max(1, total - seg_len + 1)))
     seg = mel[start : start + seg_len]
     n_chunks = -(-seg.shape[0] // frames_per_second)
@@ -105,13 +108,6 @@ def clip_and_shuffle(
     while shuffled.shape[0] < total:
         shuffled = np.concatenate([shuffled, chunks[int(rng.integers(len(chunks)))]], axis=0)
     return shuffled[:total]
-
-
-def _pick(v: int, buckets) -> int:
-    for b in buckets:
-        if v <= b:
-            return b
-    return buckets[-1]
 
 
 class Synthesizer:
@@ -202,7 +198,7 @@ class Synthesizer:
         return fn
 
     def _pick_batch(self, b: int) -> int:
-        bp = _pick(b, BATCH_BUCKETS)
+        bp = pick_bucket(b, BATCH_BUCKETS)
         m = self._batch_multiple
         return bp if bp % m == 0 else ((bp + m - 1) // m) * m
 
@@ -318,10 +314,22 @@ class Synthesizer:
         cond_mel = self.ref_mel(audio)  # [ref_frames, D] (= ref_audio_len + 1)
         ref_frames = cond_mel.shape[0]
 
+        if not gen_chunks:  # nothing to synthesize (e.g. whitespace-only text)
+            empty_mel = np.zeros((self.mel_cfg.n_mel_channels, 0), np.float32)
+            if return_parts:
+                return [], sr, []
+            return np.zeros(0, np.float32), sr, empty_mel
+
         # --- durations & texts per chunk (utils_infer.py:506-527)
         texts: List[np.ndarray] = []
         durations: List[int] = []
         for gen in gen_chunks:
+            if isinstance(ref_text_units, str) != isinstance(gen, str):
+                raise TypeError(
+                    "ref_text_units and gen chunks must both be strings or "
+                    f"both token lists (got {type(ref_text_units).__name__} "
+                    f"/ {type(gen).__name__})"
+                )
             local_speed = cfg.speed
             if isinstance(gen, str) and isinstance(ref_text_units, str):
                 if len(gen.encode("utf-8")) < 10:
@@ -333,22 +341,25 @@ class Synthesizer:
                 duration = ref_audio_len + int(
                     ref_audio_len / ref_len_units * len(gen) / local_speed
                 )
-            full = (
-                ref_text_units + gen
-                if not isinstance(gen, str)
-                else str(ref_text_units) + gen
-            )
+            full = ref_text_units + gen if isinstance(gen, str) \
+                else list(ref_text_units) + list(gen)
             ids = text_to_ids(full, self.vocab)
             # duration ≥ max(text_len, ref_frames) + 1, ≤ max cap (cfm.py:300-304)
             duration = max(max(len(ids), ref_frames) + 1, duration)
-            duration = min(duration, cfg.max_duration)
+            duration = min(duration, cfg.max_duration, DURATION_BUCKETS[-1])
             texts.append(ids)
             durations.append(duration)
 
         B = len(texts)
         Bp = self._pick_batch(B)
         N = pick_bucket(max(durations), DURATION_BUCKETS)
-        nt = _pick(max(len(t) for t in texts), TEXT_BUCKETS)
+        max_ids = max(len(t) for t in texts)
+        if max_ids > TEXT_BUCKETS[-1]:
+            raise ValueError(
+                f"text length {max_ids} exceeds the largest text bucket "
+                f"({TEXT_BUCKETS[-1]}); split the text into more chunks"
+            )
+        nt = pick_bucket(max_ids, TEXT_BUCKETS)
 
         text_ids = pad_text_batch(texts, pad_to=nt)
         if Bp > B:  # pad batch with dummy rows (discarded)
@@ -534,17 +545,24 @@ class Synthesizer:
             ref_audio_len = audio.shape[-1] // hop
             cond_mel = self.ref_mel(audio)
             ref_units, gen = r["ref_units"], r["gen_units"]
-            full = (
-                str(ref_units) + str(gen)
-                if isinstance(gen, str)
+            if isinstance(ref_units, str) != isinstance(gen, str):
+                raise TypeError(
+                    "ref_units and gen_units must both be strings or both "
+                    f"token lists (got {type(ref_units).__name__} / "
+                    f"{type(gen).__name__})"
+                )
+            full = ref_units + gen if isinstance(gen, str) \
                 else list(ref_units) + list(gen)
-            )
             ids = text_to_ids(full, self.vocab)
             duration = ref_audio_len + int(
                 ref_audio_len / max(1, len(ref_units)) * len(gen) / cfg.speed
             )
             duration = max(max(len(ids), cond_mel.shape[0]) + 1, duration)
-            duration = min(duration, cfg.max_duration)
+            duration = min(duration, cfg.max_duration, DURATION_BUCKETS[-1])
+            # ref longer than the duration cap → keep ≥1 generated frame
+            # (same guard as synthesize_chunks; prevents a negative vocoder
+            # slice returning a full bucket of garbage)
+            ref_audio_len = min(ref_audio_len, duration - 1)
             rows.append(dict(ids=ids, duration=duration, cond_mel=cond_mel,
                              ref_audio_len=ref_audio_len, rms=rms,
                              seed=r.get("seed")))
@@ -552,7 +570,13 @@ class Synthesizer:
         B = len(rows)
         Bp = self._pick_batch(B)
         N = pick_bucket(max(r["duration"] for r in rows), DURATION_BUCKETS)
-        nt = _pick(max(len(r["ids"]) for r in rows), TEXT_BUCKETS)
+        max_ids = max(len(r["ids"]) for r in rows)
+        if max_ids > TEXT_BUCKETS[-1]:
+            raise ValueError(
+                f"text length {max_ids} exceeds the largest text bucket "
+                f"({TEXT_BUCKETS[-1]}); split the request into chunks"
+            )
+        nt = pick_bucket(max_ids, TEXT_BUCKETS)
 
         text_ids = pad_text_batch([r["ids"] for r in rows], pad_to=nt)
         if Bp > B:
@@ -565,11 +589,15 @@ class Synthesizer:
         cond = np.zeros((Bp, N, D), dtype=np.float32)
         cond_mask = np.zeros((Bp, N), dtype=bool)
         y0 = np.zeros((Bp, N, D), dtype=np.float32)
+        entropy = np.random.default_rng()  # unseeded rows get fresh entropy,
+        # independent of batch position (reference seeds per sample or draws
+        # a random seed per call, cfm.py:430-435 / utils_infer.py)
         for i, r in enumerate(rows):
             f = min(r["cond_mel"].shape[0], N)
             cond[i, :f] = r["cond_mel"][:f]
             cond_mask[i, :f] = True
-            seed = r["seed"] if r["seed"] is not None else i
+            seed = r["seed"] if r["seed"] is not None \
+                else int(entropy.integers(2**31 - 1))
             y0[i] = np.asarray(
                 jax.random.normal(jax.random.key(int(seed)), (N, D), jnp.float32)
             )

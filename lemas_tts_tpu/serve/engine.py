@@ -69,7 +69,9 @@ class ServingEngine:
         same program shape."""
         sr = self.synth.mel_cfg.target_sample_rate
         hop = self.synth.mel_cfg.hop_length
-        ref_len = int(len(req.ref_wav) / max(1, req.ref_sr) * sr) // hop
+        # shape[-1], not len(): stereo refs are [C, T] and len() would be C
+        n_samples = np.asarray(req.ref_wav).shape[-1]
+        ref_len = int(n_samples / max(1, req.ref_sr) * sr) // hop
         dur = ref_len + int(
             ref_len / max(1, len(req.ref_units)) * len(req.gen_units) / self.cfg.speed
         )
@@ -120,7 +122,10 @@ class ServingEngine:
                         cfg=self.cfg,
                     )
                 for r, res in zip(reqs, results):
-                    r.future.set_result(res)
+                    # a client may have cancelled its future; don't let that
+                    # poison the other rows of the batch
+                    if not r.future.done():
+                        r.future.set_result(res)
                 self.log.log("batch_done", size=len(reqs), bucket=bucket)
             except Exception as e:  # pragma: no cover - defensive
                 self.log.log("batch_error", error=str(e),

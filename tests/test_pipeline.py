@@ -150,3 +150,64 @@ def test_more_chunks_than_max_batch_bucket(engine):
     assert len(parts) == 34
     np.testing.assert_allclose(parts[0], solo[0], atol=1e-5)
     np.testing.assert_allclose(parts[33], solo[1], atol=1e-5)
+
+
+def test_empty_gen_chunks_returns_empty(engine):
+    sr = 8000
+    ref = (0.2 * np.sin(2 * np.pi * 150 * np.arange(sr) / sr)).astype(np.float32)
+    cfg = SamplerConfig(nfe_steps=2, max_duration=512)
+    wave, out_sr, mel = engine.synthesize_chunks(ref, sr, list("ab"), [], cfg)
+    assert out_sr == sr and wave.size == 0 and mel.shape == (20, 0)
+
+
+def test_mixed_unit_types_raise(engine):
+    sr = 8000
+    ref = (0.2 * np.sin(2 * np.pi * 150 * np.arange(sr) / sr)).astype(np.float32)
+    cfg = SamplerConfig(nfe_steps=2, max_duration=512)
+    with pytest.raises(TypeError, match="both"):
+        engine.synthesize_chunks(ref, sr, list("ab"), ["abc"], cfg)
+    with pytest.raises(TypeError, match="both"):
+        engine.synthesize_requests(
+            [dict(ref_wav=ref, ref_sr=sr, ref_units="ab",
+                  gen_units=list("abc"), seed=0)], cfg)
+
+
+def test_clip_and_shuffle_degenerate():
+    from lemas_tts_tpu.infer.pipeline import clip_and_shuffle
+
+    rng = np.random.default_rng(0)
+    tiny = np.ones((1, 4), np.float32)
+    assert clip_and_shuffle(tiny, 0.3, 90, rng).shape == (1, 4)
+    two = np.stack([np.zeros(4), np.ones(4)]).astype(np.float32)
+    out = clip_and_shuffle(two, 0.3, 90, rng)  # seg_len would be 0 → clamped
+    assert out.shape == (2, 4) and np.isfinite(out).all()
+
+
+def test_unseeded_requests_are_position_independent_random(engine):
+    """seed=None must not fall back to the batch index (review finding):
+    two identical unseeded submissions should differ, not be bit-equal."""
+    sr = 8000
+    ref = (0.2 * np.sin(2 * np.pi * 150 * np.arange(sr) / sr)).astype(np.float32)
+    cfg = SamplerConfig(nfe_steps=2, cfg_strength=1.0, max_duration=512)
+    req = dict(ref_wav=ref, ref_sr=sr, ref_units=list("ab"),
+               gen_units=list("cdefg"), seed=None)
+    (w1, _, _), = engine.synthesize_requests([dict(req)], cfg)
+    (w2, _, _), = engine.synthesize_requests([dict(req)], cfg)
+    assert w1.shape == w2.shape
+    assert not np.array_equal(w1, w2)
+
+
+def test_request_ref_longer_than_duration_cap(engine):
+    """Reference audio longer than max_duration must yield a short, sane
+    generated slice — not a negative slice vocoding the whole bucket."""
+    sr = 8000
+    # ref mel frames ≈ 3*sr/64 ≈ 375 > max_duration 256 below
+    ref = (0.1 * np.sin(2 * np.pi * 150 * np.arange(3 * sr) / sr)).astype(np.float32)
+    cfg = SamplerConfig(nfe_steps=2, cfg_strength=1.0, max_duration=256)
+    (w, out_sr, mel), = engine.synthesize_requests(
+        [dict(ref_wav=ref, ref_sr=sr, ref_units=list("ab"),
+              gen_units=list("cd"), seed=0)], cfg)
+    assert out_sr == sr
+    # at most a handful of frames of audio, never a full bucket of garbage
+    assert w.shape[-1] <= 16 * 64 and np.isfinite(w).all()
+    assert mel.shape[1] >= 1

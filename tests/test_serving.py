@@ -308,3 +308,44 @@ def test_engine_propagates_batch_errors(synth):
     finally:
         synth.synthesize_requests = original
         eng.shutdown()
+
+
+def test_cancelled_future_does_not_poison_batch(synth):
+    """A client cancelling its future must not fail the other rows of the
+    same batch (review finding: set_result on a cancelled future raised
+    InvalidStateError inside the shared try)."""
+    from lemas_tts_tpu.config import SamplerConfig
+    from lemas_tts_tpu.serve.engine import ServingEngine, TTSRequest
+
+    eng = ServingEngine(synth, cfg=SamplerConfig(nfe_steps=2, cfg_strength=1.0),
+                        max_batch=4, max_wait_ms=200)
+    try:
+        sr = 8000
+        ref = (0.2 * np.sin(2 * np.pi * 150 * np.arange(sr) / sr)).astype(np.float32)
+        reqs = [TTSRequest(ref_wav=ref, ref_sr=sr, ref_units=list("ab"),
+                           gen_units=list("cde"), seed=i) for i in range(3)]
+        futs = [eng.submit(r) for r in reqs]
+        assert futs[0].cancel() or futs[0].done()
+        for f in futs[1:]:
+            wave = f.result(timeout=300)[0]
+            assert np.isfinite(np.asarray(wave)).all()
+    finally:
+        eng.shutdown()
+
+
+def test_estimate_bucket_stereo_matches_mono(synth):
+    from lemas_tts_tpu.config import SamplerConfig
+    from lemas_tts_tpu.serve.engine import ServingEngine, TTSRequest
+
+    eng = ServingEngine(synth, cfg=SamplerConfig(nfe_steps=2))
+    try:
+        sr = 8000
+        mono = np.zeros(4 * sr, np.float32)
+        stereo = np.zeros((2, 4 * sr), np.float32)
+        req_m = TTSRequest(ref_wav=mono, ref_sr=sr, ref_units=list("ab"),
+                           gen_units=list("cde"))
+        req_s = TTSRequest(ref_wav=stereo, ref_sr=sr, ref_units=list("ab"),
+                           gen_units=list("cde"))
+        assert eng._estimate_bucket(req_m) == eng._estimate_bucket(req_s)
+    finally:
+        eng.shutdown()

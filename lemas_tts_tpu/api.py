@@ -70,11 +70,13 @@ def resolve_ckpt(path: str, hf_cache_dir: Optional[str] = None) -> str:
         return path
     from huggingface_hub import hf_hub_download  # optional dep
 
-    rest = path[len("hf://"):]
-    repo_id, filename = rest.split("/", 2)[0] + "/" + rest.split("/", 2)[1], \
-        rest.split("/", 2)[2]
-    return hf_hub_download(repo_id=repo_id, filename=filename,
-                           cache_dir=hf_cache_dir)
+    parts = path[len("hf://"):].split("/", 2)
+    if len(parts) < 3 or not all(parts):
+        raise ValueError(
+            f"bad checkpoint URI {path!r}: expected hf://<org>/<repo>/<file>"
+        )
+    return hf_hub_download(repo_id=f"{parts[0]}/{parts[1]}",
+                           filename=parts[2], cache_dir=hf_cache_dir)
 
 
 def _select_platform(device: Optional[str]) -> str:
@@ -529,6 +531,9 @@ def process_phone_list(parts: Sequence[str], langs=LANGS) -> List[str]:
                 continue
             processed.append(part)
         elif current_lang is not None:
+            # NOTE: current_lang starts as "" (never None) so phones before
+            # the first (lang) tag pass through bare — this replicates the
+            # reference exactly (api.py:257,273: same init + same guard).
             processed.append(f"{current_lang}{part}")
     return processed
 

@@ -58,7 +58,11 @@ def frame_budget_batches(
     cur_max = 0
     for i in ordered:
         new_max = max(cur_max, lengths[i])
-        if cur and ((len(cur) + 1) * new_max > frame_budget or len(cur) >= max_samples):
+        # budget against the PADDED length (collate rounds the batch up to
+        # the next duration bucket) so real device batches honor the frame
+        # budget instead of overshooting it by up to a bucket step
+        padded = pick_bucket(new_max, DURATION_BUCKETS)
+        if cur and ((len(cur) + 1) * padded > frame_budget or len(cur) >= max_samples):
             batches.append(cur)
             cur, cur_max = [], 0
             new_max = lengths[i]
@@ -85,8 +89,10 @@ def collate(samples: Sequence[Dict[str, Any]],
     text = np.full((B, nt), TEXT_PAD, np.int32)
     langs = np.zeros((B,), np.int32)
     for i, s in enumerate(samples):
-        t = s["mel"].shape[0]
-        mel[i, :t] = s["mel"]
+        # samples longer than the largest bucket are truncated, not crashed
+        # on (pick_bucket clamps T to buckets[-1])
+        t = min(s["mel"].shape[0], T)
+        mel[i, :t] = s["mel"][:t]
         mel_lengths[i] = t
         text[i, : len(s["text"])] = s["text"]
         langs[i] = s.get("lang", 0)
@@ -175,22 +181,49 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
         stop = object()
+        cancel = threading.Event()  # consumer broke out early
+        errors: List[BaseException] = []
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer is gone — never
+            # leaves the producer blocked holding device-resident batches
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
-            m = self.batch_multiple
-            for b in batches:
-                if len(b) % m:
-                    b = list(b) + [b[i % len(b)] for i in range(m - len(b) % m)]
-                q.put(self.to_device(collate([self.dataset[i] for i in b])))
-            q.put(stop)
+            try:
+                m = self.batch_multiple
+                for b in batches:
+                    if cancel.is_set():
+                        return
+                    if len(b) % m:
+                        b = list(b) + [b[i % len(b)] for i in range(m - len(b) % m)]
+                    if not _put(self.to_device(collate([self.dataset[i] for i in b]))):
+                        return
+            except BaseException as e:  # surfaced to the consumer below
+                errors.append(e)
+            finally:
+                # the stop sentinel is enqueued on EVERY exit path — a
+                # collate/to_device error must not deadlock the train loop
+                _put(stop)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            cancel.set()
+        if errors:
+            raise errors[0]
 
     def __len__(self) -> int:
         return len(self._epoch_batches(self.seed))

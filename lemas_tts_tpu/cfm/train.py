@@ -117,21 +117,29 @@ class Trainer:
     def shard_state(self, state: TrainState) -> TrainState:
         pspecs = self.param_pspecs(state.params)
         params = shard_pytree(state.params, self.mesh, pspecs)
-        # optimizer state mirrors param structure; replicate scalars
-        def opt_spec(x):
-            return jax.tree_util.tree_map(lambda _: P(), x)
+        # AdamW moments mirror the param pytree — shard them with the SAME
+        # PartitionSpecs (they are 2× model size; replicating them would OOM
+        # exactly when tensor parallelism is needed). Optax states are nested
+        # (named)tuples whose param-structured subtrees we detect by treedef.
+        param_def = jax.tree_util.tree_structure(state.params)
+        replicated = NamedSharding(self.mesh, P())
 
-        opt_state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, NamedSharding(self.mesh, P())),
-            state.opt_state,
-        )
+        def shard_opt(node):
+            if jax.tree_util.tree_structure(node) == param_def:
+                return shard_pytree(node, self.mesh, pspecs)
+            if isinstance(node, tuple):  # optax chain / namedtuple states
+                children = [shard_opt(c) for c in node]
+                return (type(node)(*children) if hasattr(node, "_fields")
+                        else type(node)(children))
+            return jax.device_put(node, replicated)  # scalars (count, ...)
+
+        opt_state = shard_opt(state.opt_state)
         ema = (
             None
             if state.ema_params is None
             else shard_pytree(state.ema_params, self.mesh,
                               dit_param_pspecs(state.ema_params))
         )
-        # re-shard the adamw moments like the params
         return TrainState(step=state.step, params=params, opt_state=opt_state,
                           ema_params=ema)
 
@@ -174,9 +182,8 @@ class Trainer:
             )
             return new_state, metrics
 
-        if self.mesh is not None:
-            with jax.sharding.use_mesh(self.mesh) if hasattr(jax.sharding, "use_mesh") else _nullcontext():
-                return jax.jit(step, donate_argnums=(0,))
+        # no mesh context needed: state/batch carry explicit NamedShardings,
+        # which jit resolves at trace time (GSPMD propagates the rest)
         return jax.jit(step, donate_argnums=(0,))
 
     def train_step(self, state: TrainState, batch: Dict[str, jax.Array],
@@ -194,11 +201,3 @@ class Trainer:
         if self.mesh is not None:
             batch = shard_pytree(batch, self.mesh, batch_pspecs(batch))
         return self._step_cache[key](state, batch, rng)
-
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False

@@ -37,8 +37,12 @@ def _to_numpy(v) -> np.ndarray:
     return v.detach().cpu().float().numpy()  # torch tensor
 
 
-def load_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Read a ``.safetensors`` or torch ``.pt`` file into {key: np.ndarray}."""
+def load_state_dict(path: str, use_ema: bool = True) -> Dict[str, np.ndarray]:
+    """Read a ``.safetensors`` or torch ``.pt`` file into {key: np.ndarray}.
+
+    Training ``.pt`` files hold both ``ema_model_state_dict`` and
+    ``model_state_dict``; like the reference loader (``utils_infer.py:227`` vs
+    ``:240``), ``use_ema`` selects which (falling back to whichever exists)."""
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 
@@ -46,10 +50,12 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=True)
-    if isinstance(obj, dict) and "ema_model_state_dict" in obj:
-        obj = obj["ema_model_state_dict"]
-    elif isinstance(obj, dict) and "model_state_dict" in obj:
-        obj = obj["model_state_dict"]
+    if isinstance(obj, dict) and (
+        "ema_model_state_dict" in obj or "model_state_dict" in obj
+    ):
+        preferred = "ema_model_state_dict" if use_ema else "model_state_dict"
+        fallback = "model_state_dict" if use_ema else "ema_model_state_dict"
+        obj = obj.get(preferred, obj.get(fallback))
     return {k: _to_numpy(v) for k, v in obj.items()}
 
 
@@ -59,15 +65,26 @@ def normalize_state_dict(
     """EMA remap + back-compat cleanup (reference ``load_checkpoint`` semantics)."""
     out: Dict[str, np.ndarray] = {}
     has_ema = any(k.startswith("ema_model.") for k in sd)
+    has_plain = any(
+        not k.startswith("ema_model.") and k not in ("initted", "step")
+        for k in sd
+    )
+    # use_ema picks the stream; an EMA-only file (typical released
+    # .safetensors) is still usable with use_ema=False — there is nothing
+    # else to load
+    take_ema = has_ema and (use_ema or not has_plain)
     for k, v in sd.items():
         if k in ("initted", "step"):
             continue
-        if use_ema and has_ema:
-            if not k.startswith("ema_model."):
+        is_ema = k.startswith("ema_model.")
+        if take_ema:
+            if not is_ema:
                 continue
             k = k[len("ema_model.") :]
             if k in ("initted", "step"):
                 continue
+        elif is_ema:
+            continue
         out[k] = np.asarray(v)
     for k in _BACKCOMPAT_DELETE:
         out.pop(k, None)
@@ -185,7 +202,10 @@ def convert_cfm(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
 
 def load_cfm_checkpoint(path: str, use_ema: bool = True) -> Dict[str, Any]:
     """File → normalized → converted inference params."""
-    return convert_cfm(normalize_state_dict(load_state_dict(path), use_ema=use_ema))
+    return convert_cfm(
+        normalize_state_dict(load_state_dict(path, use_ema=use_ema),
+                             use_ema=use_ema)
+    )
 
 
 # --- native (orbax) checkpoints -------------------------------------------------

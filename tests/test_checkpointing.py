@@ -225,3 +225,47 @@ def test_convert_checkpoint_cli_roundtrip(tmp_path):
             jnp.zeros((1, 4), jnp.int32), jnp.asarray([32], jnp.int32),
             jax.random.normal(jax.random.key(0), (1, 32, 8)))
     assert np.isfinite(np.asarray(o)).all()
+
+
+def test_dataloader_surfaces_producer_errors():
+    """A bad sample must raise in the train loop, not deadlock it
+    (review finding: producer thread died before the stop sentinel)."""
+    import numpy as np
+    import pytest
+
+    from lemas_tts_tpu.cfm.data import DataLoader
+    from lemas_tts_tpu.config import TrainConfig
+
+    good = dict(mel=np.zeros((8, 4), np.float32), text=[1, 2], lang=0)
+    bad = dict(mel=np.zeros((8,), np.float32), text=[1], lang=0)  # wrong rank
+    dl = DataLoader([good, bad], TrainConfig(batch_size_per_gpu=8,
+                                             batch_size_type="frame"))
+    with pytest.raises(Exception):
+        for _ in dl:
+            pass
+
+
+def test_dataloader_early_exit_does_not_leak():
+    import numpy as np
+
+    from lemas_tts_tpu.cfm.data import DataLoader
+    from lemas_tts_tpu.config import TrainConfig
+
+    ds = [dict(mel=np.zeros((8, 4), np.float32), text=[1], lang=0)
+          for _ in range(32)]
+    dl = DataLoader(ds, TrainConfig(batch_size_per_gpu=8,
+                                    batch_size_type="frame"), prefetch=1)
+    it = dl.epoch(0)
+    next(it)
+    it.close()  # consumer walks away after one batch — must not hang
+
+
+def test_collate_truncates_overlong_samples():
+    import numpy as np
+
+    from lemas_tts_tpu.cfm.data import collate
+
+    s = dict(mel=np.ones((50, 4), np.float32), text=[1, 2], lang=0)
+    batch = collate([s], duration_buckets=(16, 32))
+    assert batch["mel"].shape == (1, 32, 4)
+    assert batch["mel_lengths"][0] == 32

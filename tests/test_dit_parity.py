@@ -144,3 +144,35 @@ def test_grouped_conv_taps_matches_nn_conv():
         y_big = big.apply(p_ref, x)
         np.testing.assert_allclose(np.asarray(y_big), np.asarray(y_ref),
                                    rtol=2e-5, atol=2e-6, err_msg=f"lax K={K}")
+
+
+def test_use_ema_false_loads_model_state_dict(tmp_path):
+    """use_ema=False must read model_state_dict, not the EMA weights
+    (reference load_checkpoint :240 vs :227); EMA-only files still load."""
+    import torch
+
+    from lemas_tts_tpu.infer.checkpoints import (
+        load_state_dict,
+        normalize_state_dict,
+    )
+
+    plain = {"transformer.proj_out.weight": torch.ones(2, 3)}
+    ema = {"ema_model.transformer.proj_out.weight": torch.zeros(2, 3),
+           "ema_model.initted": torch.tensor(1)}
+    torch.save({"model_state_dict": plain, "ema_model_state_dict": ema,
+                "step": 7}, tmp_path / "train.pt")
+
+    sd = load_state_dict(str(tmp_path / "train.pt"), use_ema=False)
+    out = normalize_state_dict(sd, use_ema=False)
+    assert set(out) == {"transformer.proj_out.weight"}
+    assert out["transformer.proj_out.weight"].sum() == 6  # the plain weights
+
+    sd = load_state_dict(str(tmp_path / "train.pt"), use_ema=True)
+    out = normalize_state_dict(sd, use_ema=True)
+    assert out["transformer.proj_out.weight"].sum() == 0  # the EMA weights
+
+    # EMA-only file (released .safetensors layout): usable either way
+    out = normalize_state_dict(
+        {k: v.numpy() for k, v in ema.items()}, use_ema=False
+    )
+    assert set(out) == {"transformer.proj_out.weight"}

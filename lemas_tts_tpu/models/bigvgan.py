@@ -104,7 +104,9 @@ def kaiser_sinc_filter1d(cutoff: float, half_width: float,
 def _depthwise(x: jax.Array, taps: jax.Array, stride: int = 1) -> jax.Array:
     """[B, T, C] depthwise conv with shared 1-D taps (VALID)."""
     C = x.shape[-1]
-    kernel = jnp.broadcast_to(taps[:, None, None], (taps.shape[0], 1, C))
+    kernel = jnp.broadcast_to(
+        taps.astype(x.dtype)[:, None, None], (taps.shape[0], 1, C)
+    )
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(stride,), padding="VALID",
         dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=C,
@@ -114,7 +116,7 @@ def _depthwise(x: jax.Array, taps: jax.Array, stride: int = 1) -> jax.Array:
 def upsample2x(x: jax.Array, ratio: int = 2) -> jax.Array:
     """Anti-aliased ×ratio upsampling (alias-free-torch ``UpSample1d``)."""
     ks = int(6 * ratio // 2) * 2
-    pad = ks // 2 - ratio // 2
+    pad = ks // ratio - 1  # reference formula (== ks//2 - ratio//2 at ratio=2)
     pad_left = pad * ratio + (ks - ratio) // 2
     pad_right = pad * ratio + (ks - ratio + 1) // 2
     taps = jnp.asarray(kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, ks))
@@ -164,16 +166,21 @@ class SnakeActivation1d(nn.Module):
             beta = alpha
         if self.logscale:
             alpha, beta = jnp.exp(alpha), jnp.exp(beta)
+        # keep the compute dtype of the surrounding convs (f32 params would
+        # otherwise promote bf16 activations back to f32 here)
+        alpha = alpha.astype(x.dtype)
+        beta = beta.astype(x.dtype)
 
         h = upsample2x(x)
         h = h + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(alpha * h))
         return downsample2x(h)
 
 
-def _wn_conv(features: int, kernel: int, dilation: int = 1, name: str = ""):
+def _wn_conv(features: int, kernel: int, dilation: int = 1, name: str = "",
+             dtype=None):
     pad = (kernel * dilation - dilation) // 2
     return nn.Conv(features, (kernel,), kernel_dilation=(dilation,),
-                   padding=[(pad, pad)], name=name)
+                   padding=[(pad, pad)], dtype=dtype, name=name)
 
 
 class AMPBlock1(nn.Module):
@@ -185,16 +192,19 @@ class AMPBlock1(nn.Module):
     dilations: Sequence[int]
     activation: str
     logscale: bool
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for j, d in enumerate(self.dilations):
             h = SnakeActivation1d(self.channels, self.activation, self.logscale,
                                   name=f"act1_{j}")(x)
-            h = _wn_conv(self.channels, self.kernel_size, d, name=f"conv1_{j}")(h)
+            h = _wn_conv(self.channels, self.kernel_size, d, name=f"conv1_{j}",
+                         dtype=self.compute_dtype)(h)
             h = SnakeActivation1d(self.channels, self.activation, self.logscale,
                                   name=f"act2_{j}")(h)
-            h = _wn_conv(self.channels, self.kernel_size, 1, name=f"conv2_{j}")(h)
+            h = _wn_conv(self.channels, self.kernel_size, 1, name=f"conv2_{j}",
+                         dtype=self.compute_dtype)(h)
             x = x + h
         return x
 
@@ -210,7 +220,7 @@ class BigVGAN(nn.Module):
         c = self.cfg
         x = jnp.swapaxes(mel, -1, -2).astype(self.compute_dtype)  # [B, T, D]
         x = nn.Conv(c.upsample_initial_channel, (7,), padding=[(3, 3)],
-                    name="conv_pre")(x)
+                    dtype=self.compute_dtype, name="conv_pre")(x)
 
         ch = c.upsample_initial_channel
         for i, (rate, k) in enumerate(zip(c.upsample_rates,
@@ -218,7 +228,8 @@ class BigVGAN(nn.Module):
             ch //= 2
             pad = (k - rate) // 2
             x = nn.ConvTranspose(ch, (k,), strides=(rate,), padding="VALID",
-                                 transpose_kernel=True, name=f"up_{i}")(x)
+                                 transpose_kernel=True,
+                                 dtype=self.compute_dtype, name=f"up_{i}")(x)
             x = x[:, pad: x.shape[1] - (k - rate - pad), :]
             acc = None
             for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
@@ -238,9 +249,13 @@ class BigVGAN(nn.Module):
         return jnp.clip(x, -1.0, 1.0)
 
     def decode(self, mel: jax.Array, frame_mask: jax.Array | None = None):
-        """Vocoder-interface parity with :class:`Vocos.decode`; BigVGAN has no
-        frame-mask dependence (pure conv stack), masked frames are sliced by
-        the caller."""
+        """Vocoder-interface parity with :class:`Vocos.decode`. Padded frames
+        are re-floored to the log-mel silence floor (zero padding means mel
+        energy 1.0 — loud broadband — and the conv stack's receptive field
+        would bleed it back into the tail of the valid region)."""
+        if frame_mask is not None:
+            floor = float(np.log(1e-5))  # get_bigvgan_mel_spectrogram clamp
+            mel = jnp.where(frame_mask[:, None, :], mel, floor)
         wav = self(mel)
         if frame_mask is not None:
             up = self.cfg.total_upsample

@@ -112,7 +112,9 @@ class Vocos(nn.Module):
         h = self.out(h).astype(jnp.float32)  # [B, T, n_fft+2]
         h = jnp.swapaxes(h, -1, -2)  # [B, n_fft+2, T]
         n_bins = self.n_fft // 2 + 1
-        mag = jnp.exp(jnp.clip(h[:, :n_bins], max=1e2))
+        # safeguard order matches Vocos' ISTFTHead: clip AFTER exp (caps the
+        # magnitude at 1e2, not at e^100)
+        mag = jnp.clip(jnp.exp(h[:, :n_bins]), max=1e2)
         phase = h[:, n_bins:]
         spec = mag * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
         if frame_mask is not None:

@@ -89,12 +89,10 @@ def kaldi_fbank(
     window_shift = int(sample_rate * frame_shift_ms / 1000)  # 160
     padded = 1 << (window_size - 1).bit_length()  # next pow2: 512
 
-    B, T = waveform.shape
-    num_frames = 1 + (T - window_size) // window_shift  # snip_edges
-    idx = (
-        np.arange(num_frames)[:, None] * window_shift + np.arange(window_size)[None, :]
-    )
-    frames = waveform[:, idx]  # [B, F, window]
+    from lemas_tts_tpu.ops.stft import frame_signal
+
+    # snip_edges framing == the STFT module's static frame gather
+    frames = frame_signal(waveform, window_size, window_shift)  # [B, F, window]
 
     if remove_dc_offset:
         frames = frames - frames.mean(axis=-1, keepdims=True)

@@ -46,7 +46,7 @@ class Head(nn.Module):
     def forward(self, x):  # [B, T, C]
         h = self.out(x).transpose(1, 2)
         n_bins = self.n_fft // 2 + 1
-        mag = torch.exp(h[:, :n_bins].clip(max=1e2))
+        mag = torch.exp(h[:, :n_bins]).clip(max=1e2)
         p = h[:, n_bins:]
         spec = mag * (torch.cos(p) + 1j * torch.sin(p))
         window = torch.hann_window(self.n_fft)

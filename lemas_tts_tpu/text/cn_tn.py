@@ -43,6 +43,15 @@ def _four_digits(s: str) -> str:
     return "".join(out)
 
 
+def _zero_padded(s: str) -> str:
+    """Minute/second reading with the leading 零 for zero-padded values
+    (8:05 → 八点零五分)."""
+    r = num_to_chinese(s)
+    if s.startswith("0") and len(s) > 1 and int(s) != 0:
+        return "零" + r
+    return r
+
+
 def num_to_chinese(num: str) -> str:
     """Cardinal reading of an integer/decimal string (with optional sign)."""
     num = num.strip().replace(",", "")
@@ -74,6 +83,10 @@ def num_to_chinese(num: str) -> str:
             g = groups[gi]
             r = _four_digits(g)
             if r:
+                if parts and g[0] == "0":
+                    # gap between groups: 20034 → 二万零三十四 (a lower
+                    # group with leading zeros needs the linking 零)
+                    parts.append("零")
                 parts.append(r + _UNITS_BIG[gi])
             elif parts and any(int(c) for c in "".join(groups[:gi])):
                 parts.append("零")
@@ -104,11 +117,12 @@ class NSWNormalizer:
                  lambda m: f"{digits_reading(m.group(1))}年"
                            f"{num_to_chinese(m.group(2))}月"
                            f"{num_to_chinese(m.group(3))}日"),
-                # time: 8:30 / 08:30:15
+                # time: 8:30 / 08:30:15 (zero-padded minutes/seconds read
+                # with a leading 零: 8:05 → 八点零五分)
                 (re.compile(r"(\d{1,2}):(\d{2})(?::(\d{2}))?"),
                  lambda m: f"{num_to_chinese(m.group(1))}点"
-                           f"{num_to_chinese(m.group(2))}分"
-                           + (f"{num_to_chinese(m.group(3))}秒" if m.group(3) else "")),
+                           f"{_zero_padded(m.group(2))}分"
+                           + (f"{_zero_padded(m.group(3))}秒" if m.group(3) else "")),
                 # money: ￥12.5 / 12.5元
                 (re.compile(rf"[￥¥]({N})"), lambda m: num_to_chinese(m.group(1)) + "元"),
                 (re.compile(rf"({N})元"), lambda m: num_to_chinese(m.group(1)) + "元"),

@@ -35,13 +35,17 @@ _ORDINAL_WORDS = {
 
 def _ordinalize(words: str) -> str:
     parts = words.split()
-    last = parts[-1]
+    # hyphenated compounds ordinalize their LAST component:
+    # "twenty-one" → "twenty-first", not "twenty-oneth"
+    hyphen = parts[-1].split("-")
+    last = hyphen[-1]
     if last in _ORDINAL_WORDS:
-        parts[-1] = _ORDINAL_WORDS[last]
+        last = _ORDINAL_WORDS[last]
     elif last.endswith("y"):
-        parts[-1] = last[:-1] + "ieth"
+        last = last[:-1] + "ieth"
     else:
-        parts[-1] = last + "th"
+        last = last + "th"
+    parts[-1] = "-".join(hyphen[:-1] + [last])
     return " ".join(parts)
 
 
@@ -61,7 +65,10 @@ def expand_numbers(text: str) -> str:
             return eng.number_to_words(m.group(0)).replace(",", "")
 
         text = _COMMA_NUM.sub(r"\1\2", text)
-        text = _CURRENCY.sub(lambda m: num(m) + " dollars", text)
+        text = _CURRENCY.sub(  # group(1): the digits, not the '$' sign
+            lambda m: eng.number_to_words(m.group(1)).replace(",", "")
+            + " dollars", text
+        )
         text = _ORDINAL_SUFFIX.sub(
             lambda m: eng.number_to_words(m.group(0)), text
         )

@@ -177,6 +177,13 @@ class TextNorm:
             txts.append([src_lang, sil])
         if sub_list[0]["start"] < start_time:
             txts.append([src_lang, words[0]])
+        elif target_transcript:
+            # word 0 itself is inside the edit region: emit the replacement
+            # here (the reference, frontend.py:78-88, starts its replacement
+            # loop at i=1 and silently LOSES the edited text when the region
+            # covers only the first word — not replicated)
+            txts.append([tar_lang, target_transcript])
+            target_transcript = ""
         for i in range(1, len(sub_list)):
             if sub_list[i]["start"] >= start_time and sub_list[i]["end"] <= end_time:
                 txts.append([tar_lang, target_transcript])
@@ -196,7 +203,9 @@ class TextNorm:
         src_lang: str,
     ) -> List[List[str]]:
         """Keep only words inside [start, end] with pause tokens
-        (reference ``frontend.py:112-139``)."""
+        (reference ``frontend.py:112-139``; NOTE the first word checks only
+        ``start_time <= start`` — not its end — exactly like the reference
+        ``:125``)."""
         txts: List[List[str]] = []
         words = [x["word"] for x in sub_list]
         if start_time <= sub_list[0]["start"]:
@@ -276,6 +285,14 @@ class TextNorm:
                     res.pop()
                 res.append(t)
                 continue
+            elif _HAN_RE.search(t):
+                # raw hanzi reaching this point means no Chinese G2P was
+                # available upstream (no pypinyin/lexicon) — keep char tokens
+                # rather than feeding CJK to an espeak voice that can't read
+                # it (espeak has no zh backend here, frontend.py langs map)
+                if res and res[-1] == "_":
+                    res.pop()
+                res += ["(zh)"] + list(t)
             else:
                 if res and res[-1] == "_":
                     res.pop()

@@ -98,7 +98,11 @@ def apply_tone_sandhi(chars: str, pinyin: Sequence[str]) -> List[str]:
     for i in range(n):
         nxt = _tone_of(py[i + 1]) if i + 1 < n else ""
         if chars[i] == "不":
-            py[i] = _with_tone(py[i], "2" if nxt == "4" else "4")
+            # only the 2-before-4 rule; never retone otherwise (a neutral
+            # bu5 from pypinyin, e.g. 对不起, must stay neutral — reference
+            # change_tone_in_bu_or_yi :134-136 likewise only sets bu2)
+            if nxt == "4":
+                py[i] = _with_tone(py[i], "2")
         elif chars[i] == "一" and i + 1 < n:
             if nxt == "4":
                 py[i] = _with_tone(py[i], "2")

@@ -84,3 +84,40 @@ def test_audio_codec_wrappers_gated():
             assert "optional" in str(e)
         except Exception as e:  # dep present: constructor may fail elsewhere
             pytest.skip(f"optional dep installed, other error: {e}")
+
+
+def test_review_fixes_text_frontend():
+    """Regressions for the text-review findings."""
+    import warnings
+
+    from lemas_tts_tpu.text.cn_tn import NSWNormalizer, num_to_chinese
+    from lemas_tts_tpu.text.en_tn import expand_numbers
+    from lemas_tts_tpu.text.pinyin import apply_tone_sandhi
+
+    # linking 零 for lower groups with leading zeros
+    assert num_to_chinese("20034") == "二万零三十四"
+    assert num_to_chinese("10000234") == "一千万零二百三十四"
+    # zero-padded minutes
+    assert NSWNormalizer().normalize("8:05") == "八点零五分"
+    # neutral-tone 不 stays neutral; 2-before-4 still applies
+    assert apply_tone_sandhi("对不起", ["dui4", "bu5", "qi3"]) == \
+        ["dui4", "bu5", "qi3"]
+    assert apply_tone_sandhi("不是", ["bu4", "shi4"]) == ["bu2", "shi4"]
+    # hyphenated ordinals
+    assert "twenty-first" in expand_numbers("21st")
+    assert "thirty-second" in expand_numbers("32nd")
+
+    # add_sil: edit covering only the first word keeps the target text
+    from lemas_tts_tpu.text.frontend import TextNorm
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tn = TextNorm(dtype="char")
+    subs = [dict(word="hello", start=0.0, end=0.5),
+            dict(word="world", start=0.6, end=1.0)]
+    out = tn.add_sil(subs, 0.0, 0.55, "HI", "(en)", "(en)")
+    assert any("HI" in seg for _, seg in out), out
+
+    # raw hanzi fallback tokens never route through espeak
+    phones = tn.txt2pin_phns("你好")
+    assert "(zh)" in phones and "你" in phones

@@ -99,7 +99,7 @@ def cfm_training_loss(
     langs = batch["langs"]
     B, T, D = mel.shape
 
-    r_frac, r_span, r_noise, r_time, r_pdrop = jax.random.split(rng, 5)
+    r_frac, r_span, r_noise, r_time, r_pdrop, r_dropout = jax.random.split(rng, 6)
 
     mask = lens_to_mask(lens, T)
     frac = jax.random.uniform(
@@ -133,8 +133,9 @@ def cfm_training_loss(
                 prosody_text_cond = prosody_text_cond * (
                     jax.random.bernoulli(kt, keep, prosody_text_cond.shape) / keep
                 )
-        proj = prosody_mel_cond @ prosody_params["kernel"] + prosody_params["bias"]
-        cond = cond + proj[:, :T, :]
+        proj = (prosody_mel_cond[:, :T, :] @ prosody_params["kernel"]
+                + prosody_params["bias"])
+        cond = cond + proj
 
     # NOTE: the prosody projection is added BEFORE grad_reverse, exactly as the
     # reference does (cfm.py:612-624) — which means prosody_to_mel receives
@@ -147,11 +148,19 @@ def cfm_training_loss(
         dit_params, phi, cond_grl, text, time, mask,
         drop_audio_cond=drop_audio_cond, drop_text=drop_text,
         prosody_text=prosody_text_cond,
+        deterministic=False,  # training: arch.dropout is live (reference
+        # Attention/FeedForward Dropout, modules.py:342-353,412-414)
+        rngs={"dropout": r_dropout},
     )
 
     # --- flow loss: clamped masked MSE (cfm.py:647-661)
     pred_clamp = jnp.clip(pred.astype(jnp.float32), -20.0, 20.0)
-    per_elem = jnp.square(pred_clamp - flow.astype(jnp.float32))
+    diff = pred_clamp - flow.astype(jnp.float32)
+    # sanitize per-element BEFORE the reduction (double-where): a scalar
+    # where() only fixes the forward value — its backward multiplies the
+    # zero cotangent by NaN, poisoning every grad through clip_by_global_norm
+    diff = jnp.where(jnp.isfinite(diff), diff, 0.0)
+    per_elem = jnp.square(diff)
     mexp = rand_span_mask[..., None].astype(jnp.float32)
     denom = jnp.maximum(mexp.sum() * D, 1.0)
     loss = (per_elem * mexp).sum() / denom
@@ -179,12 +188,15 @@ def cfm_training_loss(
             blank_id=vocab_size,
         )
         per_sample = per_sample / jnp.maximum(lens.astype(jnp.float32), 1.0)
-        per_sample = jnp.where(
-            jnp.isnan(per_sample) | (per_sample > 300.0), 300.0, per_sample
-        )
+        bad = jnp.isnan(per_sample) | (per_sample > 300.0)
+        # double-where: the inner where zeroes the NaN on the grad path so
+        # the outer clamp's zero cotangent never multiplies a NaN
+        per_sample = jnp.where(bad, 300.0, jnp.where(bad, 0.0, per_sample))
         sel = (time > 0.5).astype(jnp.float32)
         n_sel = sel.sum()
         ctc_mean = (per_sample * sel).sum() / jnp.maximum(n_sel, 1.0)
+        # n_sel > 2: the reference's exact activation gate (cfm.py:679) —
+        # with global batch <= 2 the CTC term never fires, by design
         use_ctc = (n_sel > 2) & jnp.isfinite(ctc_mean) & (ctc_mean > 1e-6)
         ctc_loss_val = jnp.where(use_ctc, ctc_mean, 0.0)
         total = total + ctc_weight * ctc_loss_val

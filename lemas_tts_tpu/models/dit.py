@@ -108,7 +108,7 @@ class _ScanBlock(nn.Module):
     compute_dtype: jnp.dtype
 
     @nn.compact
-    def __call__(self, x, t_emb, mask, rope):
+    def __call__(self, x, t_emb, mask, rope, deterministic=True):
         x = DiTBlock(
             dim=self.arch.dim,
             heads=self.arch.heads,
@@ -117,9 +117,11 @@ class _ScanBlock(nn.Module):
             qk_norm=self.arch.qk_norm,
             pe_attn_head=self.arch.pe_attn_head,
             attn_backend=self.attn_backend,
+            dropout=self.arch.dropout,
             compute_dtype=self.compute_dtype,
             name="block",
-        )(x, t_emb, mask=mask, rope_angles_arr=rope)
+        )(x, t_emb, mask=mask, rope_angles_arr=rope,
+          deterministic=deterministic)
         return x, None
 
 
@@ -156,8 +158,8 @@ class DiT(nn.Module):
         self.blocks = nn.scan(
             block_cls,
             variable_axes={"params": 0},
-            split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             length=a.depth,
             unroll=self.scan_unroll,
         )(arch=a, attn_backend=self.attn_backend, compute_dtype=self.compute_dtype)
@@ -183,6 +185,7 @@ class DiT(nn.Module):
         drop_text: bool = False,
         text_embed: Optional[jax.Array] = None,  # precomputed [B, N, text_dim]
         prosody_text: Optional[jax.Array] = None,  # [B, T_text, 512]
+        deterministic: bool = True,  # False = training (arch.dropout active)
     ) -> jax.Array:
         B, N, _ = x.shape
         if time.ndim == 0:
@@ -210,7 +213,7 @@ class DiT(nn.Module):
         rope = rope_angles(N, self.arch.dim_head)
         if self.arch.long_skip_connection:
             residual = h
-        h, _ = self.blocks(h, t_emb, mask, rope)
+        h, _ = self.blocks(h, t_emb, mask, rope, deterministic)
         if self.arch.long_skip_connection:
             h = self.long_skip(jnp.concatenate([h, residual], axis=-1))
 

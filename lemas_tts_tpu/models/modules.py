@@ -202,18 +202,20 @@ class RMSNorm(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """Linear → GELU(tanh) → Linear (``modules.py:342-353``; dropout is
-    inference-irrelevant and omitted from the graph)."""
+    """Linear → GELU(tanh) → Dropout → Linear (``modules.py:342-353``;
+    dropout active only under ``deterministic=False`` — the trainer's path)."""
 
     dim: int
     mult: int = 4
+    dropout: float = 0.0
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         inner = int(self.dim * self.mult)
         h = nn.Dense(inner, dtype=self.compute_dtype, name="in_proj")(x)
         h = jax.nn.gelu(h, approximate=True)
+        h = nn.Dropout(self.dropout, name="drop")(h, deterministic=deterministic)
         return nn.Dense(self.dim, dtype=self.compute_dtype, name="out_proj")(h)
 
 
@@ -227,6 +229,7 @@ class Attention(nn.Module):
     qk_norm: Optional[str] = None
     pe_attn_head: Optional[int] = None  # rope on first k heads only, None = all
     attn_backend: str = "xla"
+    dropout: float = 0.0
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -235,6 +238,7 @@ class Attention(nn.Module):
         x: jax.Array,  # [B, N, D]
         mask: Optional[jax.Array] = None,  # [B, N] key-padding, True = keep
         rope_angles_arr: Optional[jax.Array] = None,  # [N, dim_head//2]
+        deterministic: bool = True,
     ) -> jax.Array:
         B, N, _ = x.shape
         inner = self.heads * self.dim_head
@@ -267,6 +271,8 @@ class Attention(nn.Module):
         out = attention(q, k, v, mask=mask, backend=self.attn_backend)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
         out = nn.Dense(self.dim, dtype=self.compute_dtype, name="to_out")(out)
+        # reference to_out = [Linear, Dropout] (modules.py:412-414)
+        out = nn.Dropout(self.dropout, name="drop")(out, deterministic=deterministic)
         if mask is not None:
             out = jnp.where(mask[..., None], out, 0.0)  # zero padded queries
         return out
@@ -322,10 +328,12 @@ class DiTBlock(nn.Module):
     qk_norm: Optional[str] = None
     pe_attn_head: Optional[int] = None
     attn_backend: str = "xla"
+    dropout: float = 0.0
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, t_emb, mask=None, rope_angles_arr=None):
+    def __call__(self, x, t_emb, mask=None, rope_angles_arr=None,
+                 deterministic: bool = True):
         norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaLayerNorm(
             self.dim, compute_dtype=self.compute_dtype, name="attn_norm"
         )(x, t_emb)
@@ -336,9 +344,11 @@ class DiTBlock(nn.Module):
             qk_norm=self.qk_norm,
             pe_attn_head=self.pe_attn_head,
             attn_backend=self.attn_backend,
+            dropout=self.dropout,
             compute_dtype=self.compute_dtype,
             name="attn",
-        )(norm, mask=mask, rope_angles_arr=rope_angles_arr)
+        )(norm, mask=mask, rope_angles_arr=rope_angles_arr,
+          deterministic=deterministic)
         x = x + gate_msa[:, None] * attn_out
 
         normed = nn.LayerNorm(
@@ -346,6 +356,7 @@ class DiTBlock(nn.Module):
         )(x).astype(x.dtype)
         normed = normed * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
         ff_out = FeedForward(
-            self.dim, mult=self.ff_mult, compute_dtype=self.compute_dtype, name="ff"
-        )(normed)
+            self.dim, mult=self.ff_mult, dropout=self.dropout,
+            compute_dtype=self.compute_dtype, name="ff"
+        )(normed, deterministic=deterministic)
         return x + gate_mlp[:, None] * ff_out

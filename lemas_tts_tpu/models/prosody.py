@@ -160,7 +160,8 @@ class AttentiveStatisticsPooling(nn.Module):
             return mean, jnp.sqrt(jnp.clip(var, LN_EPS))
 
         if self.global_context:
-            total = m.sum(axis=1, keepdims=True)
+            # clamp like SEBlock: a fully-masked (dummy) row must not 0/0-NaN
+            total = jnp.clip(m.sum(axis=1, keepdims=True), 1.0)
             mean, std = stats(x, m / total)
             attn_in = jnp.concatenate(
                 [x,
@@ -173,7 +174,8 @@ class AttentiveStatisticsPooling(nn.Module):
 
         attn = TDNNBlock(self.attention_channels, 1, 1, name="tdnn")(attn_in)
         attn = nn.Conv(self.channels, (1,), name="conv")(jnp.tanh(attn))
-        attn = jnp.where(m == 0, -jnp.inf, attn)
+        # finite mask value: -inf on a fully-masked row makes the softmax NaN
+        attn = jnp.where(m == 0, -1e30, attn)
         attn = jax.nn.softmax(attn, axis=1)
         mean, std = stats(x, attn)
         return jnp.concatenate([mean, std], axis=-1)[:, None, :]  # [B, 1, 2C]

@@ -57,6 +57,11 @@ def detect_silence(
             s = _samples(start_ms, sr)
             if dbfs(x[s : s + win]) < silence_thresh:
                 silence_starts.append(start_ms)
+    if last_start > 0 and last_start % seek_step:
+        # pydub always tests the final (unaligned) window too
+        s = _samples(last_start, sr)
+        if dbfs(x[s : s + win]) < silence_thresh:
+            silence_starts.append(last_start)
     if not silence_starts:
         return []
     # merge overlapping windows
@@ -94,12 +99,21 @@ def split_on_silence(
     x: np.ndarray, sr: int, min_silence_len: int = 1000,
     silence_thresh: float = -50.0, keep_silence: int = 1000, seek_step: int = 10,
 ) -> list[np.ndarray]:
-    """Non-silent chunks padded by keep_silence ms (clamped at clip edges)."""
+    """Non-silent chunks padded by keep_silence ms. Overlapping padded ranges
+    are split at their midpoint (pydub.silence.split_on_silence semantics —
+    without this, audio between nearby chunks appears in BOTH, stuttering the
+    stitched reference)."""
     spans = detect_nonsilent(x, sr, min_silence_len, silence_thresh, seek_step)
+    ranges = [[s - keep_silence, e + keep_silence] for s, e in spans]
+    for cur, nxt in zip(ranges, ranges[1:]):
+        if nxt[0] < cur[1]:
+            mid = (cur[1] + nxt[0]) // 2
+            cur[1] = mid
+            nxt[0] = mid
     out = []
-    for s, e in spans:
-        s2 = max(0, _samples(s - keep_silence, sr))
-        e2 = min(len(x), _samples(e + keep_silence, sr))
+    for s, e in ranges:
+        s2 = max(0, _samples(s, sr))
+        e2 = min(len(x), _samples(e, sr))
         out.append(x[s2:e2])
     return out
 

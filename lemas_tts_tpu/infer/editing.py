@@ -50,11 +50,11 @@ class EditSpec:
 def parse_align_json(path_or_dict, margin: float = 0.1) -> EditSpec:
     """Alignment JSON → :class:`EditSpec`
     (reference ``speech_edit_multilingual.py:229-258``)."""
-    data = (
-        path_or_dict
-        if isinstance(path_or_dict, dict)
-        else json.loads(open(path_or_dict, "r", encoding="utf-8").read())
-    )
+    if isinstance(path_or_dict, dict):
+        data = path_or_dict
+    else:
+        with open(path_or_dict, "r", encoding="utf-8") as f:
+            data = json.load(f)
     utt_start, utt_end = data["interval"]
     start_idx, end_idx = data["modified_index"]
     words = data["words"]
@@ -65,6 +65,9 @@ def parse_align_json(path_or_dict, margin: float = 0.1) -> EditSpec:
     word_start = words[start_idx]["interval"][0]
     word_end = words[end_idx - 1]["interval"][1]
     edit_start = max(0.0, word_start - utt_start - margin)
+    # NOTE asymmetric on purpose: the margin sits on the CLAMP bound, exactly
+    # like the reference (:251); the symmetric ±margin is applied again by
+    # build_edit_mask (reference gen_wav :130-131)
     edit_end = min(word_end - utt_start, utt_end - utt_start + margin)
     orig, new = data["modified_text"]
     target_text = data["display_text"].replace(orig, new)
@@ -170,6 +173,39 @@ def edit_speech(
     noise_seed = seed if seed is not None else int(rng.integers(2**31 - 1))
     noise = jax.random.normal(jax.random.key(noise_seed), (N, D), jnp.float32)
 
+    # optional conditioning paths — the reference edit CLI forwards these
+    # into the same sampler as TTS (speech_edit_multilingual.py:175-189)
+    cond_mean = cond_mel[:frames].mean(axis=0, keepdims=True)
+    prosody_text = None
+    if (
+        cfg.use_prosody_encoder
+        and synth.prosody_encoder is not None
+        and synth.prosody_to_mel is not None
+    ):
+        wav16 = np.asarray(resample(jnp.asarray(audio), tgt_sr, 16000))
+        emb = np.asarray(synth.prosody_encoder.embed(wav16))  # [512]
+        w, b = (np.asarray(synth.prosody_to_mel["kernel"]),
+                np.asarray(synth.prosody_to_mel["bias"]))
+        cond[:, :frames] += (emb @ w + b)[None, None, :]
+        prosody_text = np.broadcast_to(
+            emb[None, None, :], (1, nt, emb.shape[-1])
+        ).astype(np.float32)
+
+    step_cond = None
+    if cfg.use_acc_grl and cfg.ref_ratio is not None and cfg.ref_ratio < 1:
+        from lemas_tts_tpu.infer.pipeline import clip_and_shuffle
+
+        shuffled = clip_and_shuffle(
+            cond_mel[:frames], cfg.ref_ratio, int(tgt_sr / hop), rng
+        )
+        step_cond = cond.copy()
+        step_cond[0, :frames] = shuffled
+
+    if cfg.no_ref_audio:  # cfm.py:320-324
+        random_cond = rng.standard_normal(cond.shape).astype(np.float32) * 0.1 + cond_mean
+        random_cond = random_cond / random_cond.mean(axis=1, keepdims=True) * cond_mean
+        cond = random_cond
+
     settings = SamplerSettings(
         steps=cfg.nfe_steps,
         cfg_strength=cfg.cfg_strength,
@@ -183,9 +219,16 @@ def edit_speech(
         jnp.asarray(text_ids),
         jnp.asarray([duration], dtype=jnp.int32),
         noise[None],
-        None,
+        None if step_cond is None else jnp.asarray(step_cond),
+        None if prosody_text is None else jnp.asarray(prosody_text),
     )
-    out = np.asarray(out, dtype=np.float32)  # [1, N, D]
+    # np.array (copy): jax arrays view read-only; no_ref_audio mutates below
+    out = np.array(out, dtype=np.float32)  # [1, N, D]
+    if cfg.no_ref_audio:  # mean re-alignment (cfm.py:464-467)
+        gen = ~keep[0, :duration]
+        if gen.any():
+            region = out[0, :duration][gen]
+            out[0, :duration][gen] = region - (region.mean(axis=0) - cond_mean[0])
 
     mel = out[0, :duration, :]  # full sequence, kept frames bit-exact
     waves = synth.vocode_batch([mel])

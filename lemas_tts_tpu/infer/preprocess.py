@@ -44,7 +44,10 @@ def preprocess_ref_audio_text(
         wav = clip_ref_audio(wav, sr, show_info=show_info)
 
     if not ref_text.strip():
-        audio_hash = hashlib.md5(wav.tobytes()).hexdigest()
+        # key includes the sample rate (identical bytes at different rates are
+        # different audio); FIFO bound keeps a long-lived server from growing
+        # the cache without limit
+        audio_hash = hashlib.md5(f"{sr}:".encode() + wav.tobytes()).hexdigest()
         if audio_hash in _ref_audio_cache:
             show_info("Using cached reference text...")
             ref_text = _ref_audio_cache[audio_hash]
@@ -56,6 +59,8 @@ def preprocess_ref_audio_text(
                 from lemas_tts_tpu.infer.asr import transcribe
 
                 ref_text = transcribe((wav, sr))
+            if len(_ref_audio_cache) >= 256:
+                _ref_audio_cache.pop(next(iter(_ref_audio_cache)))
             _ref_audio_cache[audio_hash] = ref_text
     else:
         show_info("Using custom reference text...")

@@ -23,14 +23,31 @@ def _get() -> Optional[ctypes.CDLL]:
         _checked = True
         lib = load_library("audioproc")
         if lib is not None:
+            # full argtypes: without them ctypes passes Python ints as 32-bit
+            # C int, silently masking int64_t lengths (>2 GB blobs / >2^31
+            # samples would corrupt)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            i32, i64 = ctypes.c_int32, ctypes.c_int64
             lib.audioproc_wav_info.restype = ctypes.c_int
+            lib.audioproc_wav_info.argtypes = [
+                u8p, i64, ctypes.POINTER(i32), ctypes.POINTER(i32),
+                ctypes.POINTER(i64)]
             lib.audioproc_wav_decode.restype = ctypes.c_int
+            lib.audioproc_wav_decode.argtypes = [u8p, i64, f32p]
             lib.audioproc_wav_encode.restype = ctypes.c_int64
+            lib.audioproc_wav_encode.argtypes = [f32p, i64, i32, i32, u8p]
             lib.audioproc_resample.restype = ctypes.c_int
+            lib.audioproc_resample.argtypes = [f32p, i64, i32, i32, f32p]
             lib.audioproc_resample_len.restype = ctypes.c_int64
+            lib.audioproc_resample_len.argtypes = [i64, i32, i32]
             lib.audioproc_scan_dbfs.restype = ctypes.c_int64
+            lib.audioproc_scan_dbfs.argtypes = [f32p, i64, i32, i32, i32,
+                                                f32p, i64]
             lib.audioproc_rms.restype = ctypes.c_double
+            lib.audioproc_rms.argtypes = [f32p, i64]
             lib.audioproc_version.restype = ctypes.c_char_p
+            lib.audioproc_version.argtypes = []
         _lib = lib
     return _lib
 

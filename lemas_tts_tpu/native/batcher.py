@@ -108,11 +108,22 @@ class Batcher:
                  max_wait_ms: float = 20.0, force_python: bool = False):
         self._lib = None if force_python else load_library("scheduler")
         wait_us = int(max_wait_ms * 1000)
+        # same clamp as the C++ side (scheduler.cpp:57) — the Python-held
+        # max_batch sizes the ctypes output arrays, so it must never be < 1
+        max_batch = max(1, int(max_batch))
         if self._lib is not None:
-            self._lib.batcher_create.restype = ctypes.c_void_p
+            i64 = ctypes.c_int64
+            vp = ctypes.c_void_p
+            self._lib.batcher_create.restype = vp
+            self._lib.batcher_create.argtypes = [i64, i64, i64]
+            self._lib.batcher_close.argtypes = [vp]
             self._lib.batcher_submit.restype = ctypes.c_uint64
-            self._lib.batcher_next_batch.restype = ctypes.c_int64
-            self._lib.batcher_depth.restype = ctypes.c_int64
+            self._lib.batcher_submit.argtypes = [vp, i64, i64]
+            self._lib.batcher_next_batch.restype = i64
+            self._lib.batcher_next_batch.argtypes = [
+                vp, ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(i64), i64]
+            self._lib.batcher_depth.restype = i64
+            self._lib.batcher_depth.argtypes = [vp]
             self._h = ctypes.c_void_p(
                 self._lib.batcher_create(max_batch, max_cost, wait_us)
             )

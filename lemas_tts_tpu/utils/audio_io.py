@@ -52,7 +52,6 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
                 return decoded
         except Exception:
             pass
-    if path.lower().endswith(".wav"):
         try:
             return _read_wav_stdlib(path)
         except Exception:
@@ -65,16 +64,22 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
     except Exception:
         pass
     if shutil.which("ffmpeg"):
-        out = subprocess.run(
-            ["ffmpeg", "-v", "quiet", "-i", path, "-f", "f32le", "-ac", "1", "-"],
-            capture_output=True, check=True,
-        ).stdout
+        try:
+            out = subprocess.run(
+                ["ffmpeg", "-v", "quiet", "-i", path, "-f", "f32le", "-ac", "1", "-"],
+                capture_output=True, check=True,
+            ).stdout
+        except subprocess.CalledProcessError:
+            raise RuntimeError(f"cannot decode audio file: {path}")
         probe = subprocess.run(
-            ["ffprobe", "-v", "quiet", "-show_entries", "stream=sample_rate",
-             "-of", "csv=p=0", path],
+            # -select_streams a:0 — containers may list a video stream first,
+            # whose sample_rate field is empty
+            ["ffprobe", "-v", "quiet", "-select_streams", "a:0",
+             "-show_entries", "stream=sample_rate", "-of", "csv=p=0", path],
             capture_output=True, text=True,
         ).stdout.strip()
-        sr = int(probe.splitlines()[0]) if probe else 24000
+        rate_line = next((ln for ln in probe.splitlines() if ln.strip()), "")
+        sr = int(rate_line) if rate_line.strip().isdigit() else 24000
         return np.frombuffer(out, dtype=np.float32)[None, :], sr
     raise RuntimeError(f"cannot decode audio file: {path}")
 

@@ -137,6 +137,15 @@ class TTS:
         try:
             self.jax_device = jax.devices(self.platform)[0]
         except RuntimeError:
+            if device:
+                # an EXPLICIT device request must fail loudly — silently
+                # substituting another platform would hide the problem and
+                # defeat the CLI's advertised tpu→cpu fallback handling
+                raise RuntimeError(
+                    f"requested device {device!r} has no available jax "
+                    f"devices (platforms here: "
+                    f"{ {d.platform for d in jax.devices()} })"
+                )
             self.jax_device = jax.devices()[0]
             self.platform = self.jax_device.platform
         if compute_dtype is None:

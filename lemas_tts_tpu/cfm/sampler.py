@@ -73,6 +73,10 @@ def sway_time_grid(
     ``cfm.py:447-453``)."""
     sway_max = compute_sway_max(steps, t_start=t_start)
     coef = sway_max if sway_sampling_coef is None else min(sway_max, float(sway_sampling_coef))
+    # coef < -1 would make the exponent negative: 0**(1+coef) = inf → NaN
+    # mel. coef == -1 (the gradio slider minimum) degenerates to an all-ones
+    # grid in the reference too; we only guard the NaN region below it.
+    coef = max(coef, -1.0)
     t = np.linspace(t_start, 1.0, steps + 1, dtype=np.float64)
     return (t ** (1.0 + coef)).astype(np.float32)
 
@@ -149,6 +153,8 @@ def sample_mel(
     else:
 
         def velocity(t, x):
+            # no clamp here on purpose: the reference's no-CFG early return
+            # (cfm.py:405) exits BEFORE the ±20 clamp at :424
             return model.apply(
                 params, x, step_cond, None, jnp.broadcast_to(t, (B,)), attn_mask,
                 text_embed=te_cond, prosody_text=prosody_text,

@@ -20,6 +20,8 @@ import threading
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
+import numpy as np
+
 _model_cache: Dict[tuple, object] = {}
 _cache_lock = threading.Lock()
 
@@ -89,6 +91,16 @@ def system_stats() -> str:
     return "\n".join(lines)
 
 
+
+def _to_float_audio(wav: "np.ndarray") -> "np.ndarray":
+    """Gradio numpy audio → float32 in [-1, 1]; integer dtypes scale by
+    their own full-scale value (int16 vs int32 uploads differ by 65536×)."""
+    wav = np.asarray(wav)
+    if wav.dtype.kind == "i":
+        wav = wav.astype(np.float32) / float(np.iinfo(wav.dtype).max + 1)
+    return wav.astype(np.float32)
+
+
 def build_app(args):
     import gradio as gr
     import numpy as np
@@ -100,17 +112,21 @@ def build_app(args):
             return None
         from lemas_tts_tpu.uvr5 import UVR5
 
+        if not (args.uvr5_model and Path(args.uvr5_model).is_file()):
+            raise gr.Error(
+                "denoising requires --uvr5_model MDX weights; refusing to "
+                "run a randomly initialized separator on your audio"
+            )
         if "uvr" not in uvr_holder:
-            uvr_holder["uvr"] = UVR5(model_path=args.uvr5_model or None)
+            uvr_holder["uvr"] = UVR5(model_path=args.uvr5_model)
         sr, wav = audio
-        wav = np.asarray(wav)
-        if wav.dtype.kind == "i" or np.abs(wav).max() > 2.0:
-            wav = wav.astype(np.float32) / 32768.0
-        wav = wav.astype(np.float32)
+        wav = _to_float_audio(wav)
         if wav.ndim == 2:
             wav = wav.T  # gradio gives [T, ch]
         den, out_sr = uvr_holder["uvr"].denoise(wav, sr)
-        return out_sr, (den * 32767).astype(np.int16)
+        # clip before the int16 cast: separation output is not peak-
+        # normalized and overflow would wrap into loud clicks
+        return out_sr, (np.clip(den, -1.0, 1.0) * 32767).astype(np.int16)
 
     def infer_fn(ref_audio, ref_text, gen_text, nfe_step, cfg_strength,
                  sway, ref_ratio, speed, separate_langs, remove_silence,
@@ -118,9 +134,7 @@ def build_app(args):
         if ref_audio is None or not gen_text:
             raise gr.Error("reference audio and generation text are required")
         sr, wav = ref_audio
-        wav = np.asarray(wav)
-        if wav.dtype.kind == "i":
-            wav = wav.astype(np.float32) / 32768.0
+        wav = _to_float_audio(wav)
         if wav.ndim == 2:
             wav = wav.T.mean(axis=0)
         tts = get_tts(args.model, args.ckpt_file, args.vocab_file,
@@ -133,20 +147,26 @@ def build_app(args):
         with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
             write_wav(f.name, wav.astype(np.float32), sr)
             ref_path = f.name
-        wave, out_sr, _ = tts.infer(
-            ref_path, ref_text or "", gen_text,
-            nfe_step=int(nfe_step), cfg_strength=float(cfg_strength),
-            sway_sampling_coef=float(sway),
-            use_acc_grl=ref_ratio < 1,  # the GRL shuffle path gates ref_ratio
-            ref_ratio=float(ref_ratio) if ref_ratio < 1 else None,
-            speed=float(speed), separate_langs=bool(separate_langs),
-            seed=seed, show_info=lambda *a, **k: None,
-        )
+        try:
+            wave, out_sr, _ = tts.infer(
+                ref_path, ref_text or "", gen_text,
+                nfe_step=int(nfe_step), cfg_strength=float(cfg_strength),
+                sway_sampling_coef=float(sway),
+                use_acc_grl=ref_ratio < 1,  # the GRL shuffle path gates ref_ratio
+                ref_ratio=float(ref_ratio) if ref_ratio < 1 else None,
+                speed=float(speed), separate_langs=bool(separate_langs),
+                seed=seed, show_info=lambda *a, **k: None,
+            )
+        finally:
+            import os as _os
+
+            _os.unlink(ref_path)  # one temp wav per request would fill /tmp
         if remove_silence:
             from lemas_tts_tpu.infer.audio_prep import remove_long_silence
 
             wave = remove_long_silence(np.asarray(wave), out_sr)
-        return (out_sr, (np.asarray(wave) * 32767).astype(np.int16)), str(tts.seed)
+        return (out_sr, (np.clip(np.asarray(wave), -1.0, 1.0) * 32767)
+                .astype(np.int16)), str(tts.seed)
 
     with gr.Blocks(title="lemas-tts-tpu") as app:
         gr.Markdown("# lemas-tts-tpu — zero-shot multilingual TTS (TPU)")

@@ -101,9 +101,18 @@ def main(argv=None) -> int:
 
     ref_audio = args.ref_audio
     if args.denoise:
+        from pathlib import Path
+
         from lemas_tts_tpu.uvr5 import UVR5
 
-        uvr = UVR5(model_path=args.uvr5_model or None)
+        if not (args.uvr5_model and Path(args.uvr5_model).is_file()):
+            # an explicit --denoise with no weights must not silently run a
+            # random-init separator over the reference (garbage conditioning)
+            print("[tts] --denoise requires --uvr5_model pointing at MDX "
+                  "weights (.onnx/.ckpt); refusing to denoise with a "
+                  "randomly initialized network", file=sys.stderr)
+            return 2
+        uvr = UVR5(model_path=args.uvr5_model)
         ref_audio = uvr.denoise_file(ref_audio)
         print(f"[tts] denoised reference → {ref_audio}")
 

@@ -83,9 +83,15 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
                 floats.extend(np.frombuffer(val, np.float32))
             else:
                 floats.append(np.frombuffer(val, np.float32)[0])
-        elif field == 7:  # int64_data
+        elif field == 7:  # int64_data (unpacked varints OR packed wire 2 —
+            # proto3 packs repeated scalars by default)
             if wire == 0:
                 int64s.append(val)
+            elif wire == 2:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    int64s.append(v)
         elif field == 8:
             name = val.decode("utf-8")
         elif field == 9:
@@ -95,7 +101,9 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
     elif floats:
         arr = np.asarray(floats, dtype=np.float32)
     elif int64s:
-        arr = np.asarray(int64s, dtype=np.int64)
+        # varints are unsigned on the wire: wrap to two's complement so a
+        # stored -1 (common axis constant) doesn't OverflowError
+        arr = np.asarray(int64s, dtype=np.uint64).astype(np.int64)
     else:
         arr = np.zeros(0, dtype=dtype)
     return name, arr.reshape(dims) if dims else arr

@@ -78,11 +78,15 @@ def combine_spectrograms(specs: Dict[int, np.ndarray],
     """Stack per-band spectrogram crops into one full-band spectrogram
     (reference ``combine_spectrograms``, ``:154-178``). ``bands[d]`` has
     ``crop_start``/``crop_stop``; band d+1 is keyed ``d+1`` in ``specs``."""
-    out = np.zeros((2, total_bins + 1, specs[1].shape[2]), np.complex64)
+    # bands resampled to different rates can differ by a frame or two —
+    # trim to the shortest, like the reference's `l = min(...)` (:157)
+    frames = min(s.shape[2] for s in specs.values())
+    out = np.zeros((2, total_bins + 1, frames), np.complex64)
     offset = 0
     for d, band in enumerate(bands, start=1):
         h = band["crop_stop"] - band["crop_start"]
-        out[:, offset : offset + h] = specs[d][:, band["crop_start"]:band["crop_stop"]]
+        out[:, offset : offset + h] = \
+            specs[d][:, band["crop_start"]:band["crop_stop"], :frames]
         offset += h
     if offset > total_bins:
         raise ValueError("too many crops")
@@ -151,34 +155,37 @@ def adjust_aggr(mask: np.ndarray, is_non_accom_stem: bool,
 
 def merge_artifacts(y_mask: np.ndarray, thres: float = 0.01,
                     min_range: int = 64, fade_size: int = 32) -> np.ndarray:
-    """Bridge short active gaps in a time mask with linear fades
-    (reference ``merge_artifacts``, ``:216-264``)."""
+    """Raise the mask toward 1 over long fully-active frame ranges, with
+    linear fade ramps at the range edges (reference ``merge_artifacts``,
+    ``:216-264``: ``y_mask += weight * (1 - y_mask)``)."""
+    if min_range < fade_size * 2:
+        raise ValueError("min_range must be >= fade_size * 2")
     mask = np.array(y_mask, copy=True)
-    idx = np.where(y_mask.min(axis=(0, 1)) > thres)[0]
-    if len(idx) == 0:
+    active = np.where(y_mask.min(axis=(0, 1)) > thres)[0]
+    if len(active) == 0:
         return mask
-    start, end = idx[0], idx[-1] + 1
-    if end - start > min_range:
+    breaks = np.where(np.diff(active) != 1)[0]
+    starts = np.insert(active[breaks + 1], 0, active[0])
+    ends = np.append(active[breaks], active[-1])
+    long_enough = np.where(ends - starts > min_range)[0]
+    weight = np.zeros_like(mask)
+    if len(long_enough) > 0:
         old_e = None
-        for s, e in _active_ranges(y_mask.min(axis=(0, 1)) > thres):
-            if old_e is not None and s - old_e < fade_size * 2:
-                mask[:, :, old_e:s] = 1.0  # bridge the gap
+        for s, e in zip(starts[long_enough], ends[long_enough]):
+            s, e = int(s), int(e)
+            if old_e is not None and s - old_e < fade_size:
+                s = old_e - fade_size * 2
+            if s != 0:
+                weight[:, :, s : s + fade_size] = np.linspace(0, 1, fade_size)
+            else:
+                s -= fade_size
+            if e != mask.shape[2]:
+                weight[:, :, e - fade_size : e] = np.linspace(1, 0, fade_size)
+            else:
+                e += fade_size
+            weight[:, :, s + fade_size : e - fade_size] = 1.0
             old_e = e
-    return mask
-
-
-def _active_ranges(active: np.ndarray):
-    out = []
-    s = None
-    for i, a in enumerate(active):
-        if a and s is None:
-            s = i
-        elif not a and s is not None:
-            out.append((s, i))
-            s = None
-    if s is not None:
-        out.append((s, len(active)))
-    return out
+    return mask + weight * (1.0 - mask)
 
 
 def normalize(wave: np.ndarray, is_normalize: bool = False) -> np.ndarray:

@@ -128,3 +128,39 @@ def test_pyrb_and_augment_audio_gated(tmp_path):
     else:
         with pytest.raises(RuntimeError, match="rubberband"):
             augment_audio(str(tmp_path / "out.wav"), str(src), 1.5)
+
+
+def test_merge_artifacts_reference_fades():
+    import numpy as np
+    import pytest
+
+    from lemas_tts_tpu.uvr5.spec_utils import merge_artifacts
+
+    with pytest.raises(ValueError, match="fade_size"):
+        merge_artifacts(np.zeros((2, 3, 100)), min_range=10, fade_size=32)
+
+    # one long active range [20, 90): fades at its edges, plateau inside
+    mask = np.zeros((1, 1, 128), np.float32)
+    mask[:, :, 20:90] = 0.5
+    out = merge_artifacts(mask, thres=0.01, min_range=16, fade_size=4)
+    assert out.shape == mask.shape
+    assert np.isclose(out[0, 0, 40], 1.0)          # plateau pushed to 1
+    assert 0.5 <= out[0, 0, 21] < 1.0              # rising fade
+    assert np.isclose(out[0, 0, 10], 0.0)          # untouched outside
+    # short active ranges are left alone
+    short = np.zeros((1, 1, 64), np.float32)
+    short[:, :, 5:10] = 0.5
+    np.testing.assert_array_equal(
+        merge_artifacts(short, min_range=16, fade_size=4), short)
+
+
+def test_combine_spectrograms_unequal_frames():
+    import numpy as np
+
+    from lemas_tts_tpu.uvr5.spec_utils import combine_spectrograms
+
+    specs = {1: np.ones((2, 12, 10), np.complex64),
+             2: np.ones((2, 12, 9), np.complex64)}
+    bands = [dict(crop_start=0, crop_stop=6), dict(crop_start=2, crop_stop=8)]
+    out = combine_spectrograms(specs, bands, total_bins=12)
+    assert out.shape == (2, 13, 9)  # trimmed to the shortest band

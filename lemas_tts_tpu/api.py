@@ -374,6 +374,23 @@ class TTS:
         return voc.init(jax.random.key(1), jnp.zeros((1, D, 8)))
 
     # ------------------------------------------------------------------- ASR
+    def prepare_units(self, text: str):
+        """One text → frontend token units, exactly as :meth:`infer` prepares
+        them (phone: ``text2phn`` split on ``|`` with ``(cmn)``→``(zh)``;
+        char: ``text2norm`` + lang tag; no frontend: raw string). Serving
+        layers must use this instead of passing raw ``text2phn`` strings —
+        ``text_to_ids`` would otherwise tokenize them character-by-character."""
+        if self.frontend is not None and self.frontend.dtype == "phone":
+            return (
+                self.frontend.text2phn(text + ". ")
+                .replace("(cmn)", "(zh)")
+                .split("|")
+            )
+        if self.frontend is not None:
+            lang, norm = self.frontend.text2norm(text + ". ")
+            return [f"({lang.replace('cmn', 'zh')})"] + list(norm)
+        return text
+
     def transcribe(self, ref_audio: str, language: Optional[str] = None) -> str:
         from lemas_tts_tpu.infer.asr import transcribe
 

@@ -86,12 +86,19 @@ class CheckpointManager:
         payload = {"step": step, "params": params, "ema_params": ema_params}
         if opt_state is not None:
             payload["opt_state"] = opt_state
-        if self.cfg.save_per_updates > 0 and step % self.cfg.save_per_updates == 0:
+        keep = self.cfg.keep_last_n_checkpoints
+        if (self.cfg.save_per_updates > 0
+                and step % self.cfg.save_per_updates == 0
+                and keep != 0):  # keep==0: don't write a snapshot only for
+            # _prune to delete it moments later (multi-GB wasted I/O)
             written = self._snap_path(step)
             self._write(written, payload)
             self._prune()
         if self.cfg.last_per_updates > 0 and step % self.cfg.last_per_updates == 0:
             self._write(self.last_path, payload)
+            if jax.process_index() == 0:  # tiny sidecar: latest_step() can
+                # read the step without restoring the multi-GB payload
+                (self.last_path / "STEP.txt").write_text(str(step))
         return written
 
     def _prune(self) -> None:
@@ -121,11 +128,21 @@ class CheckpointManager:
         return self._ckptr.restore(path.resolve())
 
     def latest_step(self) -> Optional[int]:
+        """Newest resumable step: numbered snapshots win; otherwise read the
+        step stored inside ``model_last`` (a last_per_updates-only run has no
+        numbered snapshots but IS resumable)."""
         snaps = self.snapshots()
-        if self.last_path.exists():
+        if snaps:
+            return max(snaps)
+        step_file = self.last_path / "STEP.txt"
+        if step_file.exists():
             try:
-                meta = self._ckptr.metadata(self.last_path.resolve())
-                del meta
+                return int(step_file.read_text().strip())
+            except ValueError:
+                return None
+        if self.last_path.exists():
+            try:  # older dirs without the sidecar: read the stored payload
+                return int(self._ckptr.restore(self.last_path.resolve())["step"])
             except Exception:
-                pass
-        return max(snaps) if snaps else None
+                return None
+        return None

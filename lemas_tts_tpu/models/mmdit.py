@@ -244,8 +244,15 @@ class MMDiT(nn.Module):
         drop_audio_cond: bool = False,
         drop_text: bool = False,
         text_embed: Optional[jax.Array] = None,
-        prosody_text: Optional[jax.Array] = None,  # unsupported by MMDiT
+        prosody_text: Optional[jax.Array] = None,
     ) -> jax.Array:
+        if prosody_text is not None:
+            # fail loudly rather than silently dropping the conditioning the
+            # caller believes is active (only DiT consumes prosody_text)
+            raise NotImplementedError(
+                "MMDiT does not support prosody_text conditioning; "
+                "use the DiT backbone for prosody models"
+            )
         B, N, _ = x.shape
         if time.ndim == 0:
             time = jnp.broadcast_to(time, (B,))

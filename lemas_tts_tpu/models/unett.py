@@ -97,8 +97,15 @@ class UNetT(nn.Module):
         drop_audio_cond: bool = False,
         drop_text: bool = False,
         text_embed: Optional[jax.Array] = None,
-        prosody_text: Optional[jax.Array] = None,  # unsupported by UNetT
+        prosody_text: Optional[jax.Array] = None,
     ) -> jax.Array:
+        if prosody_text is not None:
+            # fail loudly rather than silently dropping the conditioning the
+            # caller believes is active (only DiT consumes prosody_text)
+            raise NotImplementedError(
+                "UNetT does not support prosody_text conditioning; "
+                "use the DiT backbone for prosody models"
+            )
         B, N, _ = x.shape
         if time.ndim == 0:
             time = jnp.broadcast_to(time, (B,))

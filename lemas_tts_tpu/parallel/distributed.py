@@ -55,9 +55,14 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError as e:  # already initialized / single-host probe
+    except RuntimeError as e:
         if "already initialized" in str(e):
             return True
+        if on_tpu_pod or coordinator_address is not None:
+            # a CONFIGURED multi-host job must fail loudly — silently
+            # degrading to independent single-host runs makes every host
+            # train alone and write over the same checkpoint dir
+            raise
         return False
     return True
 

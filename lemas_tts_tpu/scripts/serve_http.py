@@ -26,6 +26,7 @@ import json
 import sys
 import threading
 import wave as wave_mod
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Sequence
 
@@ -49,12 +50,29 @@ def _decode_ref(payload: dict):
 
     if payload.get("ref_b64"):
         raw = base64.b64decode(payload["ref_b64"])
+        try:  # native codec handles 16/24/32-bit PCM and float32
+            from lemas_tts_tpu.native import audio as native_audio
+
+            decoded = native_audio.wav_decode(raw)
+        except Exception:
+            decoded = None
+        if decoded is not None:
+            wav, sr = decoded
+            return (wav.mean(axis=0) if wav.ndim == 2 else wav), sr
         with wave_mod.open(io.BytesIO(raw), "rb") as w:
             sr = w.getframerate()
             n = w.getnframes()
             ch = w.getnchannels()
-            pcm = np.frombuffer(w.readframes(n), dtype="<i2")
-        wav = pcm.astype(np.float32) / 32768.0
+            width = w.getsampwidth()
+            frames = w.readframes(n)
+        if width == 2:
+            wav = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+        elif width == 4:
+            wav = np.frombuffer(frames, dtype="<i4").astype(np.float32) / 2147483648.0
+        elif width == 1:  # 8-bit WAV is unsigned
+            wav = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported WAV sample width: {width} bytes")
         if ch > 1:
             wav = wav.reshape(-1, ch).mean(axis=1)
         return wav, sr
@@ -107,11 +125,10 @@ def make_handler(tts, engine):
                 gen_text = payload.get("text", "")
                 if not gen_text:
                     raise ValueError("request needs non-empty 'text'")
-                if tts.frontend is not None and tts.frontend.dtype == "phone":
-                    ref_units = tts.frontend.text2phn(ref_text + ". ")
-                    gen_units = tts.frontend.text2phn(gen_text + ". ")
-                else:
-                    ref_units, gen_units = ref_text, gen_text
+                # the same unit preparation TTS.infer uses (a raw text2phn
+                # string would be tokenized character-by-character)
+                ref_units = tts.prepare_units(ref_text)
+                gen_units = tts.prepare_units(gen_text)
                 fut = engine.submit(TTSRequest(
                     ref_wav=ref_wav, ref_sr=ref_sr, ref_units=ref_units,
                     gen_units=gen_units, seed=payload.get("seed"),
@@ -122,6 +139,9 @@ def make_handler(tts, engine):
                     else tts.target_sample_rate
                 self._reply(200, _wav_bytes(np.asarray(wav), int(sr)),
                             "audio/wav")
+            except FuturesTimeout as e:
+                # server capacity, not client fault: retryable 504
+                self._reply_json(504, {"error": f"synthesis timed out: {e}"})
             except RuntimeError as e:  # queue full → backpressure status
                 self._reply_json(503, {"error": str(e)})
             except Exception as e:
@@ -157,7 +177,8 @@ def serve(args, *, ready_event: Optional[threading.Event] = None,
 
     tts = lemas_tts_tpu.TTS(
         model=args.model, ckpt_file=args.ckpt_file,
-        vocab_file=args.vocab_file, frontend=args.frontend or None,
+        vocab_file=args.vocab_file,
+        frontend=None if args.frontend == "none" else args.frontend,
     )
     cfg = SamplerConfig(
         nfe_steps=args.nfe_step, cfg_strength=args.cfg_strength,

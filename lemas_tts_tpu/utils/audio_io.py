@@ -71,13 +71,16 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
             ).stdout
         except subprocess.CalledProcessError:
             raise RuntimeError(f"cannot decode audio file: {path}")
-        probe = subprocess.run(
-            # -select_streams a:0 — containers may list a video stream first,
-            # whose sample_rate field is empty
-            ["ffprobe", "-v", "quiet", "-select_streams", "a:0",
-             "-show_entries", "stream=sample_rate", "-of", "csv=p=0", path],
-            capture_output=True, text=True,
-        ).stdout.strip()
+        try:
+            probe = subprocess.run(
+                # -select_streams a:0 — containers may list a video stream
+                # first, whose sample_rate field is empty
+                ["ffprobe", "-v", "quiet", "-select_streams", "a:0",
+                 "-show_entries", "stream=sample_rate", "-of", "csv=p=0", path],
+                capture_output=True, text=True,
+            ).stdout.strip()
+        except FileNotFoundError:  # ffmpeg without ffprobe: use the fallback rate
+            probe = ""
         rate_line = next((ln for ln in probe.splitlines() if ln.strip()), "")
         sr = int(rate_line) if rate_line.strip().isdigit() else 24000
         return np.frombuffer(out, dtype=np.float32)[None, :], sr

@@ -80,8 +80,11 @@ API uint64_t batcher_submit(void* h, int64_t bucket, int64_t cost) {
   {
     std::lock_guard<std::mutex> lk(b->mu);
     b->queues[bucket].push_back(r);
+    // inside the lock: a consumer could otherwise pop + fetch_sub before
+    // this fetch_add, making depth() transiently negative (breaks the
+    // engine's queue-full backpressure accounting)
+    b->depth.fetch_add(1);
   }
-  b->depth.fetch_add(1);
   b->cv.notify_one();
   return r.id;
 }

@@ -1,20 +1,24 @@
 """RTF benchmark: flagship CFM/DiT synthesis at NFE=32 on one chip.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "batch"}.
 Baseline north star (BASELINE.md): ≥20× real-time per chip at NFE=32.
 
 Measures the full generation path — jitted Euler/CFG sampler (2×22
 transformer blocks per step, fused Pallas VMEM attention) + batched masked
 Vocos decode — on randomly initialized flagship weights (RTF is
-weight-independent). Timing forces device completion by fetching a scalar
-reduction of the waveform; fetching the full audio is excluded because the
-benchmarking tunnel's device→host path (~3 MB/s) is not representative of
-TPU serving I/O.
+weight-independent). Default batch is 4, the serving engine's measured
+sweet spot (serve/engine.py max_batch; B=1 → 24.4, B=4 → 27.5, B=8 → 25.4
+audio-s/s per chip on v5e), so the headline is per-chip serving throughput;
+set LEMAS_BENCH_BATCH=1 for single-stream RTF. Timing forces device
+completion by fetching a scalar reduction of the waveform; fetching the
+full audio is excluded because the benchmarking tunnel's device→host path
+(~3 MB/s) is not representative of TPU serving I/O.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -26,13 +30,17 @@ from lemas_tts_tpu.config import DiTArch
 from lemas_tts_tpu.models.dit import DiT
 from lemas_tts_tpu.models.vocos import Vocos
 from lemas_tts_tpu.ops.attention import default_backend
+from lemas_tts_tpu.ops.quant import quantize_dense_tree
 
 SR = 24000
 HOP = 256
 NFE = 32
 N_BUCKET = 1024  # mel frames ≈ 10.9 s audio
 REF_FRAMES = 188  # ≈ 2 s reference audio
-BATCH = 1
+BATCH = int(os.environ.get("LEMAS_BENCH_BATCH", "4"))
+# "int8" benches the W8A8 serving mode (ops/quant.py) — probe knob, not the
+# headline: the headline stays the default bf16 path.
+QUANT = os.environ.get("LEMAS_BENCH_QUANT") or None
 
 
 def fast_random_params(model, init_fn, key):
@@ -56,19 +64,26 @@ def main():
     compute_dtype = jnp.bfloat16
     arch = DiTArch()
     model = DiT(arch=arch, mel_dim=100, text_num_embeds=898,
-                compute_dtype=compute_dtype, attn_backend=default_backend())
+                compute_dtype=compute_dtype, attn_backend=default_backend(),
+                quant=QUANT)
     voc = Vocos(compute_dtype=compute_dtype)
 
     rng = np.random.default_rng(0)
     B, N, nt = BATCH, N_BUCKET, 256
     text = jnp.asarray(rng.integers(1, 800, (B, nt)).astype(np.int32))
 
+    # random params always come from the float model; the int8 mode converts
+    # them exactly like serving converts a float checkpoint.
+    fmodel = DiT(arch=arch, mel_dim=100, text_num_embeds=898,
+                 compute_dtype=compute_dtype, attn_backend=default_backend())
     params = fast_random_params(
-        model,
-        lambda k: model.init(k, jnp.zeros((1, 8, 100)), jnp.zeros((1, 8, 100)),
-                             jnp.zeros((1, 4), jnp.int32), jnp.zeros((1,))),
+        fmodel,
+        lambda k: fmodel.init(k, jnp.zeros((1, 8, 100)), jnp.zeros((1, 8, 100)),
+                              jnp.zeros((1, 4), jnp.int32), jnp.zeros((1,))),
         jax.random.key(1),
     )
+    if QUANT:
+        params = jax.block_until_ready(jax.jit(quantize_dense_tree)(params))
     vparams = fast_random_params(
         voc, lambda k: voc.init(k, jnp.zeros((1, 100, 16))), jax.random.key(2)
     )
@@ -117,6 +132,7 @@ def main():
         "value": round(rtf, 3),
         "unit": "audio_sec/wall_sec",
         "vs_baseline": round(rtf / 20.0, 3),
+        "batch": BATCH,
     }))
 
 

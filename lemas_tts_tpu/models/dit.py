@@ -106,6 +106,7 @@ class _ScanBlock(nn.Module):
     arch: DiTArch
     attn_backend: str
     compute_dtype: jnp.dtype
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, t_emb, mask, rope, deterministic=True):
@@ -118,6 +119,7 @@ class _ScanBlock(nn.Module):
             pe_attn_head=self.arch.pe_attn_head,
             attn_backend=self.attn_backend,
             dropout=self.arch.dropout,
+            quant=self.quant,
             compute_dtype=self.compute_dtype,
             name="block",
         )(x, t_emb, mask=mask, rope_angles_arr=rope,
@@ -135,6 +137,9 @@ class DiT(nn.Module):
     attn_backend: str = "xla"
     compute_dtype: jnp.dtype = jnp.float32
     scan_unroll: int = 1  # lax.scan unroll over blocks (perf knob)
+    # None | "int8": W8A8 block matmuls (ops/quant.py). Serving-only: params
+    # must come from quantize_dense_tree() over a float checkpoint.
+    quant: Optional[str] = None
 
     def setup(self):
         a = self.arch
@@ -162,7 +167,8 @@ class DiT(nn.Module):
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             length=a.depth,
             unroll=self.scan_unroll,
-        )(arch=a, attn_backend=self.attn_backend, compute_dtype=self.compute_dtype)
+        )(arch=a, attn_backend=self.attn_backend,
+          compute_dtype=self.compute_dtype, quant=self.quant)
 
         if a.long_skip_connection:
             self.long_skip = nn.Dense(a.dim, use_bias=False, dtype=self.compute_dtype)

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from lemas_tts_tpu.ops.attention import attention
+from lemas_tts_tpu.ops.quant import maybe_quant_dense
 from lemas_tts_tpu.ops.rope import apply_rope
 
 
@@ -208,15 +209,20 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     dropout: float = 0.0
+    quant: Optional[str] = None  # None | "int8" (ops/quant.py W8A8 serving path)
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         inner = int(self.dim * self.mult)
-        h = nn.Dense(inner, dtype=self.compute_dtype, name="in_proj")(x)
+        h = maybe_quant_dense(
+            inner, quant=self.quant, dtype=self.compute_dtype, name="in_proj"
+        )(x)
         h = jax.nn.gelu(h, approximate=True)
         h = nn.Dropout(self.dropout, name="drop")(h, deterministic=deterministic)
-        return nn.Dense(self.dim, dtype=self.compute_dtype, name="out_proj")(h)
+        return maybe_quant_dense(
+            self.dim, quant=self.quant, dtype=self.compute_dtype, name="out_proj"
+        )(h)
 
 
 class Attention(nn.Module):
@@ -230,6 +236,7 @@ class Attention(nn.Module):
     pe_attn_head: Optional[int] = None  # rope on first k heads only, None = all
     attn_backend: str = "xla"
     dropout: float = 0.0
+    quant: Optional[str] = None  # None | "int8" (ops/quant.py W8A8 serving path)
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -242,9 +249,15 @@ class Attention(nn.Module):
     ) -> jax.Array:
         B, N, _ = x.shape
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, dtype=self.compute_dtype, name="to_q")(x)
-        k = nn.Dense(inner, dtype=self.compute_dtype, name="to_k")(x)
-        v = nn.Dense(inner, dtype=self.compute_dtype, name="to_v")(x)
+        # qkv share input x; under int8 XLA CSEs the per-token quantization.
+        def dense(features, name):
+            return maybe_quant_dense(
+                features, quant=self.quant, dtype=self.compute_dtype, name=name
+            )
+
+        q = dense(inner, "to_q")(x)
+        k = dense(inner, "to_k")(x)
+        v = dense(inner, "to_v")(x)
 
         def split_heads(t):
             return t.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 1, 3)
@@ -270,7 +283,7 @@ class Attention(nn.Module):
 
         out = attention(q, k, v, mask=mask, backend=self.attn_backend)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
-        out = nn.Dense(self.dim, dtype=self.compute_dtype, name="to_out")(out)
+        out = dense(self.dim, "to_out")(out)
         # reference to_out = [Linear, Dropout] (modules.py:412-414)
         out = nn.Dropout(self.dropout, name="drop")(out, deterministic=deterministic)
         if mask is not None:
@@ -329,6 +342,7 @@ class DiTBlock(nn.Module):
     pe_attn_head: Optional[int] = None
     attn_backend: str = "xla"
     dropout: float = 0.0
+    quant: Optional[str] = None
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -345,6 +359,7 @@ class DiTBlock(nn.Module):
             pe_attn_head=self.pe_attn_head,
             attn_backend=self.attn_backend,
             dropout=self.dropout,
+            quant=self.quant,
             compute_dtype=self.compute_dtype,
             name="attn",
         )(norm, mask=mask, rope_angles_arr=rope_angles_arr,
@@ -356,7 +371,7 @@ class DiTBlock(nn.Module):
         )(x).astype(x.dtype)
         normed = normed * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
         ff_out = FeedForward(
-            self.dim, mult=self.ff_mult, dropout=self.dropout,
+            self.dim, mult=self.ff_mult, dropout=self.dropout, quant=self.quant,
             compute_dtype=self.compute_dtype, name="ff"
         )(normed, deterministic=deterministic)
         return x + gate_mlp[:, None] * ff_out

@@ -1,0 +1,157 @@
+"""Int8 W8A8 quantized matmuls for serving.
+
+TPU v5e's MXU executes int8×int8→int32 matmuls at ~2× the bf16 rate
+(394 vs 197 TOPS peak), and int8 weights halve the HBM traffic of the
+weight stream. This module provides:
+
+ - :func:`quantize_weight` — symmetric per-output-channel weight
+   quantization (absmax → int8 + f32 scale);
+ - :func:`int8_dense` — dynamic per-token activation quantization +
+   int8 dot with int32 accumulation + rescale (SmoothQuant-style W8A8,
+   the standard near-lossless recipe for transformer inference);
+ - :class:`QuantDense` — drop-in flax replacement for ``nn.Dense`` that
+   stores ``kernel_q`` (int8) + ``scale`` instead of ``kernel``;
+ - :func:`quantize_dense_tree` — converts a trained f32/bf16 param tree
+   into the quantized layout (handles ``nn.scan``-stacked kernels).
+
+The reference has no quantization story (its dtype policy is fp16-on-cc≥7,
+``lemas_tts/infer/utils_infer.py:204-213``); this is a TPU-native serving
+feature. Applied only to the DiT block matmuls (attention qkv/out + FF),
+which dominate the sampling step; embeddings, AdaLN modulation, and the
+output projection stay in the compute dtype for accuracy.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Layer names (within DiT blocks) whose kernels get the int8 treatment.
+QUANT_DENSE_NAMES = frozenset(
+    {"to_q", "to_k", "to_v", "to_out", "in_proj", "out_proj"}
+)
+
+
+def quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-channel absmax quantization.
+
+    ``w`` is ``[..., in, out]`` (a leading stacked-blocks axis from
+    ``nn.scan`` is fine). Returns ``(w_q int8 [..., in, out],
+    scale f32 [..., out])`` with ``w ≈ w_q * scale``.
+    """
+    w = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=-2)  # [..., out]
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    w_q = jnp.clip(jnp.round(w / scale[..., None, :]), -127, 127).astype(jnp.int8)
+    return w_q, scale
+
+
+def quantize_activation(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Dynamic symmetric per-token (last-axis-row) activation quantization.
+
+    ``x`` is ``[..., in]``; returns ``(x_q int8, scale f32 [...])``.
+    """
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    x_q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return x_q, scale
+
+
+def int8_dense(
+    x: jax.Array,  # [..., in]
+    kernel_q: jax.Array,  # int8 [in, out]
+    scale: jax.Array,  # f32 [out]
+    bias: Optional[jax.Array] = None,  # [out]
+    out_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """W8A8 dense: quantize ``x`` per token, int8 dot (int32 accumulate),
+    rescale by ``act_scale ⊗ weight_scale``, add bias."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    x_q, x_scale = quantize_activation(x2)
+    acc = jax.lax.dot_general(
+        x_q,
+        kernel_q,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * x_scale[:, None] * scale[None, :]
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, :]
+    return out.reshape(*lead, kernel_q.shape[-1]).astype(out_dtype)
+
+
+class QuantDense(nn.Module):
+    """Drop-in ``nn.Dense`` replacement with int8 weights.
+
+    Declares ``kernel_q`` (int8) + ``scale`` instead of ``kernel``; use
+    :func:`quantize_dense_tree` to convert a trained float param tree.
+    Fresh ``init`` yields zero weights — quantized models are always
+    converted from float checkpoints, never trained in int8.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel_q = self.param(
+            "kernel_q",
+            lambda key, shape: jnp.zeros(shape, jnp.int8),
+            (x.shape[-1], self.features),
+        )
+        scale = self.param(
+            "scale", lambda key, shape: jnp.ones(shape, jnp.float32), (self.features,)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return int8_dense(x, kernel_q, scale, bias, out_dtype=self.dtype)
+
+
+def maybe_quant_dense(
+    features: int,
+    *,
+    quant: Optional[str],
+    dtype: jnp.dtype,
+    name: str,
+    use_bias: bool = True,
+):
+    """Factory: ``nn.Dense`` normally, :class:`QuantDense` when
+    ``quant == "int8"``. Same ``name`` either way so param paths line up."""
+    if quant == "int8":
+        return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+    if quant is not None:
+        raise ValueError(f"unknown quantization mode: {quant!r}")
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
+def quantize_dense_tree(params: Any) -> Any:
+    """Convert a float DiT param tree to the int8 layout.
+
+    Walks the (nested-dict) tree; every subdict named in
+    :data:`QUANT_DENSE_NAMES` that holds a ``kernel`` gets it replaced by
+    ``kernel_q``/``scale``. ``nn.scan``-stacked kernels
+    (``[depth, in, out]``) quantize per block per channel. Other leaves
+    (biases, norms, embeddings, convs) pass through unchanged.
+    """
+
+    def walk(node: Any, name: str) -> Any:
+        if not isinstance(node, dict):
+            return node
+        if name in QUANT_DENSE_NAMES and "kernel" in node:
+            out = {k: v for k, v in node.items() if k != "kernel"}
+            w_q, scale = quantize_weight(jnp.asarray(node["kernel"]))
+            out["kernel_q"] = w_q
+            out["scale"] = scale
+            return out
+        return {k: walk(v, k) for k, v in node.items()}
+
+    return walk(params, "")

@@ -1,0 +1,141 @@
+"""Int8 W8A8 quantized serving path (ops/quant.py).
+
+The reference has no quantization feature; this is a TPU-native serving
+mode (v5e MXU int8 is 2× bf16 peak). Correctness contract: the quantized
+DiT must track the float DiT closely on random weights, and the param-tree
+converter must produce exactly the structure the quantized model applies.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lemas_tts_tpu.config import DiTArch
+from lemas_tts_tpu.models.dit import DiT
+from lemas_tts_tpu.ops.quant import (
+    QuantDense,
+    int8_dense,
+    maybe_quant_dense,
+    quantize_dense_tree,
+    quantize_weight,
+)
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
+    w_q, scale = quantize_weight(w)
+    assert w_q.dtype == jnp.int8 and scale.shape == (32,)
+    deq = w_q.astype(jnp.float32) * scale[None, :]
+    # per-channel absmax: max error is half a quantization step per channel
+    step = scale[None, :]
+    assert float(jnp.max(jnp.abs(deq - w) / step)) <= 0.5 + 1e-5
+
+
+def test_quantize_weight_stacked_blocks():
+    # nn.scan-stacked kernels [depth, in, out] quantize per block per channel
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((3, 16, 8)).astype(np.float32))
+    w_q, scale = quantize_weight(w)
+    assert w_q.shape == (3, 16, 8) and scale.shape == (3, 8)
+    w0_q, s0 = quantize_weight(w[1])
+    np.testing.assert_array_equal(np.asarray(w_q[1]), np.asarray(w0_q))
+    np.testing.assert_allclose(np.asarray(scale[1]), np.asarray(s0))
+
+
+def test_int8_dense_matches_float():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((5, 7, 96)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((96, 48)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.standard_normal(48).astype(np.float32) * 0.01)
+    w_q, scale = quantize_weight(w)
+    got = int8_dense(x, w_q, scale, b)
+    want = x @ w + b
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 2e-2, rel
+
+
+def test_quant_dense_param_structure_matches_converter():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
+    import flax.linen as nn
+
+    class Wrap(nn.Module):
+        quant: str | None
+
+        @nn.compact
+        def __call__(self, x):
+            layer = maybe_quant_dense(
+                16, quant=self.quant, dtype=jnp.float32, name="to_q"
+            )
+            if self.quant is None:
+                assert isinstance(layer, nn.Dense)
+            else:
+                assert isinstance(layer, QuantDense)
+            return layer(x)
+
+    params = Wrap(None).init(jax.random.key(0), x)
+    qparams = quantize_dense_tree(params)
+    got = Wrap("int8").apply(qparams, x)  # structure must line up exactly
+    want = Wrap(None).apply(params, x)
+    rel = float(jnp.linalg.norm(got - want) / (jnp.linalg.norm(want) + 1e-9))
+    assert rel < 2e-2, rel
+
+
+def test_maybe_quant_dense_rejects_unknown_mode():
+    with pytest.raises(ValueError):
+        maybe_quant_dense(8, quant="fp4", dtype=jnp.float32, name="x")
+
+
+def test_quantize_dense_tree_only_touches_block_matmuls():
+    params = {
+        "params": {
+            "input_embed": {"proj": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros(4)}},
+            "blocks": {
+                "block": {
+                    "attn": {"to_q": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros(4)}},
+                    "ff": {"in_proj": {"kernel": jnp.ones((4, 8)), "bias": jnp.zeros(8)}},
+                }
+            },
+        }
+    }
+    q = quantize_dense_tree(params)
+    assert "kernel" in q["params"]["input_embed"]["proj"]  # untouched
+    to_q = q["params"]["blocks"]["block"]["attn"]["to_q"]
+    assert "kernel" not in to_q and to_q["kernel_q"].dtype == jnp.int8
+    assert q["params"]["blocks"]["block"]["ff"]["in_proj"]["scale"].shape == (8,)
+
+
+@pytest.fixture(scope="module")
+def small_dit():
+    arch = DiTArch(dim=128, depth=3, heads=4, dim_head=32, ff_mult=2,
+                   text_dim=64, conv_layers=2, dropout=0.0)
+    m = DiT(arch=arch, mel_dim=20, text_num_embeds=50)
+    mq = DiT(arch=arch, mel_dim=20, text_num_embeds=50, quant="int8")
+    rng = np.random.default_rng(0)
+    B, N, nt = 2, 64, 16
+    args = (
+        jnp.asarray(rng.standard_normal((B, N, 20)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((B, N, 20)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, 50, (B, nt)).astype(np.int32)),
+        jnp.asarray(rng.uniform(0, 1, B).astype(np.float32)),
+    )
+    params = m.init(jax.random.key(0), *args)
+    return m, mq, params, args
+
+
+def test_int8_dit_tracks_float_dit(small_dit):
+    m, mq, params, args = small_dit
+    y = m.apply(params, *args)
+    yq = mq.apply(quantize_dense_tree(params), *args)
+    rel = float(jnp.linalg.norm(y - yq) / jnp.linalg.norm(y))
+    assert rel < 3e-2, rel
+
+
+def test_int8_dit_jits(small_dit):
+    _, mq, params, args = small_dit
+    qparams = quantize_dense_tree(params)
+    y1 = mq.apply(qparams, *args)
+    y2 = jax.jit(lambda p, *a: mq.apply(p, *a))(qparams, *args)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-2)

@@ -63,22 +63,38 @@ def compute_sway_max(
     return max(0.0, p_max - 1.0) * safety_factor
 
 
-def sway_time_grid(
+def resolve_sway_coef(
     steps: int,
     sway_sampling_coef: Optional[float],
     t_start: float = 0.0,
-) -> np.ndarray:
-    """Warped time grid [steps+1]: ``linspace(t_start,1)**(1+coef)`` with coef
-    clamped to ``compute_sway_max`` (and defaulting to it when None,
-    ``cfm.py:447-453``)."""
+) -> float:
+    """The effective sway coefficient: clamped to ``compute_sway_max`` and
+    defaulting to it when None (``cfm.py:447-453``)."""
     sway_max = compute_sway_max(steps, t_start=t_start)
     coef = sway_max if sway_sampling_coef is None else min(sway_max, float(sway_sampling_coef))
     # coef < -1 would make the exponent negative: 0**(1+coef) = inf → NaN
     # mel. coef == -1 (the gradio slider minimum) degenerates to an all-ones
     # grid in the reference too; we only guard the NaN region below it.
-    coef = max(coef, -1.0)
+    return max(coef, -1.0)
+
+
+def warped_time_grid(steps: int, coef: float, t_start: float = 0.0) -> np.ndarray:
+    """[steps+1] grid ``linspace(t_start,1)**(1+coef)`` for an already
+    resolved coefficient (no clamping — distillation builds nested
+    fine/coarse grids with ONE shared exponent)."""
     t = np.linspace(t_start, 1.0, steps + 1, dtype=np.float64)
     return (t ** (1.0 + coef)).astype(np.float32)
+
+
+def sway_time_grid(
+    steps: int,
+    sway_sampling_coef: Optional[float],
+    t_start: float = 0.0,
+) -> np.ndarray:
+    """Warped time grid [steps+1] with the coefficient resolved per
+    :func:`resolve_sway_coef`."""
+    coef = resolve_sway_coef(steps, sway_sampling_coef, t_start=t_start)
+    return warped_time_grid(steps, coef, t_start=t_start)
 
 
 @dataclass(frozen=True)

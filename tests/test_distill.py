@@ -1,0 +1,147 @@
+"""Progressive distillation (cfm/distill.py + scripts/distill.py).
+
+No reference equivalent (the reference is inference-only); contract tested
+here: the distill step optimizes the student toward the teacher's 2-sub-step
+average velocity, grids nest exactly, the student samples through the
+standard sampler with ``cfg_strength=0``, stages chain, and the CLI runs a
+hermetic tiny smoke pass end-to-end (including on the 8-device CPU mesh the
+suite forces).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lemas_tts_tpu.cfm.distill import (
+    Distiller,
+    student_sampler_settings,
+)
+from lemas_tts_tpu.cfm.sampler import make_sampler, sway_time_grid
+from lemas_tts_tpu.config import DiTArch, TrainConfig
+from lemas_tts_tpu.models.dit import DiT
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    arch = DiTArch(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2,
+                   text_dim=16, conv_layers=1, dropout=0.0)
+    dit = DiT(arch=arch, mel_dim=8, text_num_embeds=26)
+    rng = np.random.default_rng(0)
+    B, T, nt = 4, 48, 8
+    batch = {
+        "mel": jnp.asarray(rng.standard_normal((B, T, 8)).astype(np.float32)),
+        "mel_lengths": jnp.asarray(np.array([48, 40, 32, 44], np.int32)),
+        "text": jnp.asarray(rng.integers(0, 26, (B, nt)).astype(np.int32)),
+    }
+    teacher = dit.init(jax.random.key(0), batch["mel"], batch["mel"],
+                       batch["text"], jnp.zeros((B,)))
+    return dit, teacher, batch
+
+
+def test_grids_nest_exactly(tiny):
+    dit = tiny[0]
+    for k, s, coef in [(8, 2, 1.0), (4, 3, None), (16, 2, 3.0)]:
+        d = Distiller(dit, student_steps=k, substeps=s, sway_sampling_coef=coef)
+        np.testing.assert_allclose(d.fine_grid[::s], d.coarse_grid,
+                                   rtol=0, atol=1e-6)
+        # the coarse grid IS the grid the student will be sampled with
+        np.testing.assert_allclose(d.coarse_grid, sway_time_grid(k, coef),
+                                   rtol=0, atol=1e-6)
+
+
+def test_student_sampler_settings_single_pass():
+    s = student_sampler_settings(8, sway_sampling_coef=1.0)
+    assert s.steps == 8 and not s.use_cfg
+
+
+def test_distill_step_runs_and_descends(tiny):
+    dit, teacher, batch = tiny
+    d = Distiller(dit, student_steps=4,
+                  cfg=TrainConfig(learning_rate=1e-3, num_warmup_updates=1),
+                  teacher_cfg_strength=2.0, sway_sampling_coef=1.0)
+    state = d.init_state(teacher)
+    losses = []
+    for i in range(8):
+        state, metrics = d.distill_step(state, batch, jax.random.key(100 + i))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses)), losses
+    assert int(state.step) == 8
+    # same batch + warmed-up lr: optimizing the student must reduce the loss
+    assert losses[-1] < losses[0], losses
+    # teacher untouched
+    t0 = jax.tree_util.tree_leaves(teacher)[0]
+    t1 = jax.tree_util.tree_leaves(state.teacher_params)[0]
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
+def test_student_init_is_teacher_copy(tiny):
+    dit, teacher, _ = tiny
+    d = Distiller(dit, student_steps=4)
+    state = d.init_state(teacher)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(teacher)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_student_samples_via_standard_sampler(tiny):
+    dit, teacher, batch = tiny
+    # an undistilled "student" (= teacher weights) still runs through the
+    # K-step no-CFG sampler path the distilled model will use
+    settings = student_sampler_settings(4, sway_sampling_coef=1.0)
+    run = make_sampler(dit, settings)
+    B, T, D = batch["mel"].shape
+    cond_mask = np.zeros((B, T), bool)
+    cond_mask[:, :12] = True
+    rng = np.random.default_rng(1)
+    out = run(teacher, batch["mel"], jnp.asarray(cond_mask), batch["text"],
+              jnp.asarray(np.full(B, T, np.int32)),
+              jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32)))
+    assert out.shape == (B, T, D) and bool(jnp.isfinite(out).all())
+
+
+def test_stage_chain_bakes_cfg(tiny):
+    dit, teacher, batch = tiny
+    d1 = Distiller(dit, student_steps=4, teacher_cfg_strength=2.0)
+    assert d1._teacher_uses_cfg
+    d2 = d1.next_stage()
+    assert d2.student_steps == 2 and not d2._teacher_uses_cfg
+    s2 = d2.init_state(teacher)
+    s2, metrics = d2.distill_step(s2, batch, jax.random.key(5))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_distill_cli_smoke(tmp_path):
+    """Hermetic end-to-end: save a tiny teacher, distill 2 stages on the
+    8-device mesh, reload a stage and sample with it."""
+    from lemas_tts_tpu.infer.checkpoints import load_native, save_native
+    from lemas_tts_tpu.scripts.distill import main
+
+    arch = DiTArch(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2,
+                   text_dim=16, conv_layers=1, dropout=0.0)
+    dit = DiT(arch=arch, mel_dim=8, text_num_embeds=26)
+    teacher = dit.init(jax.random.key(0), jnp.zeros((1, 8, 8)),
+                       jnp.zeros((1, 8, 8)), jnp.zeros((1, 4), jnp.int32),
+                       jnp.zeros((1,)))
+    tdir = str(tmp_path / "teacher")
+    save_native(teacher, tdir)
+
+    rc = main([
+        "--teacher", tdir, "--ckpt_dir", str(tmp_path / "out"),
+        "--stages", "4,2", "--steps_per_stage", "2", "--synthetic", "8",
+        "--tiny", "--log_every", "1",
+    ])
+    assert rc == 0
+    student = load_native(str(tmp_path / "out" / "stage_2"))
+    run = make_sampler(dit, student_sampler_settings(2, sway_sampling_coef=1.0))
+    B, T = 1, 32
+    rng = np.random.default_rng(0)
+    out = run(
+        jax.tree_util.tree_map(jnp.asarray, student),
+        jnp.zeros((B, T, 8)), jnp.zeros((B, T), bool),
+        jnp.asarray(rng.integers(0, 26, (B, 6)).astype(np.int32)),
+        jnp.asarray(np.full(B, T, np.int32)),
+        jnp.asarray(rng.standard_normal((B, T, 8)).astype(np.float32)),
+    )
+    assert bool(jnp.isfinite(out).all())

@@ -122,7 +122,10 @@ class TTS:
         from lemas_tts_tpu.models.vocos import Vocos, convert_vocos
         from lemas_tts_tpu.ops.attention import default_backend
 
-        assert ode_method == "euler", "the jitted sampler implements Euler"
+        # "euler" = reference parity (cfm.py:456); "midpoint" = 2nd-order
+        # option of the jitted sampler (cfm/sampler.py SamplerSettings.method)
+        assert ode_method in ("euler", "midpoint"), ode_method
+        self.ode_method = ode_method
         self.config: ModelConfig = load_model_config(model)
         self.mel_spec_type = self.config.mel_spec.mel_spec_type
         self.target_sample_rate = self.config.mel_spec.target_sample_rate
@@ -493,6 +496,7 @@ class TTS:
             nfe_steps=nfe_step,
             cfg_strength=cfg_strength,
             sway_sampling_coef=sway_sampling_coef,
+            ode_method=self.ode_method,
             speed=speed,
             target_rms=target_rms,
             cross_fade_duration=cross_fade_duration,

@@ -98,6 +98,9 @@ class SamplerConfig:
     nfe_steps: int = 32
     cfg_strength: float = 3.0
     sway_sampling_coef: Optional[float] = 1.0
+    # "euler" (reference parity) | "midpoint" (2nd-order: better mel at the
+    # same number of velocity evals when halving nfe_steps)
+    ode_method: str = "euler"
     max_duration: int = 4096
     speed: float = 1.0
     target_rms: float = 0.1

@@ -210,6 +210,7 @@ def edit_speech(
         steps=cfg.nfe_steps,
         cfg_strength=cfg.cfg_strength,
         sway_sampling_coef=cfg.sway_sampling_coef,
+        method=cfg.ode_method,
     )
     run = synth._sampler(settings)
     out = run(

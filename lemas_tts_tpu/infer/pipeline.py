@@ -223,6 +223,7 @@ class Synthesizer:
             steps=cfg.nfe_steps,
             cfg_strength=cfg.cfg_strength,
             sway_sampling_coef=cfg.sway_sampling_coef,
+            method=cfg.ode_method,
         )
         run = self._sampler(settings)
         n = 0
@@ -436,6 +437,7 @@ class Synthesizer:
             steps=int(cfg.nfe_steps * (1.0 - t_start)) or 1,
             cfg_strength=cfg.cfg_strength,
             sway_sampling_coef=cfg.sway_sampling_coef,
+            method=cfg.ode_method,
             t_start=t_start,
         )
         run = self._sampler(settings)
@@ -606,6 +608,7 @@ class Synthesizer:
             steps=cfg.nfe_steps,
             cfg_strength=cfg.cfg_strength,
             sway_sampling_coef=cfg.sway_sampling_coef,
+            method=cfg.ode_method,
         )
         out = np.asarray(
             self._sampler(settings)(

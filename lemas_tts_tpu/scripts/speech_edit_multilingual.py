@@ -124,6 +124,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nfe_step", type=int, default=64)
     p.add_argument("--cfg_strength", type=float, default=5.0)
     p.add_argument("--sway_sampling_coef", type=float, default=3.0)
+    p.add_argument("--ode_method", type=str, default="euler",
+                   choices=["euler", "midpoint"])
     p.add_argument("--ref_ratio", type=float, default=1.0)
     p.add_argument("--no_ref_audio", action="store_true")
     # unused but kept for invocation compatibility (reference :367)

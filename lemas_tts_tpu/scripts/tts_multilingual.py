@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nfe_step", type=int, default=64, help="Number of sampling steps (NFE).")
     p.add_argument("--cfg_strength", type=float, default=5.0, help="CFG strength.")
     p.add_argument("--sway_sampling_coef", type=float, default=3.0)
+    p.add_argument("--ode_method", type=str, default="euler",
+                   choices=["euler", "midpoint"],
+                   help="ODE solver: euler (reference parity) | midpoint "
+                        "(2nd-order; better mel per velocity eval).")
     p.add_argument("--ref_ratio", type=float, default=1.0,
                    help="GRL conditioning clip ratio (<1 shuffles the ref mel).")
     p.add_argument("--no_ref_audio", action="store_true",
@@ -76,6 +80,8 @@ def build_tts(args):
         model=args.model,
         ckpt_file=args.ckpt_file,
         vocab_file=args.vocab_file,
+        # getattr: other CLIs (speech_edit) reuse build_tts with their own parsers
+        ode_method=getattr(args, "ode_method", "euler"),
         use_ema=args.use_ema,
         vocoder_local_path=args.vocoder_local_path,
         use_prosody_encoder=args.enable_prosody_encoder,

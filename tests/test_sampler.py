@@ -143,3 +143,46 @@ def test_pick_bucket():
     assert pick_bucket(1) == 256
     assert pick_bucket(257) == 512
     assert pick_bucket(5000) == 4096
+
+
+def test_midpoint_more_accurate_per_eval():
+    """midpoint@K uses 2 velocity evals/step = euler@2K's budget; at an equal
+    eval budget the 2nd-order method must land closer to a fine-grid
+    reference solution of the same flow."""
+    _, jmodel, jparams = build_pair()
+    cond, cond_mask, text, duration, y0 = make_inputs()
+    args = (jparams, jnp.asarray(cond), jnp.asarray(cond_mask),
+            jnp.asarray(text.astype(np.int32)), jnp.asarray(duration),
+            jnp.asarray(y0))
+    sway = 1.0
+
+    def sample(steps, method):
+        run = make_sampler(jmodel, SamplerSettings(
+            steps=steps, cfg_strength=2.0, sway_sampling_coef=sway,
+            method=method))
+        return np.asarray(run(*args))
+
+    truth = sample(64, "euler")
+    err_euler = np.mean((sample(8, "euler") - truth) ** 2)
+    err_mid = np.mean((sample(4, "midpoint") - truth) ** 2)  # same 8 evals
+    assert err_mid < err_euler, (err_mid, err_euler)
+
+
+def test_midpoint_keep_frames_bit_exact():
+    _, jmodel, jparams = build_pair()
+    cond, cond_mask, text, duration, y0 = make_inputs()
+    run = make_sampler(jmodel, SamplerSettings(steps=4, cfg_strength=1.0,
+                                               method="midpoint"))
+    out = np.asarray(run(jparams, jnp.asarray(cond), jnp.asarray(cond_mask),
+                         jnp.asarray(text.astype(np.int32)),
+                         jnp.asarray(duration), jnp.asarray(y0)))
+    kept = np.asarray(cond_mask)
+    np.testing.assert_array_equal(out[kept], cond[kept])
+    assert np.isfinite(out).all()
+
+
+def test_unknown_method_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        SamplerSettings(method="rk4")

@@ -10,6 +10,13 @@ Endpoints:
   POST /tts     JSON {"ref_b64": <base64 WAV>, "ref_text": str, "text": str,
                       "seed": int?} → audio/wav bytes
                 (or {"ref_path": server-local path} instead of ref_b64)
+  POST /tts_stream  same JSON (+ optional "max_chars", "chunk_batch") →
+                chunked ``audio/L16`` PCM, one HTTP chunk per synthesized
+                text chunk as it completes (reference streaming mode,
+                ``utils_infer.py:559-570``; time-to-first-audio = one
+                chunk, not the whole utterance). Runs on the request
+                thread via ``Synthesizer.synthesize_stream`` — long
+                streams don't stall the micro-batcher queue.
   GET  /healthz → {"ok": true, "queue_depth": N}
   GET  /stats   → engine stats JSON (queue depth, stage timers)
 
@@ -113,7 +120,65 @@ def make_handler(tts, engine):
             else:
                 self._reply_json(404, {"error": "not found"})
 
+        def _stream_tts(self, payload):
+            from lemas_tts_tpu.infer.pipeline import chunk_text
+
+            ref_wav, ref_sr = _decode_ref(payload)
+            ref_text = payload.get("ref_text", "")
+            gen_text = payload.get("text", "")
+            if not gen_text:
+                raise ValueError("request needs non-empty 'text'")
+            max_chars = int(payload.get("max_chars", 135))
+            chunks = [c for part in gen_text.split("\n")
+                      for c in chunk_text(part, max_chars=max(1, max_chars))]
+            gen_units = [tts.prepare_units(c) for c in chunks]
+            ref_units = tts.prepare_units(ref_text)
+
+            stream = tts.synth.synthesize_stream(
+                ref_wav, ref_sr, ref_units, gen_units, cfg=engine.cfg,
+                seed=payload.get("seed"),
+                chunk_batch=int(payload.get("chunk_batch", 2)),
+            )
+            # pull the first chunk BEFORE committing the 200: synthesis
+            # errors still map to a clean JSON error response
+            first = next(stream, None)
+            if first is None:
+                raise ValueError("no synthesizable chunks in 'text'")
+            sr = int(first[1])
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             f"audio/L16; rate={sr}; channels=1")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def write_chunk(wav):
+                pcm = (np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
+                       * 32767.0).astype("<i2").tobytes()
+                if pcm:
+                    self.wfile.write(f"{len(pcm):X}\r\n".encode())
+                    self.wfile.write(pcm + b"\r\n")
+                    self.wfile.flush()
+
+            write_chunk(first[0])
+            for wav, _sr in stream:
+                write_chunk(wav)
+            self.wfile.write(b"0\r\n\r\n")
+
         def do_POST(self):
+            if self.path == "/tts_stream":
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    self._stream_tts(payload)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client hung up mid-stream
+                except Exception as e:
+                    # headers may already be sent; try a JSON error, else drop
+                    try:
+                        self._reply_json(400, {"error": str(e)})
+                    except Exception:
+                        pass
+                return
             if self.path != "/tts":
                 self._reply_json(404, {"error": "not found"})
                 return

@@ -111,6 +111,27 @@ def test_tts_roundtrip(server):
         assert w.getnframes() > 0
 
 
+def test_tts_stream(server):
+    """Chunked audio/L16 streaming: multi-sentence text arrives as raw PCM,
+    decodable and non-trivial in length."""
+    code, ctype, body = _post(server + "/tts_stream", {
+        "ref_b64": _ref_b64(), "ref_text": "hello there",
+        "text": "general kenobi. you are a bold one. back away now.",
+        "seed": 7, "max_chars": 20, "chunk_batch": 1,
+    })
+    assert code == 200
+    assert ctype.startswith("audio/L16") and "rate=8000" in ctype
+    pcm = np.frombuffer(body, dtype="<i2")
+    assert pcm.size > 8000 // 4  # at least a fraction of a second of audio
+    assert np.isfinite(pcm.astype(np.float32)).all()
+
+
+def test_tts_stream_error_is_json(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server + "/tts_stream", {"ref_b64": _ref_b64(), "text": ""})
+    assert e.value.code == 400
+
+
 def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server + "/tts", {"ref_b64": _ref_b64(), "text": ""})

@@ -49,8 +49,10 @@ def _load_mel(path: str, frontend, sr_expect: int):
         m = np.load(path)
         if m.ndim != 2:
             raise ValueError(f"{path}: expected 2-D mel, got {m.shape}")
-        # accept either [T, D] or [D, T]; frames axis is the longer one
-        if m.shape[0] < m.shape[1] and m.shape[0] == frontend.n_mel_channels:
+        # accept either [T, D] or [D, T]: the mel axis is the one equal to
+        # n_mel_channels (ambiguous squares pass through as [T, D])
+        D = frontend.n_mel_channels
+        if m.shape[0] == D and m.shape[1] != D:
             m = m.T
         return np.asarray(m, np.float32), None
     from lemas_tts_tpu.ops.resample import resample

@@ -79,10 +79,12 @@ def main() -> int:
                       teacher_cfg_strength=(2.0 if si == 0 else 0.0),
                       sway_sampling_coef=1.0)
         state = d.init_state(t_params)
+        m = None
         for step in range(args.steps_per_stage):
             state, m = d.distill_step(state, next(gen),
                                       jax.random.key(1000 * si + step))
-        print(f"stage NFE={k}: final loss {float(m['loss']):.4f}")
+        loss_txt = f"{float(m['loss']):.4f}" if m is not None else "n/a (0 steps)"
+        print(f"stage NFE={k}: final loss {loss_txt}")
         t_params = state.ema_params
         students[k] = t_params
 

@@ -57,8 +57,8 @@ def main() -> int:
             pcm.extend(block)
     total = time.time() - t0
     secs = len(pcm) / 2 / rate
-    print(f"{secs:.2f}s of audio in {total:.2f}s "
-          f"(time-to-first-audio {first:.2f}s)")
+    ttfa = f"{first:.2f}s" if first is not None else "n/a (empty stream)"
+    print(f"{secs:.2f}s of audio in {total:.2f}s (time-to-first-audio {ttfa})")
 
     import wave
 

@@ -40,7 +40,12 @@ from lemas_tts_tpu.cfm.sampler import (
 )
 from lemas_tts_tpu.cfm.train import make_optimizer
 from lemas_tts_tpu.config import TrainConfig
-from lemas_tts_tpu.parallel.mesh import batch_pspecs, dit_param_pspecs, shard_pytree
+from lemas_tts_tpu.parallel.mesh import (
+    batch_pspecs,
+    dit_param_pspecs,
+    shard_opt_state,
+    shard_pytree,
+)
 from lemas_tts_tpu.utils.masks import lens_to_mask, mask_from_frac_lengths
 
 
@@ -139,30 +144,9 @@ class Distiller:
             step=state.step,
             params=shard(state.params),
             teacher_params=shard(state.teacher_params),
-            opt_state=self._shard_opt(state.opt_state, pspecs),
+            opt_state=shard_opt_state(state.opt_state, self.mesh, pspecs),
             ema_params=None if state.ema_params is None else shard(state.ema_params),
         )
-
-    def _shard_opt(self, opt_state, pspecs):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        param_def = jax.tree_util.tree_structure(
-            jax.tree_util.tree_map(lambda x: 0, pspecs)
-        )
-        replicated = NamedSharding(self.mesh, P())
-
-        def go(node):
-            if jax.tree_util.tree_structure(
-                jax.tree_util.tree_map(lambda x: 0, node)
-            ) == param_def:
-                return shard_pytree(node, self.mesh, pspecs)
-            if isinstance(node, tuple):
-                children = [go(c) for c in node]
-                return (type(node)(*children) if hasattr(node, "_fields")
-                        else type(node)(children))
-            return jax.device_put(node, replicated)
-
-        return go(opt_state)
 
     # ------------------------------------------------------------------ loss
     @property

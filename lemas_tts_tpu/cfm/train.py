@@ -20,7 +20,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lemas_tts_tpu.cfm.loss import AccentClassifier, CTCHead, cfm_training_loss
 from lemas_tts_tpu.config import TrainConfig
-from lemas_tts_tpu.parallel.mesh import batch_pspecs, dit_param_pspecs, shard_pytree
+from lemas_tts_tpu.parallel.mesh import (
+    batch_pspecs,
+    dit_param_pspecs,
+    shard_opt_state,
+    shard_pytree,
+)
 
 
 @struct.dataclass
@@ -117,23 +122,7 @@ class Trainer:
     def shard_state(self, state: TrainState) -> TrainState:
         pspecs = self.param_pspecs(state.params)
         params = shard_pytree(state.params, self.mesh, pspecs)
-        # AdamW moments mirror the param pytree — shard them with the SAME
-        # PartitionSpecs (they are 2× model size; replicating them would OOM
-        # exactly when tensor parallelism is needed). Optax states are nested
-        # (named)tuples whose param-structured subtrees we detect by treedef.
-        param_def = jax.tree_util.tree_structure(state.params)
-        replicated = NamedSharding(self.mesh, P())
-
-        def shard_opt(node):
-            if jax.tree_util.tree_structure(node) == param_def:
-                return shard_pytree(node, self.mesh, pspecs)
-            if isinstance(node, tuple):  # optax chain / namedtuple states
-                children = [shard_opt(c) for c in node]
-                return (type(node)(*children) if hasattr(node, "_fields")
-                        else type(node)(children))
-            return jax.device_put(node, replicated)  # scalars (count, ...)
-
-        opt_state = shard_opt(state.opt_state)
+        opt_state = shard_opt_state(state.opt_state, self.mesh, pspecs)
         ema = (
             None
             if state.ema_params is None

@@ -496,7 +496,8 @@ class Synthesizer:
         Device utilization comes from ``chunk_batch`` chunks per sampler call;
         latency-to-first-audio from keeping that small.
         """
-        for i in range(0, len(gen_chunks), max(1, chunk_batch)):
+        chunk_batch = max(1, chunk_batch)  # slice and step must agree
+        for i in range(0, len(gen_chunks), chunk_batch):
             batch = list(gen_chunks[i : i + chunk_batch])
             waves, sr, _ = self.synthesize_chunks(
                 ref_wav, ref_sr, ref_text_units, batch, cfg=cfg, seed=seed,

@@ -95,6 +95,34 @@ def shard_pytree(tree: Any, mesh: Mesh, specs: Any) -> Any:
     )
 
 
+def shard_opt_state(opt_state: Any, mesh: Mesh, param_pspecs: Any) -> Any:
+    """Shard an optax state: param-structured subtrees (adam moments, …) get
+    the SAME PartitionSpecs as the params — they are 2× model size, and
+    replicating them would OOM exactly when tensor parallelism is needed.
+    Optax states are nested (named)tuples whose param-shaped subtrees are
+    detected by treedef; scalars (step counts, …) replicate."""
+    param_def = jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda _: 0, param_pspecs)
+    )
+    replicated = NamedSharding(mesh, P())
+
+    def go(node):
+        if (
+            jax.tree_util.tree_structure(
+                jax.tree_util.tree_map(lambda _: 0, node)
+            )
+            == param_def
+        ):
+            return shard_pytree(node, mesh, param_pspecs)
+        if isinstance(node, tuple):  # optax chain / namedtuple states
+            children = [go(c) for c in node]
+            return (type(node)(*children) if hasattr(node, "_fields")
+                    else type(node)(children))
+        return jax.device_put(node, replicated)
+
+    return go(opt_state)
+
+
 def data_parallel_sampler(sampler_fn, mesh: Mesh):
     """Wrap a jitted sampler so batched synthesis shards requests/chunks over
     the 'data' axis (the TPU equivalent of the reference's multi-process

@@ -137,7 +137,8 @@ def main(argv=None) -> int:
         )
         state = distiller.init_state(teacher)
         t0 = time.time()
-        step = 0
+        step = 0  # host-side mirror of state.step: avoids a device→host
+        # sync per step so async dispatch pipelines the next launch
         for epoch in range(10**9):
             for batch in loader.epoch(args.seed + 101 * si + epoch):
                 if step >= args.steps_per_stage:
@@ -145,7 +146,7 @@ def main(argv=None) -> int:
                 state, metrics = distiller.distill_step(
                     state, batch, jax.random.key(7_000_000 * (si + 1) + step)
                 )
-                step = int(state.step)
+                step += 1
                 if is_primary() and (step % args.log_every == 0
                                      or step == args.steps_per_stage):
                     log.log("distill_step", stage=k, step=step,

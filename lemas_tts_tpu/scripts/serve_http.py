@@ -91,9 +91,17 @@ def _decode_ref(payload: dict):
     raise ValueError("request needs ref_b64 or ref_path")
 
 
-def make_handler(tts, engine):
-    """Bind a handler class over the shared TTS facade + engine."""
+def make_handler(tts, engine, max_streams: int = 2):
+    """Bind a handler class over the shared TTS facade + engine.
+
+    ``max_streams`` bounds concurrent /tts_stream requests (they run on
+    request threads, outside the micro-batcher) so a burst of streams
+    can't starve batched /tts traffic — excess streams get 503, the same
+    backpressure contract as the engine's queue-full path.
+    """
     from lemas_tts_tpu.serve.engine import TTSRequest
+
+    stream_slots = threading.BoundedSemaphore(max(1, max_streams))
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -121,6 +129,9 @@ def make_handler(tts, engine):
                 self._reply_json(404, {"error": "not found"})
 
         def _stream_tts(self, payload):
+            """Sets ``self._stream_headers_sent`` once the 200 is committed
+            (after that an error can only abort the connection, never a
+            second reply)."""
             from lemas_tts_tpu.infer.pipeline import chunk_text
 
             ref_wav, ref_sr = _decode_ref(payload)
@@ -128,16 +139,16 @@ def make_handler(tts, engine):
             gen_text = payload.get("text", "")
             if not gen_text:
                 raise ValueError("request needs non-empty 'text'")
-            max_chars = int(payload.get("max_chars", 135))
+            max_chars = max(1, int(payload.get("max_chars", 135)))
             chunks = [c for part in gen_text.split("\n")
-                      for c in chunk_text(part, max_chars=max(1, max_chars))]
+                      for c in chunk_text(part, max_chars=max_chars)]
             gen_units = [tts.prepare_units(c) for c in chunks]
             ref_units = tts.prepare_units(ref_text)
 
             stream = tts.synth.synthesize_stream(
                 ref_wav, ref_sr, ref_units, gen_units, cfg=engine.cfg,
                 seed=payload.get("seed"),
-                chunk_batch=int(payload.get("chunk_batch", 2)),
+                chunk_batch=max(1, int(payload.get("chunk_batch", 2))),
             )
             # pull the first chunk BEFORE committing the 200: synthesis
             # errors still map to a clean JSON error response
@@ -150,6 +161,7 @@ def make_handler(tts, engine):
                              f"audio/L16; rate={sr}; channels=1")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
+            self._stream_headers_sent = True
 
             def write_chunk(wav):
                 pcm = (np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
@@ -166,18 +178,28 @@ def make_handler(tts, engine):
 
         def do_POST(self):
             if self.path == "/tts_stream":
+                if not stream_slots.acquire(blocking=False):
+                    self._reply_json(503, {"error": "stream capacity reached"})
+                    return
+                self._stream_headers_sent = False
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(n) or b"{}")
                     self._stream_tts(payload)
                 except (BrokenPipeError, ConnectionResetError):
-                    pass  # client hung up mid-stream
+                    self.close_connection = True  # client hung up mid-stream
                 except Exception as e:
-                    # headers may already be sent; try a JSON error, else drop
-                    try:
+                    if self._stream_headers_sent:
+                        # mid-body failure: a second status line would corrupt
+                        # the chunked framing — drop the connection so the
+                        # client sees a truncated stream, not desynced
+                        # keep-alive bytes
+                        engine.log.log("stream_aborted", error=str(e))
+                        self.close_connection = True
+                    else:
                         self._reply_json(400, {"error": str(e)})
-                    except Exception:
-                        pass
+                finally:
+                    stream_slots.release()
                 return
             if self.path != "/tts":
                 self._reply_json(404, {"error": "not found"})
@@ -228,6 +250,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cfg_strength", type=float, default=3.0)
     p.add_argument("--sway_sampling_coef", type=float, default=1.0)
     p.add_argument("--max_batch", type=int, default=4)
+    p.add_argument("--max_streams", type=int, default=2,
+                   help="Concurrent /tts_stream requests (excess → 503).")
     p.add_argument("--no_warmup", action="store_true")
     return p
 
@@ -252,8 +276,10 @@ def serve(args, *, ready_event: Optional[threading.Event] = None,
     if not args.no_warmup:
         tts.synth.warmup(cfg)
     engine = ServingEngine(tts.synth, cfg=cfg, max_batch=args.max_batch)
-    httpd = ThreadingHTTPServer((args.host, args.port),
-                                make_handler(tts, engine))
+    httpd = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(tts, engine, max_streams=getattr(args, "max_streams", 2)),
+    )
     if server_box is not None:
         server_box.append((httpd, engine))
     print(f"[serve_http] listening on {args.host}:{httpd.server_address[1]}")

@@ -85,6 +85,8 @@ def run_edit_for_pair(tts, wav_path: str, json_path: str, save_path: str,
         nfe_steps=nfe_step,
         cfg_strength=cfg_strength,
         sway_sampling_coef=sway_sampling_coef,
+        # --ode_method reaches here through the TTS facade (build_tts)
+        ode_method=getattr(tts, "ode_method", "euler"),
         use_acc_grl=use_acc_grl,
         use_prosody_encoder=use_prosody_encoder,
         ref_ratio=ref_ratio,

@@ -126,6 +126,16 @@ def test_tts_stream(server):
     assert np.isfinite(pcm.astype(np.float32)).all()
 
 
+def test_tts_stream_chunk_batch_zero_ok(server):
+    """chunk_batch <= 0 must be clamped, not turn a valid request into 400."""
+    code, ctype, body = _post(server + "/tts_stream", {
+        "ref_b64": _ref_b64(), "ref_text": "hello there",
+        "text": "general kenobi.", "seed": 3, "chunk_batch": 0,
+    })
+    assert code == 200 and ctype.startswith("audio/L16")
+    assert np.frombuffer(body, dtype="<i2").size > 0
+
+
 def test_tts_stream_error_is_json(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server + "/tts_stream", {"ref_b64": _ref_b64(), "text": ""})

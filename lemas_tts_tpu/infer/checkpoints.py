@@ -190,6 +190,99 @@ def convert_dit(
     return params
 
 
+def _unstack(tree: Any, depth: int) -> list:
+    """Inverse of :func:`_stack`: split scan-stacked leaves into per-block trees."""
+    if isinstance(tree, dict):
+        parts = {k: _unstack(v, depth) for k, v in tree.items()}
+        return [{k: parts[k][i] for k in parts} for i in range(depth)]
+    arr = np.asarray(tree)
+    assert arr.shape[0] == depth, (arr.shape, depth)
+    return [arr[i] for i in range(depth)]
+
+
+def export_dit_state_dict(
+    params: Mapping[str, Any], prefix: str = "transformer."
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_dit`: flax DiT params → reference-layout
+    torch state dict (``lemas_tts/model/backbones/dit.py:105-181`` key names,
+    fp32 numpy values). Enables migrating checkpoints *back* to the
+    reference/torch ecosystem (e.g. distilled or fine-tuned students).
+    Round-trips exactly: ``export_dit_state_dict(convert_dit(sd)) == sd``.
+    """
+    if "dit" in params:  # a convert_cfm-style tree {"dit": ..., ...}
+        params = params["dit"]
+    p = params.get("params", params)
+    sd: Dict[str, np.ndarray] = {}
+    g = lambda k: f"{prefix}{k}"
+
+    def put_linear(key: str, node: Mapping[str, Any]):
+        sd[f"{key}.weight"] = np.asarray(node["kernel"]).T
+        if "bias" in node:
+            sd[f"{key}.bias"] = np.asarray(node["bias"])
+
+    def put_conv1d(key: str, node: Mapping[str, Any]):
+        # flax [k, in/groups, out] -> torch [out, in/groups, k]
+        sd[f"{key}.weight"] = np.transpose(np.asarray(node["kernel"]), (2, 1, 0))
+        if "bias" in node:
+            sd[f"{key}.bias"] = np.asarray(node["bias"])
+
+    def put_layernorm(key: str, node: Mapping[str, Any]):
+        sd[f"{key}.weight"] = np.asarray(node["scale"])
+        sd[f"{key}.bias"] = np.asarray(node["bias"])
+
+    def put_convnext(key: str, node: Mapping[str, Any]):
+        put_conv1d(f"{key}.dwconv", node["dwconv"])
+        put_layernorm(f"{key}.norm", node["norm"])
+        put_linear(f"{key}.pwconv1", node["pwconv1"])
+        sd[f"{key}.grn.gamma"] = np.asarray(node["grn"]["gamma"])
+        sd[f"{key}.grn.beta"] = np.asarray(node["grn"]["beta"])
+        put_linear(f"{key}.pwconv2", node["pwconv2"])
+
+    put_linear(g("time_embed.time_mlp.0"), p["time_embed"]["mlp_in"])
+    put_linear(g("time_embed.time_mlp.2"), p["time_embed"]["mlp_out"])
+    put_linear(g("input_embed.proj"), p["input_embed"]["proj"])
+    put_conv1d(g("input_embed.conv_pos_embed.conv1d.0"),
+               p["input_embed"]["conv_pos"]["conv1"])
+    put_conv1d(g("input_embed.conv_pos_embed.conv1d.2"),
+               p["input_embed"]["conv_pos"]["conv2"])
+    put_linear(g("norm_out.linear"), p["norm_out"]["mod"])
+    put_linear(g("proj_out"), p["proj_out"])
+
+    te = p["text_embed"]
+    sd[g("text_embed.text_embed.weight")] = np.asarray(te["embed"]["embedding"])
+    for name, node in te.items():
+        if name.startswith("block_"):
+            i = int(name.split("_")[1])
+            put_convnext(g(f"text_embed.text_blocks.{i}"), node)
+
+    stacked = p["blocks"]["block"]
+    if "kernel_q" in stacked.get("attn", {}).get("to_q", {}):
+        raise ValueError(
+            "cannot export int8-quantized params to torch; export the float "
+            "checkpoint the quantized tree was converted from"
+        )
+    depth = int(np.asarray(stacked["attn"]["to_q"]["kernel"]).shape[0])
+    for i, block in enumerate(_unstack(stacked, depth)):
+        b = g(f"transformer_blocks.{i}")
+        put_linear(f"{b}.attn_norm.linear", block["attn_norm"]["mod"])
+        for proj in ("to_q", "to_k", "to_v"):
+            put_linear(f"{b}.attn.{proj}", block["attn"][proj])
+        put_linear(f"{b}.attn.to_out.0", block["attn"]["to_out"])
+        put_linear(f"{b}.ff.ff.0.0", block["ff"]["in_proj"])
+        put_linear(f"{b}.ff.ff.2", block["ff"]["out_proj"])
+        if "q_norm" in block["attn"]:
+            sd[f"{b}.attn.q_norm.weight"] = np.asarray(
+                block["attn"]["q_norm"]["weight"])
+            sd[f"{b}.attn.k_norm.weight"] = np.asarray(
+                block["attn"]["k_norm"]["weight"])
+
+    if "long_skip" in p:
+        put_linear(g("long_skip_connection"), p["long_skip"])
+    if "prosody_text_proj" in p:
+        put_linear(g("prosody_text_proj"), p["prosody_text_proj"])
+    return {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+
 def convert_cfm(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     """Full reference CFM state dict → inference param pytree:
     ``{"dit": ..., "prosody_to_mel": ...?}`` (training-only heads —

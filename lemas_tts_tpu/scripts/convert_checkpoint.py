@@ -12,6 +12,13 @@ One-time conversion so production serving never needs torch at load time
       --bigvgan bigvgan_generator.pt --out ckpts/bigvgan_native
   python -m lemas_tts_tpu.scripts.convert_checkpoint \
       --uvr5 Kim_Vocal_1.onnx --out ckpts/uvr5_native
+
+Reverse direction — migrate a native DiT tree (e.g. a distilled student)
+back to the reference's torch layout (written with safetensors when
+available, else torch.save):
+
+  python -m lemas_tts_tpu.scripts.convert_checkpoint \
+      --export_dit ckpts/distilled/stage_8 --out student.safetensors
 """
 
 from __future__ import annotations
@@ -28,9 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--vocos", type=str, help="vocos dir (pytorch_model.bin) or file")
     g.add_argument("--bigvgan", type=str, help="BigVGAN generator .pt/.bin")
     g.add_argument("--uvr5", type=str, help="MDX-Net .onnx or .ckpt")
-    p.add_argument("--out", type=str, required=True, help="Output orbax directory.")
+    g.add_argument("--export_dit", type=str,
+                   help="Native DiT param tree (orbax dir) → reference torch "
+                        "state dict at --out (.safetensors or .pt).")
+    p.add_argument("--out", type=str, required=True,
+                   help="Output orbax directory (or torch file for --export_dit).")
     p.add_argument("--use_ema", action="store_true",
                    help="Take the EMA weights from the CFM checkpoint.")
+    p.add_argument("--prefix", type=str, default="transformer.",
+                   help="Key prefix for --export_dit output (reference CFM "
+                        "checkpoints nest the DiT under 'transformer.').")
     return p
 
 
@@ -42,11 +56,31 @@ def main(argv=None) -> int:
         save_native,
     )
 
-    for name in ("ckpt", "vocos", "bigvgan", "uvr5"):
+    for name in ("ckpt", "vocos", "bigvgan", "uvr5", "export_dit"):
         val = getattr(args, name)
         if val is not None and not val.strip():
             print(f"--{name} is empty", file=sys.stderr)
             return 2
+    if args.export_dit is not None:
+        from lemas_tts_tpu.infer.checkpoints import (
+            export_dit_state_dict,
+            load_native,
+        )
+
+        sd = export_dit_state_dict(
+            load_native(str(Path(args.export_dit).resolve())), prefix=args.prefix
+        )
+        if args.out.endswith(".safetensors"):
+            from safetensors.numpy import save_file
+
+            save_file(sd, args.out)
+        else:
+            import torch
+
+            torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, args.out)
+        n = sum(v.size for v in sd.values())
+        print(f"[convert] dit → torch layout: {n / 1e6:.2f}M params → {args.out}")
+        return 0
     if args.ckpt is not None:
         params = load_cfm_checkpoint(args.ckpt, use_ema=args.use_ema)
         kind = "cfm"

@@ -176,3 +176,61 @@ def test_use_ema_false_loads_model_state_dict(tmp_path):
         {k: v.numpy() for k, v in ema.items()}, use_ema=False
     )
     assert set(out) == {"transformer.proj_out.weight"}
+
+
+def test_export_roundtrips_exactly(models):
+    """export_dit_state_dict is the exact inverse of convert_dit: same key
+    set, bit-identical values (fp32)."""
+    from lemas_tts_tpu.infer.checkpoints import export_dit_state_dict
+
+    tref, _, jparams = models
+    orig = {k: v.numpy() for k, v in tref.state_dict().items()}
+    back = export_dit_state_dict(jparams, prefix="")
+    assert set(back) == set(orig), set(back) ^ set(orig)
+    for k in orig:
+        np.testing.assert_array_equal(back[k], orig[k].astype(np.float32), err_msg=k)
+
+
+def test_export_from_flax_init_loads_into_torch(models):
+    """A flax-native init tree exports into a state dict torch can load —
+    the migration-back path for students trained in this framework."""
+    import jax
+
+    from lemas_tts_tpu.infer.checkpoints import export_dit_state_dict
+
+    tref, jmodel, _ = models
+    fresh = jmodel.init(jax.random.key(3), jnp.zeros((1, 8, CFG["mel_dim"])),
+                        jnp.zeros((1, 8, CFG["mel_dim"])),
+                        jnp.zeros((1, 4), jnp.int32), jnp.zeros((1,)))
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in export_dit_state_dict(fresh, prefix="").items()}
+    tref.load_state_dict(sd, strict=True)  # raises on any key/shape mismatch
+
+
+def test_export_rejects_quantized_tree(models):
+    from lemas_tts_tpu.infer.checkpoints import export_dit_state_dict
+    from lemas_tts_tpu.ops.quant import quantize_dense_tree
+
+    _, _, jparams = models
+    with pytest.raises(ValueError):
+        export_dit_state_dict(quantize_dense_tree(jparams), prefix="")
+
+
+def test_export_cli_roundtrip(models, tmp_path):
+    """convert_checkpoint --export_dit: orbax tree → .pt loadable by the
+    torch reference mirror."""
+    import jax
+
+    from lemas_tts_tpu.infer.checkpoints import save_native
+    from lemas_tts_tpu.scripts.convert_checkpoint import main
+
+    tref, jmodel, jparams = models
+    tree_dir = tmp_path / "native_dit"
+    save_native(jparams, str(tree_dir))
+    out = tmp_path / "student.pt"
+    rc = main(["--export_dit", str(tree_dir), "--out", str(out),
+               "--prefix", ""])
+    assert rc == 0
+    sd = torch.load(str(out), weights_only=True)
+    # exporter writes bare DiT keys; the fixture's sd uses prefix "" too
+    tref.load_state_dict({k: v for k, v in sd.items()}, strict=True)

@@ -112,6 +112,9 @@ class TTS:
         frontend: Optional[str] = "phone",
         compute_dtype: Optional[str] = None,
         attn_backend: Optional[str] = None,
+        quantization: Optional[str] = None,  # None | "int8" (DiT-only; halves
+        # block-weight HBM — a memory mode, not a speed win on v5e,
+        # docs/performance.md)
     ):
         import jax
         import jax.numpy as jnp
@@ -184,6 +187,8 @@ class TTS:
         self.use_prosody_encoder = use_pros
         a = self.config.arch
         backbone = self.config.backbone
+        if quantization is not None and backbone != "DiT":
+            raise ValueError("quantization is only supported for the DiT backbone")
         if backbone == "DiT":
             self.dit = DiT(
                 arch=a,
@@ -192,6 +197,7 @@ class TTS:
                 use_prosody_encoder=use_pros,
                 attn_backend=attn_backend,
                 compute_dtype=dtype,
+                quant=quantization,
             )
         elif backbone == "MMDiT":
             from lemas_tts_tpu.models.mmdit import MMDiT
@@ -227,6 +233,13 @@ class TTS:
             cfm_params = {
                 "dit": self._random_dit_params(jax.random.key(0))["params"]
             }
+        if quantization is not None:
+            # quantize the float tree (idempotent: already-quantized native
+            # trees have kernel_q leaves, which the converter passes through)
+            from lemas_tts_tpu.ops.quant import quantize_dense_tree
+
+            cfm_params = dict(cfm_params)
+            cfm_params["dit"] = quantize_dense_tree(cfm_params["dit"])
             if use_pros:  # prosody_to_mel Linear(512→mel) (cfm.py:144)
                 k = jax.random.key(2)
                 D = self.config.mel_spec.n_mel_channels
@@ -293,10 +306,16 @@ class TTS:
 
     # ------------------------------------------------------------------ setup
     def _random_dit_params(self, key):
+        import dataclasses
+
         import jax.numpy as jnp
 
+        # a quantized DiT init()s to zero int8 kernels; random weights must
+        # come from the float twin (then quantize, like a real checkpoint)
+        model = (dataclasses.replace(self.dit, quant=None)
+                 if getattr(self.dit, "quant", None) else self.dit)
         D = self.config.mel_spec.n_mel_channels
-        return self.dit.init(
+        return model.init(
             key,
             jnp.zeros((1, 32, D)),
             jnp.zeros((1, 32, D)),

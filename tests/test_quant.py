@@ -139,3 +139,48 @@ def test_int8_dit_jits(small_dit):
     y1 = mq.apply(qparams, *args)
     y2 = jax.jit(lambda p, *a: mq.apply(p, *a))(qparams, *args)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-2)
+
+
+def test_tts_facade_quantized_e2e(tmp_path):
+    """TTS(quantization="int8") synthesizes end-to-end: random float init is
+    quantized like a real checkpoint and the sampler runs on the int8 DiT."""
+    import warnings
+
+    import lemas_tts_tpu
+    from lemas_tts_tpu.utils.audio_io import write_wav
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(
+        [" "] + list("abcdefghijklmnopqrstuvwxyz")
+        + ["(en)", "(zh)", "_", ",", ".", "!", "?", "#1", "#2", "#3", "#4"]
+    ) + "\n")
+    sr = 8000
+    t = np.arange(sr) / sr
+    write_wav(str(tmp_path / "ref.wav"),
+              (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), sr)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tts = lemas_tts_tpu.TTS(model="tests/data/tiny.yaml",
+                                vocab_file=str(vocab), device="cpu",
+                                quantization="int8")
+    wave, out_sr, spec = tts.infer(str(tmp_path / "ref.wav"), "hello there",
+                                   "general kenobi", nfe_step=2,
+                                   cfg_strength=1.0, seed=11)
+    assert wave.size > 0 and np.isfinite(wave).all() and out_sr == sr
+    # the quantized layout actually reached the model
+    leaf_names = set()
+
+    def walk(d):
+        for k, v in d.items():
+            (walk(v) if isinstance(v, dict) else leaf_names.add(k))
+
+    walk(tts.synth.dit_params)
+    assert "kernel_q" in leaf_names and "scale" in leaf_names
+
+
+def test_tts_facade_quantization_rejects_other_backbones():
+    import lemas_tts_tpu
+
+    with pytest.raises(ValueError, match="only supported for the DiT"):
+        lemas_tts_tpu.TTS(model="tests/data/tiny_mmdit.yaml",
+                          quantization="int8", device="cpu")

@@ -41,6 +41,8 @@ BATCH = int(os.environ.get("LEMAS_BENCH_BATCH", "4"))
 # "int8" benches the W8A8 serving mode (ops/quant.py) — probe knob, not the
 # headline: the headline stays the default bf16 path.
 QUANT = os.environ.get("LEMAS_BENCH_QUANT") or None
+# block-scan unroll (1 = lax.scan loop; 22 = fully unrolled blocks)
+UNROLL = int(os.environ.get("LEMAS_BENCH_UNROLL", "1"))
 
 
 def fast_random_params(model, init_fn, key):
@@ -65,7 +67,7 @@ def main():
     arch = DiTArch()
     model = DiT(arch=arch, mel_dim=100, text_num_embeds=898,
                 compute_dtype=compute_dtype, attn_backend=default_backend(),
-                quant=QUANT)
+                quant=QUANT, scan_unroll=UNROLL)
     voc = Vocos(compute_dtype=compute_dtype)
 
     rng = np.random.default_rng(0)

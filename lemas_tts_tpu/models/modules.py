@@ -259,30 +259,51 @@ class Attention(nn.Module):
         k = dense(inner, "to_k")(x)
         v = dense(inner, "to_v")(x)
 
-        def split_heads(t):
-            return t.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        # flat-layout fused path: no head-split transposes around the kernel
+        # (they pin an N-minor layout on the DiT scan carry — see
+        # docs/performance.md), rope applied in-kernel
+        use_nhd = (
+            self.attn_backend == "vmem"
+            and self.qk_norm is None
+            and self.pe_attn_head is None
+            and self.dim_head == 64
+            and self.heads % 2 == 0
+            and rope_angles_arr is not None
+            and N % 128 == 0
+        )
+        if use_nhd:
+            from lemas_tts_tpu.ops.attention import vmem_attention_nhd
 
-        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+            out = vmem_attention_nhd(q, k, v, mask, rope_angles_arr,
+                                     heads=self.heads)
+        else:
+            def split_heads(t):
+                return t.reshape(B, N, self.heads, self.dim_head).transpose(
+                    0, 2, 1, 3)
 
-        if self.qk_norm == "rms_norm":
-            q = RMSNorm(self.dim_head, name="q_norm")(q)
-            k = RMSNorm(self.dim_head, name="k_norm")(k)
+            q, k, v = split_heads(q), split_heads(k), split_heads(v)
 
-        if rope_angles_arr is not None:
-            if self.pe_attn_head is not None:
-                pn = self.pe_attn_head
-                q = jnp.concatenate(
-                    [apply_rope(q[:, :pn], rope_angles_arr), q[:, pn:]], axis=1
-                )
-                k = jnp.concatenate(
-                    [apply_rope(k[:, :pn], rope_angles_arr), k[:, pn:]], axis=1
-                )
-            else:
-                q = apply_rope(q, rope_angles_arr)
-                k = apply_rope(k, rope_angles_arr)
+            if self.qk_norm == "rms_norm":
+                q = RMSNorm(self.dim_head, name="q_norm")(q)
+                k = RMSNorm(self.dim_head, name="k_norm")(k)
 
-        out = attention(q, k, v, mask=mask, backend=self.attn_backend)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
+            if rope_angles_arr is not None:
+                if self.pe_attn_head is not None:
+                    pn = self.pe_attn_head
+                    q = jnp.concatenate(
+                        [apply_rope(q[:, :pn], rope_angles_arr), q[:, pn:]],
+                        axis=1,
+                    )
+                    k = jnp.concatenate(
+                        [apply_rope(k[:, :pn], rope_angles_arr), k[:, pn:]],
+                        axis=1,
+                    )
+                else:
+                    q = apply_rope(q, rope_angles_arr)
+                    k = apply_rope(k, rope_angles_arr)
+
+            out = attention(q, k, v, mask=mask, backend=self.attn_backend)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
         out = dense(self.dim, "to_out")(out)
         # reference to_out = [Linear, Dropout] (modules.py:412-414)
         out = nn.Dropout(self.dropout, name="drop")(out, deterministic=deterministic)

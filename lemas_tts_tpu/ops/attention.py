@@ -173,6 +173,160 @@ def vmem_attention(
     return out.reshape(B, H, N, D)
 
 
+# ---------------------------------------------------------------------------
+# Flat-layout VMEM attention: q/k/v in [B, N, H·D] — no transposes.
+#
+# The B=4 profile (docs/performance.md) showed XLA pinning an N-minor layout
+# on the DiT block-scan carry because of the [B,N,H·D] → [B·H,N,D] transposes
+# around the attention custom call, costing ~42% MXU efficiency on the FF
+# out-projection plus explicit copies. This variant consumes the qkv dense
+# outputs directly and writes output the to_out projection can consume
+# directly. Two heads per program keep every lane window 128-aligned
+# (64-lane windows are not addressable on TPU); per-head isolation inside
+# the 128-lane pair uses lane masks (zeroed lanes contribute zeros to the
+# f32-accumulated matmuls — exact). Rope is applied in-kernel as
+# ``x·C + (x@P)·S`` with a constant ±1 pair-swap matrix P (exact on the
+# MXU), eliminating the external rope fusion as well.
+# ---------------------------------------------------------------------------
+
+
+def _rope_pair_tables(angles, heads_per_group: int = 2):
+    """cos/sin [N, hpg·D] lane tables for the interleaved-pair convention,
+    duplicated across pairs and tiled across the heads in one lane group."""
+    cos = jnp.repeat(jnp.cos(angles), 2, axis=-1)  # [N, D]
+    sin = jnp.repeat(jnp.sin(angles), 2, axis=-1)
+    return (jnp.tile(cos, (1, heads_per_group)),
+            jnp.tile(sin, (1, heads_per_group)))
+
+
+def _pair_swap_matrix(width: int):
+    """[width, width] ±1 matrix: (x @ P) rotates interleaved pairs
+    (x0, x1) -> (-x1, x0)."""
+    import numpy as _np
+
+    p = _np.zeros((width, width), _np.float32)
+    idx = _np.arange(0, width, 2)
+    p[idx + 1, idx] = -1.0
+    p[idx, idx + 1] = 1.0
+    return jnp.asarray(p)
+
+
+def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
+                          ck_ref, sk_ref, p_ref, o_ref, *, sm_scale: float,
+                          d_head: int):
+    q2 = q_ref[0]  # [bq, 2D] two heads side by side
+    k2 = k_ref[0]  # [N, 2D]
+    v2 = v_ref[0]
+    msk = mask_ref[0]  # [1, N]
+    P = p_ref[...]  # [2D, 2D] pair-swap
+
+    f32 = jnp.float32
+    prec = jax.lax.Precision.HIGHEST
+
+    def rope(x, cos, sin):  # f32 in/out, exact pair rotation via MXU
+        swapped = jax.lax.dot_general(
+            x, P, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )
+        return x * cos + swapped * sin
+
+    qr = rope(q2.astype(f32), cq_ref[...], sq_ref[...])
+    kr = rope(k2.astype(f32), ck_ref[...], sk_ref[...])
+    cdt = q2.dtype
+    qr = qr.astype(cdt)
+    kr = kr.astype(cdt)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d_head), 1)
+    m0 = (lanes < d_head).astype(cdt)  # head 0 lanes
+    m1 = (lanes >= d_head).astype(cdt)
+
+    mprec = None if cdt != jnp.float32 else prec
+    o_acc = None
+    l2 = None
+    for hm in (m0, m1):
+        s = jax.lax.dot_general(
+            qr * hm, kr, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=mprec,
+        ) * sm_scale  # [bq, N] — zeroed q lanes restrict the contraction
+        s = jnp.where(msk, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)  # [bq, 1]
+        o_part = jax.lax.dot_general(
+            p.astype(cdt), v2 * hm, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=mprec,
+        )  # [bq, 2D], other head's lanes exactly zero
+        contrib = o_part
+        lane_l = l * hm.astype(f32)  # normalizer on this head's lanes
+        o_acc = contrib if o_acc is None else o_acc + contrib
+        l2 = lane_l if l2 is None else l2 + lane_l
+    o_ref[0] = (o_acc / l2).astype(o_ref.dtype)
+
+
+def vmem_attention_nhd(
+    q: jax.Array,  # [B, N, H*D] — qkv dense outputs, heads NOT split
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None,
+    angles: jax.Array,  # [N, D//2] rope angles (rope_angles)
+    heads: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flat-layout fused attention with in-kernel rope. Returns [B, N, H*D].
+
+    Requirements: D = inner//heads == 64, heads even, N % 128 == 0. Callers
+    must fall back to the split-head path otherwise."""
+    from functools import partial as _partial
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, inner = q.shape
+    D = inner // heads
+    assert D == 64 and heads % 2 == 0 and N % 128 == 0, (heads, D, N)
+    if mask is None:
+        mask = jnp.ones((B, N), dtype=jnp.bool_)
+
+    # two score tiles live per program: halve the per-tile budget
+    bq = _pick_block_q(N)
+    while bq > 128 and bq * N * 4 > 2 * 1024 * 1024:
+        bq //= 2
+    h2 = heads // 2
+    maskf = mask[:, None, :]  # [B, 1, N]
+    cos2, sin2 = _rope_pair_tables(angles)  # [N, 128]
+    P = _pair_swap_matrix(2 * D)
+
+    out = pl.pallas_call(
+        _partial(_vmem_attn_nhd_kernel, sm_scale=1.0 / math.sqrt(D), d_head=D),
+        grid=(B, h2, N // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, 2 * D), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 2 * D), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 2 * D), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b, h, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 2 * D), lambda b, h, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 2 * D), lambda b, h, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 2 * D), lambda b, h, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 2 * D), lambda b, h, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * D, 2 * D), lambda b, h, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 2 * D), lambda b, h, i: (b, i, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, inner), q.dtype),
+        interpret=interpret,
+    )(q, k, v, maskf, cos2, sin2, cos2, sin2, P)
+    return out
+
+
 def default_backend() -> str:
     """'vmem' (fused Pallas) on TPU, 'xla' elsewhere (CPU tests, GPUs)."""
     import jax as _jax

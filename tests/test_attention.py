@@ -60,6 +60,57 @@ def test_small_shapes_fall_back_to_sdpa():
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
 
 
+def _nhd_ref(q, k, v, mask, angles, heads):
+    """Split-head + external-rope reference for the flat-layout kernel."""
+    from lemas_tts_tpu.ops.rope import apply_rope
+
+    B, N, inner = q.shape
+    D = inner // heads
+    split = lambda t: t.reshape(B, N, heads, D).transpose(0, 2, 1, 3)
+    qh, kh, vh = split(q), split(k), split(v)
+    qh = apply_rope(qh, angles)
+    kh = apply_rope(kh, angles)
+    out = sdpa(qh, kh, vh, mask)
+    return out.transpose(0, 2, 1, 3).reshape(B, N, inner)
+
+
+@pytest.mark.parametrize("N,heads", [(128, 2), (256, 4)])
+def test_vmem_nhd_matches_split_head(N, heads):
+    from lemas_tts_tpu.ops.attention import vmem_attention_nhd
+    from lemas_tts_tpu.ops.rope import rope_angles
+
+    rng = np.random.default_rng(7)
+    B, D = 2, 64
+    mk = lambda: jnp.asarray(rng.standard_normal((B, N, heads * D)),
+                             jnp.float32)
+    q, k, v = mk(), mk(), mk()
+    mask = jnp.asarray(np.arange(N)[None, :] < np.asarray([N - 48, N])[:, None])
+    angles = rope_angles(N, D)
+    ref = np.asarray(_nhd_ref(q, k, v, mask, angles, heads))
+    got = np.asarray(
+        vmem_attention_nhd(q, k, v, mask, angles, heads=heads, interpret=True))
+    np.testing.assert_allclose(got[0, : N - 48], ref[0, : N - 48],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got[1], ref[1], rtol=2e-5, atol=2e-5)
+
+
+def test_vmem_nhd_bf16():
+    from lemas_tts_tpu.ops.attention import vmem_attention_nhd
+    from lemas_tts_tpu.ops.rope import rope_angles
+
+    rng = np.random.default_rng(8)
+    B, N, heads, D = 1, 128, 2, 64
+    mk = lambda: jnp.asarray(rng.standard_normal((B, N, heads * D)),
+                             jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+    angles = rope_angles(N, D)
+    ref = np.asarray(_nhd_ref(q, k, v, None, angles, heads), np.float32)
+    got = np.asarray(
+        vmem_attention_nhd(q, k, v, None, angles, heads=heads,
+                           interpret=True), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
+
+
 def test_dispatch_backends():
     q, k, v = _qkv(N=64, seed=5)
     a = np.asarray(attention(q, k, v, backend="xla"))

@@ -218,23 +218,27 @@ def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
     k2 = k_ref[0]  # [N, 2D]
     v2 = v_ref[0]
     msk = mask_ref[0]  # [1, N]
-    P = p_ref[...]  # [2D, 2D] pair-swap
+    cdt = q2.dtype
+    P = p_ref[...].astype(cdt)  # [2D, 2D] pair-swap
 
     f32 = jnp.float32
     prec = jax.lax.Precision.HIGHEST
 
-    def rope(x, cos, sin):  # f32 in/out, exact pair rotation via MXU
+    def rope(x, cos, sin):
+        # pair swap via the MXU in the compute dtype: P is ±1, so a bf16 dot
+        # with f32 accumulate is an exact permute/negate of the bf16 values
+        # (f32 inputs use HIGHEST to stay exact); combine stays in f32 —
+        # numerics identical to the external apply_rope, ~4× cheaper than an
+        # f32-HIGHEST dot on the MXU
         swapped = jax.lax.dot_general(
             x, P, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=prec,
+            preferred_element_type=f32,
+            precision=prec if cdt == f32 else None,
         )
-        return x * cos + swapped * sin
+        return (x.astype(f32) * cos + swapped * sin).astype(cdt)
 
-    qr = rope(q2.astype(f32), cq_ref[...], sq_ref[...])
-    kr = rope(k2.astype(f32), ck_ref[...], sk_ref[...])
-    cdt = q2.dtype
-    qr = qr.astype(cdt)
-    kr = kr.astype(cdt)
+    qr = rope(q2, cq_ref[...], sq_ref[...])
+    kr = rope(k2, ck_ref[...], sk_ref[...])
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d_head), 1)
     m0 = (lanes < d_head).astype(cdt)  # head 0 lanes

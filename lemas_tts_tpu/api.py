@@ -240,13 +240,16 @@ class TTS:
 
             cfm_params = dict(cfm_params)
             cfm_params["dit"] = quantize_dense_tree(cfm_params["dit"])
-            if use_pros:  # prosody_to_mel Linear(512→mel) (cfm.py:144)
-                k = jax.random.key(2)
-                D = self.config.mel_spec.n_mel_channels
-                cfm_params["prosody_to_mel"] = {
-                    "kernel": jax.random.normal(k, (512, D), jnp.float32) * 0.02,
-                    "bias": jnp.zeros((D,), jnp.float32),
-                }
+        if use_pros and "prosody_to_mel" not in cfm_params:
+            # prosody_to_mel Linear(512→mel) (cfm.py:144) — synthesized only
+            # when the checkpoint doesn't carry it (e.g. random-init fallback)
+            k = jax.random.key(2)
+            D = self.config.mel_spec.n_mel_channels
+            cfm_params = dict(cfm_params)
+            cfm_params["prosody_to_mel"] = {
+                "kernel": jax.random.normal(k, (512, D), jnp.float32) * 0.02,
+                "bias": jnp.zeros((D,), jnp.float32),
+            }
         dit_params = {"params": cfm_params["dit"]}
         self.prosody_to_mel = cfm_params.get("prosody_to_mel")
 

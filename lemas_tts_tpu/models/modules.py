@@ -202,9 +202,36 @@ class RMSNorm(nn.Module):
         return (y * weight).astype(x.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Declares an ``nn.Dense``-identical param tree (kernel+bias) without
+    running the dense — lets a fused Pallas kernel consume the raw weights
+    while converted checkpoints keep loading unchanged."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class FeedForward(nn.Module):
     """Linear → GELU(tanh) → Dropout → Linear (``modules.py:342-353``;
-    dropout active only under ``deterministic=False`` — the trainer's path)."""
+    dropout active only under ``deterministic=False`` — the trainer's path).
+
+    ``fused_mod=(scale, shift, gate)`` switches to the fused Pallas FF-block
+    kernel (ops/ffn.py): ``x`` is then the *raw* post-attention residual
+    stream and the return value is the complete block tail
+    ``x + gate·FF(LN(x)·(1+scale)+shift)`` (reference ``modules.py:633-640``).
+    """
 
     dim: int
     mult: int = 4
@@ -213,8 +240,20 @@ class FeedForward(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        fused_mod: Optional[tuple] = None,
+    ) -> jax.Array:
         inner = int(self.dim * self.mult)
+        if fused_mod is not None:
+            from lemas_tts_tpu.ops.ffn import ffn_block
+
+            w1, b1 = _DenseParams(self.dim, inner, name="in_proj")()
+            w2, b2 = _DenseParams(inner, self.dim, name="out_proj")()
+            scale, shift, gate = fused_mod
+            return ffn_block(x, scale, shift, gate, w1, b1, w2, b2)
         h = maybe_quant_dense(
             inner, quant=self.quant, dtype=self.compute_dtype, name="in_proj"
         )(x)
@@ -387,12 +426,29 @@ class DiTBlock(nn.Module):
           deterministic=deterministic)
         x = x + gate_msa[:, None] * attn_out
 
+        from lemas_tts_tpu.ops.ffn import ffn_block_supported
+
+        ff = FeedForward(
+            self.dim, mult=self.ff_mult, dropout=self.dropout, quant=self.quant,
+            compute_dtype=self.compute_dtype, name="ff"
+        )
+        # fused Pallas FF-block on the TPU inference path: pins the scan-carry
+        # layout at {2,1,0} and runs the whole LN→mod→FF→gate tail at matmul
+        # speed (ops/ffn.py; docs/performance.md)
+        if (
+            self.attn_backend == "vmem"
+            and self.quant is None
+            and deterministic
+            and ffn_block_supported(
+                x.shape[1], self.dim, int(self.dim * self.ff_mult)
+            )
+        ):
+            return ff(x, deterministic,
+                      fused_mod=(scale_mlp, shift_mlp, gate_mlp))
+
         normed = nn.LayerNorm(
             epsilon=1e-6, use_bias=False, use_scale=False, dtype=jnp.float32, name="ff_norm"
         )(x).astype(x.dtype)
         normed = normed * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
-        ff_out = FeedForward(
-            self.dim, mult=self.ff_mult, dropout=self.dropout, quant=self.quant,
-            compute_dtype=self.compute_dtype, name="ff"
-        )(normed, deterministic=deterministic)
+        ff_out = ff(normed, deterministic=deterministic)
         return x + gate_mlp[:, None] * ff_out

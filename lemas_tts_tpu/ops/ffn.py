@@ -1,0 +1,123 @@
+"""Fused DiT FF-block Pallas kernel: LN → AdaLN-modulate → FF → gate+residual.
+
+Covers the reference chain ``modules.py:627-641`` (DiTBlock mlp half:
+``ff_norm`` LayerNorm without affine, ``(1+scale)·x+shift`` modulation,
+``FeedForward`` Linear→GELU(tanh)→Linear at ``modules.py:342-353``, then
+``x + gate·ff``) in one kernel.
+
+Why: the B=4 xplane profile (docs/performance.md) shows XLA lowering the FF
+out-projection inside the block scan with the ``EmitOutputBatchInLanes``
+emitter at ~42% MXU efficiency (415 µs vs ~175 µs ideal per block) because
+the scan carry is pinned to an N-minor layout. A Pallas call pins standard
+``{2,1,0}`` layouts on its operands and result, and the kernel produces the
+carry itself, so the whole per-block chain runs at matmul speed with the
+carry read exactly once from HBM.
+
+Numerics match the unfused flax chain: LN stats in f32 (fast-variance form,
+eps 1e-6), everything else in the compute dtype; matmuls accumulate in f32
+on the MXU before rounding (same as XLA's bf16 dot lowering).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_LN_EPS = 1e-6
+
+
+def _ffn_block_kernel(x_ref, mod_ref, w1_ref, b1_ref, w2_ref,
+                      b2_ref, o_ref):
+    x = x_ref[0]  # [bn, D] compute dtype
+    cdt = x.dtype
+    f32 = jnp.float32
+    prec = jax.lax.Precision.HIGHEST if cdt == f32 else None
+
+    xf = x.astype(f32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    normed = (xf - mu) * jax.lax.rsqrt(var + _LN_EPS)
+
+    mod = mod_ref[0]  # [3, D]: scale / shift / gate rows
+    s = mod[0:1]  # [1, D]
+    sh = mod[1:2]
+    g = mod[2:3]
+    m = normed.astype(cdt) * (1 + s) + sh
+
+    h = jax.lax.dot_general(
+        m, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
+    ).astype(cdt) + b1_ref[...]
+    h = jax.nn.gelu(h, approximate=True)
+    o = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
+    ).astype(cdt) + b2_ref[...]
+    o_ref[0] = x + g * o
+
+
+def ffn_block_supported(n: int, d: int, inner: int) -> bool:
+    """Shapes the kernel handles: 128-aligned dims and both weight matrices
+    resident in VMEM (≤ ~9 MB bf16) alongside the activation tiles."""
+    return (
+        n % 128 == 0
+        and d % 128 == 0
+        and inner % 128 == 0
+        and d * inner * 2 * 2 <= 9 * 1024 * 1024
+    )
+
+
+def ffn_block(
+    x: jax.Array,  # [B, N, D] post-attention residual stream
+    scale: jax.Array,  # [B, D] AdaLN scale_mlp
+    shift: jax.Array,  # [B, D] shift_mlp
+    gate: jax.Array,  # [B, D] gate_mlp
+    w1: jax.Array,  # [D, F]
+    b1: jax.Array,  # [F]
+    w2: jax.Array,  # [F, D]
+    b2: jax.Array,  # [D]
+    block_n: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """x + gate · FF((LN(x))·(1+scale)+shift); returns [B, N, D]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, D = x.shape
+    F = w1.shape[1]
+    assert ffn_block_supported(N, D, F), (N, D, F)
+    bn = min(block_n, N)
+    while N % bn:
+        bn //= 2
+
+    cdt = x.dtype
+    mod3 = jnp.stack(
+        [scale.astype(cdt), shift.astype(cdt), gate.astype(cdt)], axis=1
+    )  # [B, 3, D] — one operand, sliced per row in index maps
+    w1c = w1.astype(cdt)
+    w2c = w2.astype(cdt)
+    b1c = b1.astype(cdt).reshape(1, F)
+    b2c = b2.astype(cdt).reshape(1, D)
+
+    out = pl.pallas_call(
+        _ffn_block_kernel,
+        grid=(B, N // bn),
+        in_specs=[
+            pl.BlockSpec((1, bn, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, F), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bn, D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), cdt),
+        interpret=interpret,
+    )(x, mod3, w1c, b1c, w2c, b2c)
+    return out

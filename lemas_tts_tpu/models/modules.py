@@ -285,15 +285,38 @@ class Attention(nn.Module):
         mask: Optional[jax.Array] = None,  # [B, N] key-padding, True = keep
         rope_angles_arr: Optional[jax.Array] = None,  # [N, dim_head//2]
         deterministic: bool = True,
+        fused_ln_mod: Optional[tuple] = None,  # (scale_msa, shift_msa)
     ) -> jax.Array:
         B, N, _ = x.shape
         inner = self.heads * self.dim_head
-        # qkv share input x; under int8 XLA CSEs the per-token quantization.
+
         def dense(features, name):
             return maybe_quant_dense(
                 features, quant=self.quant, dtype=self.compute_dtype, name=name
             )
 
+        if fused_ln_mod is not None:
+            # x is the *raw* residual stream: the qkv_block kernel computes
+            # LN + AdaLN modulation + all three projections in one pass
+            # (caller guarantees the nhd/qkv kernel preconditions)
+            from lemas_tts_tpu.ops.attention import vmem_attention_nhd
+            from lemas_tts_tpu.ops.ffn import qkv_block
+
+            scale, shift = fused_ln_mod
+            wq, bq = _DenseParams(self.dim, inner, name="to_q")()
+            wk, bk = _DenseParams(self.dim, inner, name="to_k")()
+            wv, bv = _DenseParams(self.dim, inner, name="to_v")()
+            q, k, v = qkv_block(x, scale, shift, wq, bq, wk, bk, wv, bv)
+            out = vmem_attention_nhd(q, k, v, mask, rope_angles_arr,
+                                     heads=self.heads)
+            out = dense(self.dim, "to_out")(out)
+            out = nn.Dropout(self.dropout, name="drop")(
+                out, deterministic=deterministic)
+            if mask is not None:
+                out = jnp.where(mask[..., None], out, 0.0)
+            return out
+
+        # qkv share input x; under int8 XLA CSEs the per-token quantization.
         q = dense(inner, "to_q")(x)
         k = dense(inner, "to_k")(x)
         v = dense(inner, "to_v")(x)
@@ -359,13 +382,16 @@ class AdaLayerNorm(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, emb: jax.Array):
+    def __call__(self, x: jax.Array, emb: jax.Array, return_raw: bool = False):
         mod = nn.Dense(self.dim * 6, dtype=self.compute_dtype, name="mod")(
             jax.nn.silu(emb)
         )
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
             mod, 6, axis=-1
         )
+        if return_raw:  # fused-kernel path computes LN+modulation itself
+            return (shift_msa, scale_msa, gate_msa,
+                    shift_mlp, scale_mlp, gate_mlp)
         normed = nn.LayerNorm(
             epsilon=1e-6, use_bias=False, use_scale=False, dtype=jnp.float32, name="norm"
         )(x).astype(x.dtype)
@@ -408,10 +434,12 @@ class DiTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, t_emb, mask=None, rope_angles_arr=None,
                  deterministic: bool = True):
-        norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaLayerNorm(
+        from lemas_tts_tpu.ops.ffn import qkv_block_supported
+
+        ada = AdaLayerNorm(
             self.dim, compute_dtype=self.compute_dtype, name="attn_norm"
-        )(x, t_emb)
-        attn_out = Attention(
+        )
+        attn = Attention(
             self.dim,
             heads=self.heads,
             dim_head=self.dim_head,
@@ -422,8 +450,34 @@ class DiTBlock(nn.Module):
             quant=self.quant,
             compute_dtype=self.compute_dtype,
             name="attn",
-        )(norm, mask=mask, rope_angles_arr=rope_angles_arr,
-          deterministic=deterministic)
+        )
+        # fused TPU inference path (ops/ffn.py qkv_block + nhd attention):
+        # preconditions mirror Attention.use_nhd plus VMEM-resident weights
+        fused_attn = (
+            self.attn_backend == "vmem"
+            and self.quant is None
+            and deterministic
+            and self.qk_norm is None
+            and self.pe_attn_head is None
+            and self.dim_head == 64
+            and self.heads % 2 == 0
+            and rope_angles_arr is not None
+            and qkv_block_supported(
+                x.shape[1], self.dim, self.heads * self.dim_head
+            )
+        )
+        if fused_attn:
+            (shift_msa, scale_msa, gate_msa,
+             shift_mlp, scale_mlp, gate_mlp) = ada(x, t_emb, return_raw=True)
+            attn_out = attn(
+                x, mask=mask, rope_angles_arr=rope_angles_arr,
+                deterministic=deterministic,
+                fused_ln_mod=(scale_msa, shift_msa),
+            )
+        else:
+            norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = ada(x, t_emb)
+            attn_out = attn(norm, mask=mask, rope_angles_arr=rope_angles_arr,
+                            deterministic=deterministic)
         x = x + gate_msa[:, None] * attn_out
 
         from lemas_tts_tpu.ops.ffn import ffn_block_supported

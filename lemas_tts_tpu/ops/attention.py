@@ -224,7 +224,7 @@ def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
     f32 = jnp.float32
     prec = jax.lax.Precision.HIGHEST
 
-    def rope(x, cos, sin):
+    def rope(x, cos, sin, scale=None):
         # pair swap via the MXU in the compute dtype: P is ±1, so a bf16 dot
         # with f32 accumulate is an exact permute/negate of the bf16 values
         # (f32 inputs use HIGHEST to stay exact); combine stays in f32 —
@@ -235,9 +235,12 @@ def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
             preferred_element_type=f32,
             precision=prec if cdt == f32 else None,
         )
-        return (x.astype(f32) * cos + swapped * sin).astype(cdt)
+        out = x.astype(f32) * cos + swapped * sin
+        if scale is not None:  # fold sm_scale into q here ([bq,2D] lanes)
+            out = out * scale  # instead of a [bq,N] f32 pass on the scores
+        return out.astype(cdt)
 
-    qr = rope(q2, cq_ref[...], sq_ref[...])
+    qr = rope(q2, cq_ref[...], sq_ref[...], scale=sm_scale)
     kr = rope(k2, ck_ref[...], sk_ref[...])
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d_head), 1)
@@ -251,7 +254,7 @@ def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
         s = jax.lax.dot_general(
             qr * hm, kr, (((1,), (1,)), ((), ())),
             preferred_element_type=f32, precision=mprec,
-        ) * sm_scale  # [bq, N] — zeroed q lanes restrict the contraction
+        )  # [bq, N] — zeroed q lanes restrict the contraction; q pre-scaled
         s = jnp.where(msk, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)

@@ -59,6 +59,94 @@ def _ffn_block_kernel(x_ref, mod_ref, w1_ref, b1_ref, w2_ref,
     o_ref[0] = x + g * o
 
 
+def _qkv_block_kernel(x_ref, mod_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                      wv_ref, bv_ref, q_ref, k_ref, v_ref):
+    x = x_ref[0]  # [bn, D] compute dtype
+    cdt = x.dtype
+    f32 = jnp.float32
+    prec = jax.lax.Precision.HIGHEST if cdt == f32 else None
+
+    xf = x.astype(f32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    normed = (xf - mu) * jax.lax.rsqrt(var + _LN_EPS)
+
+    mod = mod_ref[0]  # [2, D]: scale / shift rows
+    m = normed.astype(cdt) * (1 + mod[0:1]) + mod[1:2]
+
+    def proj(w_ref, b_ref, o_ref):
+        o_ref[0] = jax.lax.dot_general(
+            m, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        ).astype(cdt) + b_ref[...]
+
+    proj(wq_ref, bq_ref, q_ref)
+    proj(wk_ref, bk_ref, k_ref)
+    proj(wv_ref, bv_ref, v_ref)
+
+
+def qkv_block(
+    x: jax.Array,  # [B, N, D] residual stream (raw, pre-norm)
+    scale: jax.Array,  # [B, D] AdaLN scale_msa
+    shift: jax.Array,  # [B, D] shift_msa
+    wq: jax.Array, bq: jax.Array,  # [D, I], [I]
+    wk: jax.Array, bk: jax.Array,
+    wv: jax.Array, bv: jax.Array,
+    block_n: int = 256,
+    interpret: bool = False,
+):
+    """Fused LN → AdaLN-modulate → q/k/v projections (reference
+    ``modules.py:615-630`` attn half). Reads the residual stream once and
+    keeps all three weight matrices VMEM-resident; returns ``(q, k, v)``
+    each ``[B, N, I]`` in the flat layout the nhd attention kernel consumes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, D = x.shape
+    I = wq.shape[1]
+    assert qkv_block_supported(N, D, I), (N, D, I)
+    bn = min(block_n, N)
+    while N % bn:
+        bn //= 2
+
+    cdt = x.dtype
+    mod2 = jnp.stack([scale.astype(cdt), shift.astype(cdt)], axis=1)  # [B,2,D]
+    wmat = lambda w: w.astype(cdt)
+    bvec = lambda b: b.astype(cdt).reshape(1, I)
+
+    wspec = pl.BlockSpec((D, I), lambda b, i: (0, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, I), lambda b, i: (0, 0), memory_space=pltpu.VMEM)
+    io_spec = pl.BlockSpec((1, bn, D), lambda b, i: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, bn, I), lambda b, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, N, I), cdt)
+    q, k, v = pl.pallas_call(
+        _qkv_block_kernel,
+        grid=(B, N // bn),
+        in_specs=[
+            io_spec,
+            pl.BlockSpec((1, 2, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec, bspec, wspec, bspec, wspec, bspec,
+        ],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[out_shape, out_shape, out_shape],
+        interpret=interpret,
+    )(x, mod2, wmat(wq), bvec(bq), wmat(wk), bvec(bk), wmat(wv), bvec(bv))
+    return q, k, v
+
+
+def qkv_block_supported(n: int, d: int, inner: int) -> bool:
+    """128-aligned dims with the three projection matrices VMEM-resident."""
+    return (
+        n % 128 == 0
+        and d % 128 == 0
+        and inner % 128 == 0
+        and 3 * d * inner * 2 <= 9 * 1024 * 1024
+    )
+
+
 def ffn_block_supported(n: int, d: int, inner: int) -> bool:
     """Shapes the kernel handles: 128-aligned dims and both weight matrices
     resident in VMEM (≤ ~9 MB bf16) alongside the activation tiles."""

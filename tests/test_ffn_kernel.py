@@ -58,6 +58,34 @@ def test_ffn_block_multi_nblock():
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_qkv_block_matches_flax_chain():
+    from lemas_tts_tpu.ops.ffn import qkv_block, qkv_block_supported
+
+    rng = np.random.default_rng(3)
+    B, N, D, I = 2, 256, 128, 128
+    assert qkv_block_supported(N, D, I)
+    x = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal((B, D)) * 0.1, jnp.float32)
+    shift = jnp.asarray(rng.standard_normal((B, D)) * 0.1, jnp.float32)
+    ws = [jnp.asarray(rng.standard_normal((D, I)) * 0.05, jnp.float32)
+          for _ in range(3)]
+    bs = [jnp.asarray(rng.standard_normal(I) * 0.1, jnp.float32)
+          for _ in range(3)]
+
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = (xf * xf).mean(-1, keepdims=True) - mu * mu
+    normed = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+    m = normed * (1 + scale[:, None]) + shift[:, None]
+    refs = [m @ w + b for w, b in zip(ws, bs)]
+
+    got = qkv_block(x, scale, shift, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+                    interpret=True)
+    for g, r in zip(got, refs):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_dit_block_fused_matches_unfused():
     """DiTBlock with the vmem backend (fused FF path, interpret-able only on
     TPU) must equal the xla-backend block on identical params — checked here
@@ -66,27 +94,46 @@ def test_dit_block_fused_matches_unfused():
     import lemas_tts_tpu.ops.ffn as ffn_mod
     from lemas_tts_tpu.models.modules import DiTBlock
 
+    from lemas_tts_tpu.ops.rope import rope_angles
+
     orig = ffn_mod.ffn_block
+    orig_qkv = ffn_mod.qkv_block
     orig_vmem = attn_mod.vmem_attention
+    orig_nhd = attn_mod.vmem_attention_nhd
     try:
         ffn_mod.ffn_block = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        ffn_mod.qkv_block = lambda *a, **k: orig_qkv(
+            *a, **{**k, "interpret": True})
         attn_mod.vmem_attention = lambda *a, **k: orig_vmem(
+            *a, **{**k, "interpret": True})
+        attn_mod.vmem_attention_nhd = lambda *a, **k: orig_nhd(
             *a, **{**k, "interpret": True})
         rng = np.random.default_rng(2)
         B, N, D = 2, 128, 128
         x = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
         t = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+        angles = rope_angles(N, 64)
 
         blk_x = DiTBlock(D, heads=2, dim_head=64, ff_mult=2,
                          attn_backend="xla")
         params = blk_x.init(jax.random.key(0), x, t)
-        ref = blk_x.apply(params, x, t)
+        ref = blk_x.apply(params, x, t, rope_angles_arr=angles)
 
+        # vmem backend with rope → the fully fused path:
+        # qkv_block + nhd attention + ffn_block
         blk_v = DiTBlock(D, heads=2, dim_head=64, ff_mult=2,
                          attn_backend="vmem")
-        got = blk_v.apply(params, x, t)
+        got = blk_v.apply(params, x, t, rope_angles_arr=angles)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+        # and without rope (nhd unavailable → split-head vmem + ffn_block)
+        ref2 = blk_x.apply(params, x, t)
+        got2 = blk_v.apply(params, x, t)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
                                    rtol=2e-4, atol=2e-4)
     finally:
         ffn_mod.ffn_block = orig
+        ffn_mod.qkv_block = orig_qkv
         attn_mod.vmem_attention = orig_vmem
+        attn_mod.vmem_attention_nhd = orig_nhd

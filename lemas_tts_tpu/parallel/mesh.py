@@ -126,19 +126,56 @@ def shard_opt_state(opt_state: Any, mesh: Mesh, param_pspecs: Any) -> Any:
 def data_parallel_sampler(sampler_fn, mesh: Mesh):
     """Wrap a jitted sampler so batched synthesis shards requests/chunks over
     the 'data' axis (the TPU equivalent of the reference's multi-process
-    fan-out, SURVEY.md §2.3)."""
+    fan-out, SURVEY.md §2.3).
+
+    Uses ``shard_map`` rather than GSPMD auto-partitioning: the TPU sampler
+    contains Pallas (Mosaic) custom calls (attention/ffn/qkv kernels) which
+    GSPMD cannot partition automatically — under shard_map each device runs
+    the full program on its local batch shard, which is exactly the
+    embarrassingly-parallel semantics batched synthesis wants. Batch sizes
+    must be multiples of the 'data' axis (``Synthesizer._pick_batch`` pads)."""
+    from jax.experimental.shard_map import shard_map
+
+    def bspec(nd):
+        return P(*(["data"] + [None] * (nd - 1)))
+
+    # one jitted shard_map per optional-argument signature (None optionals
+    # can't cross the shard_map boundary as specs, so each presence pattern
+    # is its own program; jit then caches per shape bucket as usual)
+    programs: dict = {}
+
+    def _program(n_rest, present_idx, ndims):
+        key = (n_rest, present_idx, ndims)
+        f = programs.get(key)
+        if f is None:
+            def local(params_, cond_, cond_mask_, text_ids_, duration_, y0_,
+                      *present):
+                full = [None] * n_rest
+                for j, i in enumerate(present_idx):
+                    full[i] = present[j]
+                return sampler_fn(params_, cond_, cond_mask_, text_ids_,
+                                  duration_, y0_, *full)
+
+            in_specs = (P(), bspec(3), bspec(2), bspec(2), bspec(1), bspec(3))
+            in_specs += tuple(bspec(nd) for nd in ndims)
+            f = jax.jit(shard_map(local, mesh=mesh, in_specs=in_specs,
+                                  out_specs=bspec(3), check_rep=False))
+            programs[key] = f
+        return f
 
     def wrapped(params, cond, cond_mask, text_ids, duration, y0, *rest):
         put = lambda x, spec: (
             None if x is None else jax.device_put(x, NamedSharding(mesh, spec))
         )
-        bspec = lambda nd: P(*(["data"] + [None] * (nd - 1)))
         cond = put(cond, bspec(3))
         cond_mask = put(cond_mask, bspec(2))
         text_ids = put(text_ids, bspec(2))
         duration = put(duration, bspec(1))
         y0 = put(y0, bspec(3))
         rest = tuple(put(r, bspec(getattr(r, "ndim", 3))) for r in rest)
-        return sampler_fn(params, cond, cond_mask, text_ids, duration, y0, *rest)
+        present_idx = tuple(i for i, r in enumerate(rest) if r is not None)
+        args = tuple(rest[i] for i in present_idx)
+        f = _program(len(rest), present_idx, tuple(a.ndim for a in args))
+        return f(params, cond, cond_mask, text_ids, duration, y0, *args)
 
     return wrapped

@@ -63,6 +63,13 @@ def fast_random_params(model, init_fn, key):
 
 
 def main():
+    # persistent XLA cache: repeat bench runs skip the multi-minute tunnel
+    # compiles (LEMAS_COMPILE_CACHE overrides; empty string disables)
+    from lemas_tts_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache(
+        os.environ.get("LEMAS_COMPILE_CACHE", "/tmp/lemas_xla_cache")
+    )
     compute_dtype = jnp.bfloat16
     arch = DiTArch()
     model = DiT(arch=arch, mel_dim=100, text_num_embeds=898,
@@ -139,4 +146,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The benchmarking tunnel occasionally drops a request mid-run; one
+    # re-exec with a fresh backend recovers it. Attempts are capped via env
+    # so a real regression still fails loudly.
+    attempt = int(os.environ.get("LEMAS_BENCH_ATTEMPT", "0"))
+    try:
+        main()
+    except Exception:
+        import sys
+        import traceback
+
+        traceback.print_exc()
+        if attempt >= 2:
+            raise
+        os.environ["LEMAS_BENCH_ATTEMPT"] = str(attempt + 1)
+        print(f"bench attempt {attempt + 1} failed — retrying", file=sys.stderr)
+        os.execv(sys.executable, [sys.executable] + sys.argv)

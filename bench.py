@@ -7,8 +7,8 @@ Measures the full generation path — jitted Euler/CFG sampler (2×22
 transformer blocks per step, fused Pallas VMEM attention) + batched masked
 Vocos decode — on randomly initialized flagship weights (RTF is
 weight-independent). Default batch is 4, the serving engine's measured
-sweet spot (serve/engine.py max_batch; B=1 → 24.7, B=4 → 29.4, B=8 → 25.4
-audio-s/s per chip on v5e), so the headline is per-chip serving throughput;
+sweet spot (serve/engine.py max_batch; B=1 → 26.8, B=4 → 32.8 audio-s/s
+per chip on v5e), so the headline is per-chip serving throughput;
 set LEMAS_BENCH_BATCH=1 for single-stream RTF. Timing forces device
 completion by fetching a scalar reduction of the waveform; fetching the
 full audio is excluded because the benchmarking tunnel's device→host path

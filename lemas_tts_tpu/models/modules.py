@@ -309,63 +309,56 @@ class Attention(nn.Module):
             q, k, v = qkv_block(x, scale, shift, wq, bq, wk, bk, wv, bv)
             out = vmem_attention_nhd(q, k, v, mask, rope_angles_arr,
                                      heads=self.heads)
-            out = dense(self.dim, "to_out")(out)
-            out = nn.Dropout(self.dropout, name="drop")(
-                out, deterministic=deterministic)
-            if mask is not None:
-                out = jnp.where(mask[..., None], out, 0.0)
-            return out
-
-        # qkv share input x; under int8 XLA CSEs the per-token quantization.
-        q = dense(inner, "to_q")(x)
-        k = dense(inner, "to_k")(x)
-        v = dense(inner, "to_v")(x)
-
-        # flat-layout fused path: no head-split transposes around the kernel
-        # (they pin an N-minor layout on the DiT scan carry — see
-        # docs/performance.md), rope applied in-kernel
-        use_nhd = (
-            self.attn_backend == "vmem"
-            and self.qk_norm is None
-            and self.pe_attn_head is None
-            and self.dim_head == 64
-            and self.heads % 2 == 0
-            and rope_angles_arr is not None
-            and N % 128 == 0
-        )
-        if use_nhd:
-            from lemas_tts_tpu.ops.attention import vmem_attention_nhd
-
-            out = vmem_attention_nhd(q, k, v, mask, rope_angles_arr,
-                                     heads=self.heads)
         else:
-            def split_heads(t):
-                return t.reshape(B, N, self.heads, self.dim_head).transpose(
-                    0, 2, 1, 3)
+            # qkv share input x; under int8 XLA CSEs per-token quantization.
+            q = dense(inner, "to_q")(x)
+            k = dense(inner, "to_k")(x)
+            v = dense(inner, "to_v")(x)
 
-            q, k, v = split_heads(q), split_heads(k), split_heads(v)
+            # flat-layout fused path: no head-split transposes around the
+            # kernel (they pin an N-minor layout on the DiT scan carry — see
+            # docs/performance.md), rope applied in-kernel
+            from lemas_tts_tpu.ops.attention import nhd_supported
 
-            if self.qk_norm == "rms_norm":
-                q = RMSNorm(self.dim_head, name="q_norm")(q)
-                k = RMSNorm(self.dim_head, name="k_norm")(k)
+            use_nhd = self.attn_backend == "vmem" and nhd_supported(
+                self.heads, self.dim_head, N, self.qk_norm,
+                self.pe_attn_head, rope_angles_arr is not None,
+            )
+            if use_nhd:
+                from lemas_tts_tpu.ops.attention import vmem_attention_nhd
 
-            if rope_angles_arr is not None:
-                if self.pe_attn_head is not None:
-                    pn = self.pe_attn_head
-                    q = jnp.concatenate(
-                        [apply_rope(q[:, :pn], rope_angles_arr), q[:, pn:]],
-                        axis=1,
-                    )
-                    k = jnp.concatenate(
-                        [apply_rope(k[:, :pn], rope_angles_arr), k[:, pn:]],
-                        axis=1,
-                    )
-                else:
-                    q = apply_rope(q, rope_angles_arr)
-                    k = apply_rope(k, rope_angles_arr)
+                out = vmem_attention_nhd(q, k, v, mask, rope_angles_arr,
+                                         heads=self.heads)
+            else:
+                def split_heads(t):
+                    return t.reshape(
+                        B, N, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
-            out = attention(q, k, v, mask=mask, backend=self.attn_backend)
-            out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
+                q, k, v = split_heads(q), split_heads(k), split_heads(v)
+
+                if self.qk_norm == "rms_norm":
+                    q = RMSNorm(self.dim_head, name="q_norm")(q)
+                    k = RMSNorm(self.dim_head, name="k_norm")(k)
+
+                if rope_angles_arr is not None:
+                    if self.pe_attn_head is not None:
+                        pn = self.pe_attn_head
+                        q = jnp.concatenate(
+                            [apply_rope(q[:, :pn], rope_angles_arr),
+                             q[:, pn:]],
+                            axis=1,
+                        )
+                        k = jnp.concatenate(
+                            [apply_rope(k[:, :pn], rope_angles_arr),
+                             k[:, pn:]],
+                            axis=1,
+                        )
+                    else:
+                        q = apply_rope(q, rope_angles_arr)
+                        k = apply_rope(k, rope_angles_arr)
+
+                out = attention(q, k, v, mask=mask, backend=self.attn_backend)
+                out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
         out = dense(self.dim, "to_out")(out)
         # reference to_out = [Linear, Dropout] (modules.py:412-414)
         out = nn.Dropout(self.dropout, name="drop")(out, deterministic=deterministic)
@@ -434,6 +427,7 @@ class DiTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, t_emb, mask=None, rope_angles_arr=None,
                  deterministic: bool = True):
+        from lemas_tts_tpu.ops.attention import nhd_supported
         from lemas_tts_tpu.ops.ffn import qkv_block_supported
 
         ada = AdaLayerNorm(
@@ -452,18 +446,19 @@ class DiTBlock(nn.Module):
             name="attn",
         )
         # fused TPU inference path (ops/ffn.py qkv_block + nhd attention):
-        # preconditions mirror Attention.use_nhd plus VMEM-resident weights
+        # nhd kernel preconditions (shared predicate) plus VMEM-resident
+        # weights in the compute dtype
+        itemsize = jnp.dtype(self.compute_dtype).itemsize
         fused_attn = (
             self.attn_backend == "vmem"
             and self.quant is None
             and deterministic
-            and self.qk_norm is None
-            and self.pe_attn_head is None
-            and self.dim_head == 64
-            and self.heads % 2 == 0
-            and rope_angles_arr is not None
+            and nhd_supported(
+                self.heads, self.dim_head, x.shape[1], self.qk_norm,
+                self.pe_attn_head, rope_angles_arr is not None,
+            )
             and qkv_block_supported(
-                x.shape[1], self.dim, self.heads * self.dim_head
+                x.shape[1], self.dim, self.heads * self.dim_head, itemsize
             )
         )
         if fused_attn:
@@ -494,7 +489,8 @@ class DiTBlock(nn.Module):
             and self.quant is None
             and deterministic
             and ffn_block_supported(
-                x.shape[1], self.dim, int(self.dim * self.ff_mult)
+                x.shape[1], self.dim, int(self.dim * self.ff_mult),
+                jnp.dtype(self.compute_dtype).itemsize,
             )
         ):
             return ff(x, deterministic,

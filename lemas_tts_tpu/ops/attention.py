@@ -270,6 +270,28 @@ def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
     o_ref[0] = (o_acc / l2).astype(o_ref.dtype)
 
 
+def nhd_supported(
+    heads: int,
+    dim_head: int,
+    n: int,
+    qk_norm=None,
+    pe_attn_head=None,
+    has_rope: bool = True,
+) -> bool:
+    """Preconditions of the flat-layout nhd kernel — the single source of
+    truth for both the Attention-internal gate and DiTBlock's fused-path
+    gate (they must not drift: DiTBlock passes raw x + fused_ln_mod only
+    when the kernel can actually run)."""
+    return (
+        qk_norm is None
+        and pe_attn_head is None
+        and dim_head == 64
+        and heads % 2 == 0
+        and has_rope
+        and n % 128 == 0
+    )
+
+
 def vmem_attention_nhd(
     q: jax.Array,  # [B, N, H*D] — qkv dense outputs, heads NOT split
     k: jax.Array,

@@ -104,7 +104,7 @@ def qkv_block(
 
     B, N, D = x.shape
     I = wq.shape[1]
-    assert qkv_block_supported(N, D, I), (N, D, I)
+    assert qkv_block_supported(N, D, I, jnp.dtype(x.dtype).itemsize), (N, D, I)
     bn = min(block_n, N)
     while N % bn:
         bn //= 2
@@ -137,24 +137,28 @@ def qkv_block(
     return q, k, v
 
 
-def qkv_block_supported(n: int, d: int, inner: int) -> bool:
-    """128-aligned dims with the three projection matrices VMEM-resident."""
+def qkv_block_supported(n: int, d: int, inner: int, itemsize: int = 2) -> bool:
+    """128-aligned dims with the three projection matrices VMEM-resident
+    (``itemsize`` = bytes per element of the compute dtype — f32 doubles the
+    resident-weight footprint and must fail this check on v5e shapes)."""
     return (
         n % 128 == 0
         and d % 128 == 0
         and inner % 128 == 0
-        and 3 * d * inner * 2 <= 9 * 1024 * 1024
+        and 3 * d * inner * itemsize <= 9 * 1024 * 1024
     )
 
 
-def ffn_block_supported(n: int, d: int, inner: int) -> bool:
+def ffn_block_supported(n: int, d: int, inner: int, itemsize: int = 2) -> bool:
     """Shapes the kernel handles: 128-aligned dims and both weight matrices
-    resident in VMEM (≤ ~9 MB bf16) alongside the activation tiles."""
+    resident in VMEM (≤ ~9 MB) alongside the activation tiles. ``itemsize``
+    is bytes per element of the compute dtype — f32 doubles the footprint
+    and correctly fails this check at flagship shapes."""
     return (
         n % 128 == 0
         and d % 128 == 0
         and inner % 128 == 0
-        and d * inner * 2 * 2 <= 9 * 1024 * 1024
+        and 2 * d * inner * itemsize <= 9 * 1024 * 1024
     )
 
 
@@ -176,7 +180,7 @@ def ffn_block(
 
     B, N, D = x.shape
     F = w1.shape[1]
-    assert ffn_block_supported(N, D, F), (N, D, F)
+    assert ffn_block_supported(N, D, F, jnp.dtype(x.dtype).itemsize), (N, D, F)
     bn = min(block_n, N)
     while N % bn:
         bn //= 2

@@ -134,7 +134,14 @@ def data_parallel_sampler(sampler_fn, mesh: Mesh):
     the full program on its local batch shard, which is exactly the
     embarrassingly-parallel semantics batched synthesis wants. Batch sizes
     must be multiples of the 'data' axis (``Synthesizer._pick_batch`` pads)."""
-    from jax.experimental.shard_map import shard_map
+    try:  # jax ≥ 0.8 (check_vma replaces check_rep)
+        from jax import shard_map as _sm
+
+        def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+            return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                       check_vma=check_rep)
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     def bspec(nd):
         return P(*(["data"] + [None] * (nd - 1)))

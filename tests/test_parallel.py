@@ -97,3 +97,60 @@ def test_data_parallel_sampling_matches_single_device():
                                 jnp.asarray(cond_mask), jnp.asarray(text),
                                 jnp.asarray(duration), jnp.asarray(y0)))
     np.testing.assert_allclose(sharded, base, atol=2e-5)
+
+
+def test_data_parallel_sampling_with_pallas_kernels():
+    """shard_map + the fused Pallas path (interpret mode) — the combination
+    a real multi-chip TPU serving mesh executes: GSPMD cannot partition
+    Mosaic custom calls, so the data_parallel_sampler must hand each device
+    a local-batch program containing the kernels."""
+    import lemas_tts_tpu.ops.attention as attn_mod
+    import lemas_tts_tpu.ops.ffn as ffn_mod
+
+    arch64 = DiTArch(dim=128, depth=2, heads=2, dim_head=64, ff_mult=2,
+                     text_dim=32, conv_layers=1)
+    origs = (ffn_mod.ffn_block, ffn_mod.qkv_block, attn_mod.vmem_attention,
+             attn_mod.vmem_attention_nhd)
+    try:
+        ffn_mod.ffn_block = lambda *a, **k: origs[0](
+            *a, **{**k, "interpret": True})
+        ffn_mod.qkv_block = lambda *a, **k: origs[1](
+            *a, **{**k, "interpret": True})
+        attn_mod.vmem_attention = lambda *a, **k: origs[2](
+            *a, **{**k, "interpret": True})
+        attn_mod.vmem_attention_nhd = lambda *a, **k: origs[3](
+            *a, **{**k, "interpret": True})
+
+        mesh = make_mesh(8, model_parallel=1)
+        B, N, nt = 8, 128, 6
+        dit_x = DiT(arch=arch64, mel_dim=12, text_num_embeds=30,
+                    attn_backend="xla")
+        dit_v = DiT(arch=arch64, mel_dim=12, text_num_embeds=30,
+                    attn_backend="vmem")
+        params = dit_x.init(jax.random.key(2), jnp.zeros((1, N, 12)),
+                            jnp.zeros((1, N, 12)),
+                            jnp.zeros((1, nt), jnp.int32), jnp.zeros((1,)))
+        rng = np.random.default_rng(7)
+        cond = np.zeros((B, N, 12), dtype=np.float32)
+        cond[:, :16] = rng.standard_normal((B, 16, 12)).astype(np.float32)
+        cond_mask = np.zeros((B, N), dtype=bool)
+        cond_mask[:, :16] = True
+        text = rng.integers(0, 30, (B, nt)).astype(np.int32)
+        duration = np.full(B, N, dtype=np.int32)
+        y0 = rng.standard_normal((B, N, 12)).astype(np.float32)
+        settings = SamplerSettings(steps=2, cfg_strength=1.0,
+                                   sway_sampling_coef=1.0)
+
+        base = np.asarray(make_sampler(dit_x, settings)(
+            params, jnp.asarray(cond), jnp.asarray(cond_mask),
+            jnp.asarray(text), jnp.asarray(duration), jnp.asarray(y0)))
+
+        dp_run = data_parallel_sampler(make_sampler(dit_v, settings), mesh)
+        got = np.asarray(dp_run(
+            shard_pytree(params, mesh, dit_param_pspecs(params)),
+            jnp.asarray(cond), jnp.asarray(cond_mask), jnp.asarray(text),
+            jnp.asarray(duration), jnp.asarray(y0)))
+        np.testing.assert_allclose(got, base, rtol=5e-4, atol=5e-4)
+    finally:
+        (ffn_mod.ffn_block, ffn_mod.qkv_block, attn_mod.vmem_attention,
+         attn_mod.vmem_attention_nhd) = origs

@@ -7,7 +7,7 @@ Measures the full generation path — jitted Euler/CFG sampler (2×22
 transformer blocks per step, fused Pallas VMEM attention) + batched masked
 Vocos decode — on randomly initialized flagship weights (RTF is
 weight-independent). Default batch is 4, the serving engine's measured
-sweet spot (serve/engine.py max_batch; B=1 → 26.8, B=4 → 32.8 audio-s/s
+sweet spot (serve/engine.py max_batch; B=1 → 28.0, B=4 → 33.8 audio-s/s
 per chip on v5e), so the headline is per-chip serving throughput;
 set LEMAS_BENCH_BATCH=1 for single-stream RTF. Timing forces device
 completion by fetching a scalar reduction of the waveform; fetching the

@@ -96,23 +96,45 @@ def _istft_core(spec_real, spec_imag, window, frame_mask, n_fft: int, hop_length
     frames = frames * window
     n_frames = frames.shape[-2]
     out_len = n_fft + hop_length * (n_frames - 1)
-
-    # Overlap-add via scatter-add over static per-frame offsets.
-    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-    flat_idx = jnp.asarray(idx.reshape(-1))
     batch_shape = frames.shape[:-2]
     if frame_mask is not None:
         frames = jnp.where(frame_mask[..., None], frames, 0.0)
-    flat_frames = frames.reshape(batch_shape + (n_frames * n_fft,))
-    out = jnp.zeros(batch_shape + (out_len,), dtype=frames.dtype)
-    out = out.at[..., flat_idx].add(flat_frames)
 
-    # Window-square envelope for COLA normalization (same offsets). With a
-    # frame mask, only valid frames contribute — a bucket-padded decode is
-    # then bit-equal to an exact-length decode on the valid prefix.
+    # Window-square envelope operand for COLA normalization. With a frame
+    # mask, only valid frames contribute — a bucket-padded decode is then
+    # bit-equal to an exact-length decode on the valid prefix.
     wsq = jnp.asarray((window * window)[None, :]) * jnp.ones((n_frames, 1), jnp.float32)
     if frame_mask is not None:
         wsq = jnp.where(frame_mask[..., None], wsq[None], 0.0)  # [..., n_frames, n_fft]
+
+    if n_fft % hop_length == 0:
+        # TPU-native overlap-add: each frame spans exactly r = n_fft/hop
+        # output hop-slots, so the fold is r static pad+adds on hop-sized
+        # chunks. The scatter formulation below lowers to a
+        # sort + segment-reduce on TPU (~13 ms per [4, 1024-frame] batch vs
+        # ~0.1 ms for the fold — the entire Vocos head was scatter-bound).
+        def fold(fr):  # fr: [..., n_frames, n_fft] -> [..., out_len]
+            r = n_fft // hop_length
+            lead = fr.ndim - 2
+            chunks = fr.reshape(fr.shape[:-1] + (r, hop_length))
+            acc = None
+            for j in range(r):
+                pad = [(0, 0)] * lead + [(j, r - 1 - j), (0, 0)]
+                term = jnp.pad(chunks[..., j, :], pad)
+                acc = term if acc is None else acc + term
+            return acc.reshape(acc.shape[:-2] + (out_len,))
+
+        out = fold(frames)
+        env = fold(wsq)  # [out_len] unmasked, [batch..., out_len] masked
+        return out, env
+
+    # General hop: overlap-add via scatter-add over static per-frame offsets.
+    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    flat_idx = jnp.asarray(idx.reshape(-1))
+    flat_frames = frames.reshape(batch_shape + (n_frames * n_fft,))
+    out = jnp.zeros(batch_shape + (out_len,), dtype=frames.dtype)
+    out = out.at[..., flat_idx].add(flat_frames)
+    if frame_mask is not None:
         env = jnp.zeros(batch_shape + (out_len,), dtype=frames.dtype)
         env = env.at[..., flat_idx].add(wsq.reshape(batch_shape + (-1,)))
     else:

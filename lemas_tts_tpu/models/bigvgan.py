@@ -129,7 +129,11 @@ def _conv_transpose_depthwise(x: jax.Array, taps: jax.Array, stride: int):
     """Depthwise transposed conv: dilate input with zeros then VALID conv with
     flipped taps (mathematically identical to F.conv_transpose1d groups=C)."""
     B, T, C = x.shape
-    up = jnp.zeros((B, T * stride, C), x.dtype).at[:, ::stride, :].set(x)
+    # zero-stuff via stack+reshape (pure data movement) — a strided
+    # .at[::stride].set lowers to a scatter on TPU
+    up = jnp.concatenate(
+        [x[:, :, None, :], jnp.zeros((B, T, stride - 1, C), x.dtype)], axis=2
+    ).reshape(B, T * stride, C)
     k = taps.shape[0]
     up = jnp.pad(up, ((0, 0), (k - 1, k - 1), (0, 0)))
     y = _depthwise(up, taps[::-1])

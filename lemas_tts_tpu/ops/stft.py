@@ -31,10 +31,22 @@ def _num_frames(num_samples: int, n_fft: int, hop_length: int) -> int:
 def frame_signal(x: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
     """Slice ``x [..., T]`` into overlapping frames ``[..., n_frames, n_fft]``.
 
-    Implemented as a static gather so XLA tiles it; no dynamic shapes.
+    When the hop divides ``n_fft`` (every mel/Vocos/UVR5 config here), the
+    framing is ``r = n_fft/hop`` static slices of a hop-chunked reshape —
+    pure data movement, mirroring the ``_istft_core`` fold. The general
+    case falls back to a static-index gather (measured equally fast on TPU
+    for these shapes — unlike the scatter overlap-add, which was 100×).
     """
     num_samples = x.shape[-1]
     n_frames = _num_frames(num_samples, n_fft, hop_length)
+    if n_fft % hop_length == 0:
+        r = n_fft // hop_length
+        used = (n_frames - 1 + r) * hop_length
+        chunks = x[..., :used].reshape(x.shape[:-1] + (n_frames - 1 + r,
+                                                       hop_length))
+        return jnp.concatenate(
+            [chunks[..., j : j + n_frames, :] for j in range(r)], axis=-1
+        )
     # [n_frames, n_fft] index grid — static, folded into the gather by XLA.
     idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
     return x[..., idx]

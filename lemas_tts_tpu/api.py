@@ -405,6 +405,10 @@ class TTS:
         char: ``text2norm`` + lang tag; no frontend: raw string). Serving
         layers must use this instead of passing raw ``text2phn`` strings —
         ``text_to_ids`` would otherwise tokenize them character-by-character."""
+        if getattr(self.vocab, "char_map", None) is None:
+            # byte tokenizer (no vocab.txt): raw UTF-8 strings only —
+            # phone/char unit lists are unmappable (utils/vocab.py)
+            return text
         if self.frontend is not None and self.frontend.dtype == "phone":
             return (
                 self.frontend.text2phn(text + ". ")
@@ -484,7 +488,19 @@ class TTS:
             ref_file, ref_text, show_info=show_info
         )
 
-        if self.frontend is not None and self.frontend.dtype == "phone":
+        byte_vocab = getattr(self.vocab, "char_map", None) is None
+        if byte_vocab:
+            # byte tokenizer (no vocab.txt): raw-string units with
+            # byte-budget chunking — phone/char unit lists would be
+            # unmappable (utils/vocab.py raises on lists)
+            ref_units = ref_text
+            max_chars = int(
+                len(ref_text.encode("utf-8"))
+                / (wav.shape[-1] / sr)
+                * (22 - wav.shape[-1] / sr)
+            ) if wav.shape[-1] > 0 else 135
+            gen_chunks = chunk_text(gen_text, max_chars=max(1, max_chars))
+        elif self.frontend is not None and self.frontend.dtype == "phone":
             ref_units = (
                 self.frontend.text2phn(ref_text + ". ")
                 .replace("(cmn)", "(zh)")
@@ -510,7 +526,7 @@ class TTS:
             ) if wav.shape[-1] > 0 else 135
             gen_chunks = chunk_text(gen_text, max_chars=max(1, max_chars))
 
-        if separate_langs:
+        if separate_langs and not isinstance(ref_units, str):
             ref_units = self.process_phone_list(ref_units)
             gen_chunks = [self.process_phone_list(x) for x in gen_chunks]
 

@@ -175,3 +175,30 @@ def test_bundled_configs_load():
     pros = load_model_config("multilingual_prosody")
     assert pros.use_prosody_encoder is True
     assert pros.arch.dim == cfg.arch.dim  # same arch, prosody flag differs
+
+
+def test_tts_byte_vocab_fallback(tmp_path):
+    """No vocab file → byte tokenizer: infer must route raw-string units
+    (phone/char unit lists are unmappable by the byte tokenizer)."""
+    import warnings
+
+    import numpy as np
+
+    from lemas_tts_tpu.api import TTS
+    from lemas_tts_tpu.utils.audio_io import write_wav
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    ref = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    p = tmp_path / "ref.wav"
+    write_wav(str(p), ref, sr)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tts = TTS(model=str(DATA / "tiny.yaml"), device="cpu")
+    assert tts.vocab.char_map is None  # byte tokenizer active
+    assert tts.prepare_units("hello") == "hello"
+    w, out_sr, _ = tts.infer(str(p), "abc def", "hello world",
+                             nfe_step=2, cfg_strength=1.0, seed=4,
+                             separate_langs=True,
+                             show_info=lambda *a, **k: None)
+    assert w.size > 0 and np.isfinite(w).all() and out_sr == sr

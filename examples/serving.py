@@ -42,7 +42,11 @@ def main() -> int:
     cfg = SamplerConfig(nfe_steps=args.nfe)
     print("[serving] warming shape buckets (first compiles happen here, "
           "not in request latency)...")
-    tts.synth.warmup(cfg)
+    # warm the (duration, batch) buckets these requests actually land in —
+    # default warmup covers only (1024, B=1) and the engine batches at
+    # max_batch, so a mismatched warmup would leave every batch cold
+    tts.synth.warmup(cfg, duration_buckets=(512, 768, 1024),
+                     batch_buckets=(args.max_batch,))
     eng = ServingEngine(tts.synth, cfg=cfg, max_batch=args.max_batch)
 
     texts = [
@@ -51,22 +55,29 @@ def main() -> int:
         "short one.",
         "and a fourth request to fill the batch window.",
     ]
-    t0 = time.time()
-    futs = [
-        eng.submit(TTSRequest(ref_wav=ref, ref_sr=sr,
-                              ref_units="some call me nature.",
-                              gen_units=texts[i % len(texts)]))
-        for i in range(args.requests)
-    ]
-    total_audio = 0.0
-    for i, f in enumerate(futs):
-        out = f.result()
-        wave = out[0] if isinstance(out, tuple) else out
-        total_audio += np.asarray(wave).shape[-1] / sr
-        print(f"[serving] request {i}: {np.asarray(wave).shape[-1] / sr:.2f}s audio")
-    dt = time.time() - t0
-    print(f"[serving] {args.requests} requests, {total_audio:.1f}s audio in "
-          f"{dt:.1f}s — {total_audio / max(dt, 1e-9):.2f}x RT aggregate")
+
+    def run_round(label):
+        t0 = time.time()
+        futs = [
+            eng.submit(TTSRequest(ref_wav=ref, ref_sr=sr,
+                                  ref_units="some call me nature.",
+                                  gen_units=texts[i % len(texts)]))
+            for i in range(args.requests)
+        ]
+        total_audio = 0.0
+        for i, f in enumerate(futs):
+            out = f.result()
+            wave = out[0] if isinstance(out, tuple) else out
+            total_audio += np.asarray(wave).shape[-1] / sr
+        dt = time.time() - t0
+        print(f"[serving] {label}: {args.requests} requests, "
+              f"{total_audio:.1f}s audio in {dt:.1f}s — "
+              f"{total_audio / max(dt, 1e-9):.2f}x RT aggregate")
+
+    # first round pays residual one-time compiles (exact ref-mel length,
+    # vocoder slicing); the second round is the steady state a server runs at
+    run_round("cold round")
+    run_round("steady state")
     print(f"[serving] stats: {eng.stats()}")
     eng.shutdown()
     return 0

@@ -37,6 +37,31 @@ TEXT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
 BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
 
 
+@partial(jax.jit, static_argnames=("n", "d"))
+def _batched_y0(seeds: jax.Array, n: int, d: int) -> jax.Array:
+    """Per-row seeded noise [B, n, d] — bit-equal to stacking
+    ``jax.random.normal(jax.random.key(seed), (n, d))`` per row."""
+    return jax.vmap(
+        lambda s: jax.random.normal(jax.random.key(s), (n, d), jnp.float32)
+    )(seeds)
+
+
+@partial(jax.jit, static_argnames=("n_out",))
+def _slice_for_vocoder(mel, starts, lens, n_out: int):
+    """Per-row [start, start+len) windows of ``mel [B, N, D]`` as one
+    device-resident vocoder batch ([B, D, n_out], frame mask). Replaces the
+    host round-trip (fetch mel → slice in numpy → re-upload) between the
+    sampler and the vocoder."""
+    B, N, D = mel.shape
+    melp = jnp.pad(mel, ((0, 0), (0, n_out), (0, 0)))
+    sl = jax.vmap(
+        lambda m, s: jax.lax.dynamic_slice(m, (s, 0), (n_out, D))
+    )(melp, starts)  # [B, n_out, D]
+    mask = jnp.arange(n_out)[None, :] < lens[:, None]
+    sl = jnp.where(mask[..., None], sl, 0.0)
+    return jnp.swapaxes(sl, 1, 2), mask
+
+
 def chunk_text(text: str, max_chars: int = 135) -> List[str]:
     """Sentence-boundary chunking with a UTF-8 byte budget
     (reference ``chunk_text``, ``utils_infer.py:89-116``)."""
@@ -591,19 +616,19 @@ class Synthesizer:
         )
         cond = np.zeros((Bp, N, D), dtype=np.float32)
         cond_mask = np.zeros((Bp, N), dtype=bool)
-        y0 = np.zeros((Bp, N, D), dtype=np.float32)
         entropy = np.random.default_rng()  # unseeded rows get fresh entropy,
         # independent of batch position (reference seeds per sample or draws
         # a random seed per call, cfm.py:430-435 / utils_infer.py)
+        seeds = np.zeros(Bp, dtype=np.uint32)
         for i, r in enumerate(rows):
             f = min(r["cond_mel"].shape[0], N)
             cond[i, :f] = r["cond_mel"][:f]
             cond_mask[i, :f] = True
-            seed = r["seed"] if r["seed"] is not None \
+            seeds[i] = r["seed"] if r["seed"] is not None \
                 else int(entropy.integers(2**31 - 1))
-            y0[i] = np.asarray(
-                jax.random.normal(jax.random.key(int(seed)), (N, D), jnp.float32)
-            )
+        # per-row seeded noise generated on device as one batch (bit-equal to
+        # per-row jax.random.normal(key(seed)) — vmap semantics)
+        y0 = _batched_y0(jnp.asarray(seeds), N, D)
 
         settings = SamplerSettings(
             steps=cfg.nfe_steps,
@@ -611,27 +636,39 @@ class Synthesizer:
             sway_sampling_coef=cfg.sway_sampling_coef,
             method=cfg.ode_method,
         )
-        out = np.asarray(
-            self._sampler(settings)(
-                self.dit_params, jnp.asarray(cond), jnp.asarray(cond_mask),
-                jnp.asarray(text_ids), jnp.asarray(dur_arr), jnp.asarray(y0),
-                None,
-            ),
-            dtype=np.float32,
+        # mel stays device-resident through slicing and vocoding: through a
+        # narrow host link (e.g. the benchmarking tunnel) the old
+        # host-round-trip between sampler and vocoder dominated warm batch
+        # latency, and on any host it is two avoidable transfers
+        mel_dev = self._sampler(settings)(
+            self.dit_params, jnp.asarray(cond), jnp.asarray(cond_mask),
+            jnp.asarray(text_ids), jnp.asarray(dur_arr), y0, None,
         )
 
-        gen_slices = [
-            out[i, rows[i]["ref_audio_len"] : rows[i]["duration"], :]
-            for i in range(B)
-        ]
-        waves = self.vocode_batch(gen_slices)
+        if self._decode is None:
+            raise RuntimeError("no vocoder configured")
+        starts = jnp.asarray(
+            [r["ref_audio_len"] for r in rows] + [0] * (Bp - B), jnp.int32)
+        lens_list = [r["duration"] - r["ref_audio_len"] for r in rows]
+        n_out = pick_bucket(max(lens_list), DURATION_BUCKETS)
+        lens_arr = jnp.asarray(lens_list + [1] * (Bp - B), jnp.int32)
+        sliced, vmask = _slice_for_vocoder(mel_dev, starts, lens_arr, n_out)
+        waves = np.asarray(self._decode(self.vocoder_params, sliced, vmask))
+        mels_np = np.asarray(sliced)  # [Bp, D, n_out]
+
+        if self.vocoder_kind == "bigvgan":
+            up = self.vocoder_model.cfg.total_upsample
+            trims = [ln * up for ln in lens_list]
+        else:  # vocos iSTFT head: T frames → (T−1)×hop samples
+            trims = [(ln - 1) * hop for ln in lens_list]
         results = []
         for i, r in enumerate(rows):
-            w = waves[i]
+            w = waves[i, : trims[i]]
             if 0 < r["rms"] < cfg.target_rms:
                 w = w * (r["rms"] / cfg.target_rms)
             results.append(
-                (np.clip(w, -0.999, 0.999), sr, gen_slices[i].T)
+                (np.clip(w, -0.999, 0.999), sr,
+                 mels_np[i, :, : lens_list[i]])
             )
         return results
 

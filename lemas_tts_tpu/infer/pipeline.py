@@ -476,23 +476,42 @@ class Synthesizer:
             None if step_cond is None else jnp.asarray(step_cond),
             None if prosody_text is None else jnp.asarray(prosody_text),
         )
-        # np.array (copy): jax arrays view as read-only and the no_ref_audio
-        # branch mutates the generated region below
-        out = np.array(out, dtype=np.float32)  # [Bp, N, D]
-
-        if cfg.no_ref_audio:  # mean re-alignment of generated region (cfm.py:464-467)
-            gen_region = out[:, ref_frames:, :]
-            out[:, ref_frames:, :] = gen_region - (
+        if cfg.no_ref_audio:
+            # mean re-alignment of the generated region (cfm.py:464-467) —
+            # niche path, host-side mutation then batched re-upload
+            out_np = np.array(out, dtype=np.float32)  # [Bp, N, D]
+            gen_region = out_np[:, ref_frames:, :]
+            out_np[:, ref_frames:, :] = gen_region - (
                 gen_region.mean(axis=1, keepdims=True) - cond_mean[None]
             )
-
-        # --- vocode generated regions, batched with frame masks
-        # degenerate truncation guard: keep at least one generated frame
-        gen_slices = [
-            out[i, min(ref_audio_len, durations[i] - 1) : durations[i], :]
-            for i in range(B)
-        ]
-        waves = self.vocode_batch(gen_slices)
+            gen_slices = [
+                out_np[i, min(ref_audio_len, durations[i] - 1) : durations[i], :]
+                for i in range(B)
+            ]
+            waves = self.vocode_batch(gen_slices)
+        else:
+            # mel stays device-resident through slicing and vocoding (see
+            # synthesize_requests — same two-transfer saving per call);
+            # degenerate truncation guard keeps ≥1 generated frame
+            starts_l = [min(ref_audio_len, durations[i] - 1) for i in range(B)]
+            lens_l = [durations[i] - starts_l[i] for i in range(B)]
+            Bp_rows = out.shape[0]
+            n_out = pick_bucket(max(lens_l), DURATION_BUCKETS)
+            starts_j = jnp.asarray(starts_l + [0] * (Bp_rows - B), jnp.int32)
+            lens_j = jnp.asarray(lens_l + [1] * (Bp_rows - B), jnp.int32)
+            sliced, vmask = _slice_for_vocoder(out, starts_j, lens_j, n_out)
+            if self._decode is None:
+                raise RuntimeError("no vocoder configured")
+            waves_np = np.asarray(
+                self._decode(self.vocoder_params, sliced, vmask))
+            mels_np = np.asarray(sliced)  # [Bp, D, n_out]
+            if self.vocoder_kind == "bigvgan":
+                up = self.vocoder_model.cfg.total_upsample
+                trims = [ln * up for ln in lens_l]
+            else:  # vocos iSTFT head: T frames → (T−1)×hop samples
+                trims = [(ln - 1) * hop for ln in lens_l]
+            gen_slices = [mels_np[i, :, : lens_l[i]].T for i in range(B)]
+            waves = [waves_np[i, : trims[i]] for i in range(B)]
         if rms < cfg.target_rms and rms > 0:
             waves = [w * (rms / cfg.target_rms) for w in waves]
 

@@ -9,6 +9,14 @@ Axes:
 
 Everything works on any mesh size including 1×1; tests exercise an 8-device
 virtual CPU mesh (``tests/conftest.py``).
+
+Kernel-backend compatibility: the fused Pallas kernels (``attn_backend=
+"vmem"``) are data-parallel only — ``data_parallel_sampler`` wraps them in
+``shard_map`` so each device runs full-head programs on its batch shard.
+Tensor parallelism over ``model`` (``dit_param_pspecs``) requires the
+GSPMD-partitionable ``xla`` backend, which is what the trainer uses; at
+DiT-flagship size a single v5e chip fits the whole model, so TP is a
+training/memory tool, not a serving need.
 """
 
 from __future__ import annotations

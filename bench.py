@@ -6,9 +6,11 @@ Baseline north star (BASELINE.md): ≥20× real-time per chip at NFE=32.
 Measures the full generation path — jitted Euler/CFG sampler (2×22
 transformer blocks per step, fused Pallas VMEM attention) + batched masked
 Vocos decode — on randomly initialized flagship weights (RTF is
-weight-independent). Default batch is 4, the serving engine's measured
-sweet spot (serve/engine.py max_batch; B=1 → 28.0, B=4 → 33.8 audio-s/s
-per chip on v5e), so the headline is per-chip serving throughput;
+weight-independent). Default batch is 8, the serving engine's measured
+sweet spot (serve/engine.py max_batch; on v5e: B=1 → 28.0, B=4 → 33.8,
+B=8 → 35.0, B=16/32 → 35.9 audio-s/s per chip — the old B=4 optimum moved
+after the fused-kernel layout fix and the istft fold), so the headline is
+per-chip serving throughput;
 set LEMAS_BENCH_BATCH=1 for single-stream RTF. Timing forces device
 completion by fetching a scalar reduction of the waveform; fetching the
 full audio is excluded because the benchmarking tunnel's device→host path
@@ -37,7 +39,7 @@ HOP = 256
 NFE = 32
 N_BUCKET = 1024  # mel frames ≈ 10.9 s audio
 REF_FRAMES = 188  # ≈ 2 s reference audio
-BATCH = int(os.environ.get("LEMAS_BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("LEMAS_BENCH_BATCH", "8"))
 # "int8" benches the W8A8 serving mode (ops/quant.py) — probe knob, not the
 # headline: the headline stays the default bf16 path.
 QUANT = os.environ.get("LEMAS_BENCH_QUANT") or None

@@ -44,7 +44,7 @@ class ServingEngine:
         # measured on v5e at N=1024, NFE=32: B=4 → 28.2 audio-s/s per chip,
         # B=8 → 25.4 (CLAUDE.md perf log) — 4 is the throughput sweet spot
         # and halves queueing latency vs 8.
-        max_batch: int = 4,
+        max_batch: int = 8,
         max_wait_ms: float = 15.0,
         logger: Optional[JsonLogger] = None,
         max_queue: int = 256,

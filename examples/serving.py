@@ -42,11 +42,12 @@ def main() -> int:
     cfg = SamplerConfig(nfe_steps=args.nfe)
     print("[serving] warming shape buckets (first compiles happen here, "
           "not in request latency)...")
-    # warm the (duration, batch) buckets these requests actually land in —
-    # default warmup covers only (1024, B=1) and the engine batches at
-    # max_batch, so a mismatched warmup would leave every batch cold
+    # warm the (duration, batch, text) buckets these requests actually land
+    # in — default warmup covers only (1024, B=1, nt=256) and a mismatched
+    # warmup leaves every batch cold
     tts.synth.warmup(cfg, duration_buckets=(512, 768, 1024),
-                     batch_buckets=(args.max_batch,))
+                     batch_buckets=(args.max_batch,),
+                     text_buckets=(64, 128))
     eng = ServingEngine(tts.synth, cfg=cfg, max_batch=args.max_batch)
 
     texts = [

@@ -488,19 +488,12 @@ class TTS:
             ref_file, ref_text, show_info=show_info
         )
 
+        # byte tokenizer (no vocab.txt) forces the raw-string path: phone/
+        # char unit lists would be unmappable (utils/vocab.py raises on
+        # lists)
         byte_vocab = getattr(self.vocab, "char_map", None) is None
-        if byte_vocab:
-            # byte tokenizer (no vocab.txt): raw-string units with
-            # byte-budget chunking — phone/char unit lists would be
-            # unmappable (utils/vocab.py raises on lists)
-            ref_units = ref_text
-            max_chars = int(
-                len(ref_text.encode("utf-8"))
-                / (wav.shape[-1] / sr)
-                * (22 - wav.shape[-1] / sr)
-            ) if wav.shape[-1] > 0 else 135
-            gen_chunks = chunk_text(gen_text, max_chars=max(1, max_chars))
-        elif self.frontend is not None and self.frontend.dtype == "phone":
+        use_raw_units = byte_vocab or self.frontend is None
+        if not use_raw_units and self.frontend.dtype == "phone":
             ref_units = (
                 self.frontend.text2phn(ref_text + ". ")
                 .replace("(cmn)", "(zh)")
@@ -510,7 +503,7 @@ class TTS:
                 self.frontend.text2phn(x + ". ").replace("(cmn)", "(zh)").split("|")
                 for x in gen_text.split("\n")
             ]
-        elif self.frontend is not None:  # char frontend (api.py:206-211)
+        elif not use_raw_units:  # char frontend (api.py:206-211)
             src_lang, norm = self.frontend.text2norm(ref_text + ". ")
             ref_units = [f"({src_lang.replace('cmn', 'zh')})"] + list(norm)
             gen_chunks = []

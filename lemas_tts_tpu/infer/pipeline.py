@@ -502,9 +502,10 @@ class Synthesizer:
             sliced, vmask = _slice_for_vocoder(out, starts_j, lens_j, n_out)
             if self._decode is None:
                 raise RuntimeError("no vocoder configured")
-            waves_np = np.asarray(
-                self._decode(self.vocoder_params, sliced, vmask))
-            mels_np = np.asarray(sliced)  # [Bp, D, n_out]
+            # one batched device_get: waves plus the returned mels (part of
+            # the result contract) in a single host transfer
+            waves_np, mels_np = jax.device_get(
+                (self._decode(self.vocoder_params, sliced, vmask), sliced))
             if self.vocoder_kind == "bigvgan":
                 up = self.vocoder_model.cfg.total_upsample
                 trims = [ln * up for ln in lens_l]
@@ -638,7 +639,9 @@ class Synthesizer:
         entropy = np.random.default_rng()  # unseeded rows get fresh entropy,
         # independent of batch position (reference seeds per sample or draws
         # a random seed per call, cfm.py:430-435 / utils_infer.py)
-        seeds = np.zeros(Bp, dtype=np.uint32)
+        # int64: jax.random.key accepts the full int64 range (a user seed of
+        # 2**33 or a negative seed must not crash the batch)
+        seeds = np.zeros(Bp, dtype=np.int64)
         for i, r in enumerate(rows):
             f = min(r["cond_mel"].shape[0], N)
             cond[i, :f] = r["cond_mel"][:f]
@@ -672,8 +675,10 @@ class Synthesizer:
         n_out = pick_bucket(max(lens_list), DURATION_BUCKETS)
         lens_arr = jnp.asarray(lens_list + [1] * (Bp - B), jnp.int32)
         sliced, vmask = _slice_for_vocoder(mel_dev, starts, lens_arr, n_out)
-        waves = np.asarray(self._decode(self.vocoder_params, sliced, vmask))
-        mels_np = np.asarray(sliced)  # [Bp, D, n_out]
+        # one batched device_get: waves plus the returned mels (part of the
+        # result contract) in a single host transfer
+        waves, mels_np = jax.device_get(
+            (self._decode(self.vocoder_params, sliced, vmask), sliced))
 
         if self.vocoder_kind == "bigvgan":
             up = self.vocoder_model.cfg.total_upsample

@@ -41,9 +41,10 @@ class ServingEngine:
         self,
         synthesizer,
         cfg: SamplerConfig = SamplerConfig(),
-        # measured on v5e at N=1024, NFE=32: B=4 → 28.2 audio-s/s per chip,
-        # B=8 → 25.4 (CLAUDE.md perf log) — 4 is the throughput sweet spot
-        # and halves queueing latency vs 8.
+        # measured on v5e at N=1024, NFE=32 (post layout-fix/istft-fold
+        # curve, CLAUDE.md perf log): B=4 → 33.8, B=8 → 35.0, B=16/32 →
+        # 35.9 audio-s/s per chip — 8 balances throughput vs queueing
+        # latency; raise for offline batch jobs.
         max_batch: int = 8,
         max_wait_ms: float = 15.0,
         logger: Optional[JsonLogger] = None,

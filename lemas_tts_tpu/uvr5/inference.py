@@ -48,10 +48,10 @@ class MDXSeparator:
         *,
         is_denoise: bool = True,
         compensate: float = 1.035,
-        # effective network batch is 2x this with is_denoise (sign-flip pair
-        # stacked into one apply); 4 keeps the compiled graph inside the TPU
-        # compiler's limits (B=16 U-Net programs crash it) at full throughput
-        batch_size: int = 4,
+        # default: 4 when denoising (the sign-flip pair doubles the network
+        # batch, and B=16 U-Net programs crash the TPU compiler), 8 for the
+        # plain single-apply separation path
+        batch_size: Optional[int] = None,
         adjust: float = 1.0,
         mesh: Optional[Any] = None,
     ):
@@ -61,6 +61,8 @@ class MDXSeparator:
         self.is_denoise = is_denoise
         self.compensate = compensate
         self.adjust = adjust
+        if batch_size is None:
+            batch_size = 4 if is_denoise else 8
 
         # Data-parallel chunk batches: shard the batch axis over the mesh's
         # 'data' axis (GSPMD; replaces the reference's per-GPU ProcessPool,

@@ -269,3 +269,41 @@ def test_collate_truncates_overlong_samples():
     batch = collate([s], duration_buckets=(16, 32))
     assert batch["mel"].shape == (1, 32, 4)
     assert batch["mel_lengths"][0] == 32
+
+
+def test_trainer_overfits_single_batch():
+    """Optimization sanity: repeated steps on one fixed batch must drive the
+    flow-matching loss down substantially (the reference ships no trainer to
+    compare against, so convergence itself is the spec)."""
+    import random
+    import statistics
+
+    import numpy as np
+
+    from lemas_tts_tpu.cfm.train import Trainer
+    from lemas_tts_tpu.config import TrainConfig
+
+    rng = np.random.default_rng(0)
+    B, T, D, nt = 4, 32, 12, 6
+    batch = {
+        "mel": jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32)),
+        "mel_lengths": jnp.asarray(np.full(B, T, np.int32)),
+        "text": jnp.asarray(rng.integers(0, 30, (B, nt)).astype(np.int32)),
+        "langs": jnp.asarray(rng.integers(0, 12, B).astype(np.int32)),
+    }
+    arch = DiTArch(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2,
+                   text_dim=32, conv_layers=1)
+    dit = DiT(arch=arch, mel_dim=D, text_num_embeds=30)
+    tr = Trainer(dit, vocab_size=30, mel_dim=D,
+                 cfg=TrainConfig(learning_rate=3e-4, num_warmup_updates=10))
+    state = tr.init_state(jax.random.key(0), batch)
+    r = random.Random(0)
+    losses = []
+    for i in range(80):
+        state, m = tr.train_step(state, batch, jax.random.key(i), r)
+        losses.append(float(m["flow_loss"]))
+    first = statistics.mean(losses[:10])
+    last = statistics.mean(losses[-10:])
+    # measured 3.18 -> 1.85 at these seeds; generous margin for backends
+    assert last < 0.75 * first, (first, last)
+    assert np.isfinite(losses).all()

@@ -467,6 +467,7 @@ class TTS:
         nfe_step: int = 32,
         speed: float = 1.0,
         sway_sampling_coef: Optional[float] = 5,
+        cfg_cutoff: Optional[float] = None,
         separate_langs: bool = False,
         fix_duration: Optional[float] = None,
         use_prosody_encoder: bool = True,
@@ -527,6 +528,7 @@ class TTS:
             nfe_steps=nfe_step,
             cfg_strength=cfg_strength,
             sway_sampling_coef=sway_sampling_coef,
+            cfg_cutoff=cfg_cutoff,
             ode_method=self.ode_method,
             speed=speed,
             target_rms=target_rms,

@@ -112,6 +112,13 @@ class SamplerSettings:
     # midpoint@K costs the same as euler@2K but integrates more accurately
     # on the same budget. No reference equivalent.
     method: str = "euler"
+    # CFG truncation (opt-in, no reference equivalent): the CFG scale
+    # ``cfg_strength·(1−t)²`` (cfm.py:420) decays to ~0 along the trajectory,
+    # yet the uncond half of the batched forward is paid on every step. When
+    # set, steps whose cfg_t falls below this threshold run the cond pass
+    # only (still ±clamped). The split is static — the time grid is a
+    # compile-time constant — so it costs zero dynamic branching.
+    cfg_cutoff: Optional[float] = None
 
     def __post_init__(self):
         if self.method not in ("euler", "midpoint"):
@@ -120,6 +127,19 @@ class SamplerSettings:
     @property
     def use_cfg(self) -> bool:
         return self.cfg_strength >= 1e-5
+
+    def cfg_active_steps(self, time_grid) -> int:
+        """Number of leading ODE steps that run the 2-pass CFG forward.
+        cfg_t is monotone-decreasing in t, so the active steps are a prefix.
+        Requires a concrete (non-traced) time grid."""
+        steps = len(time_grid) - 1
+        if not self.use_cfg:
+            return 0
+        if self.cfg_cutoff is None:
+            return steps
+        ts = np.asarray(time_grid)[:-1]
+        cfg_t = self.cfg_strength * np.square(1.0 - ts)
+        return int(np.sum(cfg_t >= self.cfg_cutoff))
 
 
 def sample_mel(
@@ -153,6 +173,20 @@ def sample_mel(
     # Text embeddings for both CFG branches, computed once (replaces the
     # reference's mutable cache).
     te_cond = model.apply(params, text_ids, N, False, method=model.embed_text)
+
+    def velocity_cond_only(t, x, clamp):
+        # single cond pass; the no-CFG path skips the clamp on purpose (the
+        # reference's early return at cfm.py:405 exits BEFORE the ±20 clamp
+        # at :424) while the cfg_cutoff tail keeps it (it replaces a clamped
+        # CFG step whose uncond term has decayed to ~0)
+        v = model.apply(
+            params, x, step_cond, None, jnp.broadcast_to(t, (B,)), attn_mask,
+            text_embed=te_cond, prosody_text=prosody_text,
+        )
+        if clamp:
+            v = jnp.clip(v, -settings.velocity_clamp, settings.velocity_clamp)
+        return v
+
     if settings.use_cfg:
         te_uncond = model.apply(params, text_ids, N, True, method=model.embed_text)
         te2 = jnp.concatenate([te_cond, te_uncond], axis=0)
@@ -178,32 +212,46 @@ def sample_mel(
     else:
 
         def velocity(t, x):
-            # no clamp here on purpose: the reference's no-CFG early return
-            # (cfm.py:405) exits BEFORE the ±20 clamp at :424
-            return model.apply(
-                params, x, step_cond, None, jnp.broadcast_to(t, (B,)), attn_mask,
-                text_embed=te_cond, prosody_text=prosody_text,
-            )
+            return velocity_cond_only(t, x, clamp=False)
 
     t_pairs = jnp.stack([time_grid[:-1], time_grid[1:] - time_grid[:-1]], axis=1)
 
-    if settings.method == "midpoint":
+    def make_ode_step(vel):
+        if settings.method == "midpoint":
 
-        def ode_step(y, t_dt):
-            t, dt = t_dt[0], t_dt[1]
-            half = 0.5 * dt
-            y_mid = y + half * velocity(t, y)
-            y_next = y + dt * velocity(t + half, y_mid)
-            return y_next, (y_next if settings.return_trajectory else None)
+            def ode_step(y, t_dt):
+                t, dt = t_dt[0], t_dt[1]
+                half = 0.5 * dt
+                y_mid = y + half * vel(t, y)
+                y_next = y + dt * vel(t + half, y_mid)
+                return y_next, (y_next if settings.return_trajectory else None)
 
+        else:
+
+            def ode_step(y, t_dt):
+                t, dt = t_dt[0], t_dt[1]
+                y_next = y + dt * vel(t, y)
+                return y_next, (y_next if settings.return_trajectory else None)
+
+        return ode_step
+
+    k = settings.cfg_active_steps(time_grid)
+    steps = t_pairs.shape[0]
+    if settings.use_cfg and k < steps:
+        # static CFG truncation: prefix scan with the 2-pass CFG velocity,
+        # tail scan with the (clamped) cond-only velocity
+        y_mid_state, traj_a = jax.lax.scan(
+            make_ode_step(velocity), y0.astype(jnp.float32), t_pairs[:k])
+        y_final, traj_b = jax.lax.scan(
+            make_ode_step(lambda t, x: velocity_cond_only(t, x, clamp=True)),
+            y_mid_state, t_pairs[k:])
+        traj = (
+            None if not settings.return_trajectory
+            else jnp.concatenate([traj_a, traj_b], axis=0)
+        )
     else:
-
-        def ode_step(y, t_dt):
-            t, dt = t_dt[0], t_dt[1]
-            y_next = y + dt * velocity(t, y)
-            return y_next, (y_next if settings.return_trajectory else None)
-
-    y_final, traj = jax.lax.scan(ode_step, y0.astype(jnp.float32), t_pairs)
+        y_final, traj = jax.lax.scan(
+            make_ode_step(velocity), y0.astype(jnp.float32), t_pairs)
 
     out = jnp.where(keep, cond, y_final)  # bit-exact paste of kept frames
     if settings.return_trajectory:

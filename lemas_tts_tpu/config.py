@@ -101,6 +101,9 @@ class SamplerConfig:
     # "euler" (reference parity) | "midpoint" (2nd-order: better mel at the
     # same number of velocity evals when halving nfe_steps)
     ode_method: str = "euler"
+    # opt-in CFG truncation: skip the uncond forward once
+    # cfg_strength·(1−t)² < cfg_cutoff (see SamplerSettings.cfg_cutoff)
+    cfg_cutoff: Optional[float] = None
     max_duration: int = 4096
     speed: float = 1.0
     target_rms: float = 0.1

@@ -211,6 +211,7 @@ def edit_speech(
         cfg_strength=cfg.cfg_strength,
         sway_sampling_coef=cfg.sway_sampling_coef,
         method=cfg.ode_method,
+        cfg_cutoff=cfg.cfg_cutoff,
     )
     run = synth._sampler(settings)
     out = run(

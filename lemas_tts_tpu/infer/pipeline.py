@@ -249,6 +249,7 @@ class Synthesizer:
             cfg_strength=cfg.cfg_strength,
             sway_sampling_coef=cfg.sway_sampling_coef,
             method=cfg.ode_method,
+            cfg_cutoff=cfg.cfg_cutoff,
         )
         run = self._sampler(settings)
         n = 0
@@ -463,6 +464,7 @@ class Synthesizer:
             cfg_strength=cfg.cfg_strength,
             sway_sampling_coef=cfg.sway_sampling_coef,
             method=cfg.ode_method,
+            cfg_cutoff=cfg.cfg_cutoff,
             t_start=t_start,
         )
         run = self._sampler(settings)
@@ -657,6 +659,7 @@ class Synthesizer:
             cfg_strength=cfg.cfg_strength,
             sway_sampling_coef=cfg.sway_sampling_coef,
             method=cfg.ode_method,
+            cfg_cutoff=cfg.cfg_cutoff,
         )
         # mel stays device-resident through slicing and vocoding: through a
         # narrow host link (e.g. the benchmarking tunnel) the old

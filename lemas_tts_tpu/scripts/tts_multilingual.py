@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nfe_step", type=int, default=64, help="Number of sampling steps (NFE).")
     p.add_argument("--cfg_strength", type=float, default=5.0, help="CFG strength.")
     p.add_argument("--sway_sampling_coef", type=float, default=3.0)
+    p.add_argument("--cfg_cutoff", type=float, default=None,
+                   help="Skip the uncond CFG forward once "
+                        "cfg_strength*(1-t)^2 < cutoff (speed/quality knob; "
+                        "docs/performance.md).")
     p.add_argument("--ode_method", type=str, default="euler",
                    choices=["euler", "midpoint"],
                    help="ODE solver: euler (reference parity) | midpoint "
@@ -130,6 +134,7 @@ def main(argv=None) -> int:
         nfe_step=args.nfe_step,
         cfg_strength=args.cfg_strength,
         sway_sampling_coef=args.sway_sampling_coef,
+        cfg_cutoff=args.cfg_cutoff,
         speed=args.speed,
         separate_langs=args.separate_langs,
         use_acc_grl=args.use_acc_grl,

@@ -186,3 +186,84 @@ def test_unknown_method_rejected():
 
     with pytest.raises(ValueError):
         SamplerSettings(method="rk4")
+
+
+def test_cfg_cutoff_active_steps_math():
+    """cfg_active_steps counts the prefix where cfg_strength·(1−t)² ≥ cutoff."""
+    s = SamplerSettings(steps=8, cfg_strength=2.0, sway_sampling_coef=1.0,
+                        cfg_cutoff=0.5)
+    grid = sway_time_grid(8, 1.0)
+    k = s.cfg_active_steps(grid)
+    cfg_t = 2.0 * (1 - np.asarray(grid[:-1])) ** 2
+    assert k == int((cfg_t >= 0.5).sum())
+    assert 0 < k < 8
+    # cutoff None / no-CFG edge cases
+    assert SamplerSettings(steps=8, cfg_strength=2.0).cfg_active_steps(grid) == 8
+    assert SamplerSettings(steps=8, cfg_strength=0.0,
+                           cfg_cutoff=0.5).cfg_active_steps(grid) == 0
+
+
+def test_cfg_cutoff_tiny_threshold_is_identity():
+    """A cutoff below the smallest cfg_t keeps every step on the CFG path →
+    bit-identical output to the default sampler."""
+    _, jmodel, jparams = build_pair()
+    cond, cond_mask, text, duration, y0 = make_inputs()
+    args = (jparams, jnp.asarray(cond), jnp.asarray(cond_mask),
+            jnp.asarray(text.astype(np.int32)), jnp.asarray(duration),
+            jnp.asarray(y0))
+    base = make_sampler(jmodel, SamplerSettings(
+        steps=6, cfg_strength=2.0, sway_sampling_coef=1.0))(*args)
+    cut = make_sampler(jmodel, SamplerSettings(
+        steps=6, cfg_strength=2.0, sway_sampling_coef=1.0,
+        cfg_cutoff=1e-12))(*args)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(cut))
+
+
+def test_cfg_cutoff_truncates_and_stays_close():
+    """A moderate cutoff changes only the late steps: output differs from
+    full CFG but matches a torch mirror that switches to the cond-only
+    velocity at the same step index."""
+    tref, jmodel, jparams = build_pair()
+    cond, cond_mask, text, duration, y0 = make_inputs()
+    steps, cfg, sway, cutoff = 6, 2.0, 1.0, 0.8
+    s = SamplerSettings(steps=steps, cfg_strength=cfg,
+                        sway_sampling_coef=sway, cfg_cutoff=cutoff)
+    grid = sway_time_grid(steps, sway)
+    k = s.cfg_active_steps(grid)
+    assert 0 < k < steps
+
+    # torch mirror with the same truncation
+    B, N, _ = cond.shape
+    tmask = torch.arange(N)[None, :] < torch.from_numpy(duration)[:, None]
+    tcond = torch.from_numpy(cond)
+    tkeep = torch.from_numpy(cond_mask)
+    step_cond = torch.where(tkeep.unsqueeze(-1), tcond, torch.zeros_like(tcond))
+    y = torch.where(tmask.unsqueeze(-1), torch.from_numpy(y0),
+                    torch.zeros_like(torch.from_numpy(y0)))
+    ttext = torch.from_numpy(text)
+    with torch.no_grad():
+        for i in range(steps):
+            t, dt = float(grid[i]), float(grid[i + 1] - grid[i])
+            tt = torch.full((B,), t)
+            pred = tref(y, step_cond, ttext, tt, mask=tmask)
+            if i < k:
+                null = tref(y, step_cond, ttext, tt, mask=tmask,
+                            drop_audio_cond=True, drop_text=True)
+                v = pred + (pred - null) * (cfg * (1 - t) ** 2)
+            else:
+                v = pred
+            y = y + dt * v.clamp(-20, 20)
+    ref = torch.where(tkeep.unsqueeze(-1), tcond, y).numpy()
+
+    got = np.asarray(make_sampler(jmodel, s)(
+        jparams, jnp.asarray(cond), jnp.asarray(cond_mask),
+        jnp.asarray(text.astype(np.int32)), jnp.asarray(duration),
+        jnp.asarray(y0)))
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+    full = np.asarray(make_sampler(jmodel, SamplerSettings(
+        steps=steps, cfg_strength=cfg, sway_sampling_coef=sway))(
+        jparams, jnp.asarray(cond), jnp.asarray(cond_mask),
+        jnp.asarray(text.astype(np.int32)), jnp.asarray(duration),
+        jnp.asarray(y0)))
+    assert np.abs(full - got).max() > 0  # the truncation did change something

@@ -57,8 +57,10 @@ def build_separator(args: argparse.Namespace):
         from lemas_tts_tpu.uvr5.vr_network import VRSeparator
 
         if args.model_path:
-            return VRSeparator.from_file(args.model_path)
-        return VRSeparator()
+            return VRSeparator.from_file(
+                args.model_path, band_params=args.vr_model_param or None,
+                window_size=args.window_size)
+        return VRSeparator(window_size=args.window_size)
     from lemas_tts_tpu.uvr5.inference import UVR5
 
     # the facade owns the from_file / random-init-with-warning policy
@@ -100,8 +102,10 @@ def process_files(
 
             vocal_path = os.path.join(result_path, f"{stem}_vocal.wav")
             if isinstance(sep, VRSeparator):
-                vocal = sep.separate(wav, sr, aggressiveness=aggressiveness)
-                bg, out_sr = None, sr
+                vocal, bg, out_sr = sep.separate_full(
+                    wav, sr, aggressiveness=aggressiveness)
+                if not save_background:
+                    bg = None
             else:
                 vocal, bg, out_sr = sep.separate(
                     wav, sr, save_background=save_background
@@ -145,7 +149,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-p", "--process_method", type=str, default="MDX-Net",
                     choices=["MDX-Net", "VR Arc"])
     ap.add_argument("-b", "--save_background", action="store_true",
-                    help="also write <stem>_background.wav (MDX only)")
+                    help="also write <stem>_background.wav")
+    ap.add_argument("--vr_model_param", type=str, default="",
+                    help="VR-arch band-param config: registry name (e.g. "
+                         "4band_v2), JSON path, or empty for single-band")
+    ap.add_argument("--window_size", type=int, default=512,
+                    help="VR-arch mask-prediction window (frames)")
     ap.add_argument("--no_denoise", dest="is_denoise", action="store_false",
                     help="disable the sign-flip noise-cancelling average")
     ap.add_argument("--batch_size", type=int, default=8,

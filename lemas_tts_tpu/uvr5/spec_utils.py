@@ -93,6 +93,139 @@ def combine_spectrograms(specs: Dict[int, np.ndarray],
     return out
 
 
+def make_padding(width: int, cropsize: int, offset: int):
+    """Window padding for chunked VR inference (reference ``make_padding``,
+    ``spec_utils.py:51-58``): returns (left, right, roi_size)."""
+    left = offset
+    roi_size = cropsize - offset * 2
+    if roi_size == 0:
+        roi_size = cropsize
+    right = roi_size - (width % roi_size) + left
+    return left, right, roi_size
+
+
+def fft_lp_filter(spec: np.ndarray, bin_start: int, bin_stop: int) -> np.ndarray:
+    """Linear-ramp low-pass between the crossover bins, zero above
+    (reference ``fft_lp_filter``, ``spec_utils.py:347-355``; vectorized)."""
+    spec = np.array(spec, copy=True)
+    n = bin_stop - bin_start
+    if n > 0:
+        g = 1.0 - (np.arange(1, n + 1, dtype=np.float64) / n)
+        spec[:, bin_start:bin_stop, :] *= g[None, :, None]
+    spec[:, bin_stop:, :] = 0
+    return spec
+
+
+def fft_hp_filter(spec: np.ndarray, bin_start: int, bin_stop: int) -> np.ndarray:
+    """Linear-ramp high-pass from ``bin_start`` down to ``bin_stop``, zero at
+    and below ``bin_stop`` (reference ``fft_hp_filter``,
+    ``spec_utils.py:357-365``; vectorized over the descending loop)."""
+    spec = np.array(spec, copy=True)
+    n = bin_start - bin_stop
+    if n > 0:
+        g = 1.0 - (np.arange(1, n + 1, dtype=np.float64) / n)
+        # reference iterates b = bin_start, bin_start-1, …, bin_stop+1
+        spec[:, bin_stop + 1 : bin_start + 1, :] *= g[::-1][None, :, None]
+    spec[:, : bin_stop + 1, :] = 0
+    return spec
+
+
+def combine_spectrograms_mp(specs: Dict[int, np.ndarray], mp: dict) -> np.ndarray:
+    """Band-param-dict version of :func:`combine_spectrograms` including the
+    global pre-filter (reference ``combine_spectrograms``,
+    ``spec_utils.py:154-178``): single-band configs get a ramp low-pass at
+    the pre-filter window; multi-band configs get the -3.5 dB/bin gain taper."""
+    import math
+
+    bands = [mp["band"][d] for d in sorted(mp["band"])]
+    spec_c = combine_spectrograms(specs, bands, mp["bins"])
+    pfs, pfe = mp["pre_filter_start"], mp["pre_filter_stop"]
+    if pfs > 0:
+        if len(bands) == 1:
+            spec_c = fft_lp_filter(spec_c, pfs, pfe)
+        else:
+            gp = 1.0
+            for b in range(pfs + 1, pfe):
+                g = math.pow(10, -(b - pfs) * (3.5 - gp) / 20.0)
+                gp = g
+                spec_c[:, b, :] *= g
+    return spec_c
+
+
+def cmb_spectrogram_to_wave(
+    spec_m: np.ndarray,
+    mp: dict,
+    extra_bins_h: Optional[int] = None,
+    extra_bins: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Full-band combined spectrogram → waveform at the config sample rate
+    (reference ``cmb_spectrogram_to_wave``, ``spec_utils.py:307-345``): each
+    band's bin window is scattered back into its own n_fft frame grid,
+    cross-over lp/hp ramps applied, iSTFT'd at the band rate, and the partial
+    waves are resampled up band-by-band and summed. ``extra_bins`` optionally
+    re-injects the preserved high end (the ``--high_end_process`` path)."""
+    from lemas_tts_tpu.ops.resample import resample as _resample
+
+    import jax.numpy as jnp
+
+    band_ids = sorted(mp["band"])
+    bands_n = len(band_ids)
+    ms_kw = dict(mid_side=mp.get("mid_side", False),
+                 mid_side_b2=mp.get("mid_side_b2", False),
+                 reverse=mp.get("reverse", False))
+    offset = 0
+    wave = None
+    for d in band_ids:
+        bp = mp["band"][d]
+        spec_s = np.zeros((2, bp["n_fft"] // 2 + 1, spec_m.shape[2]),
+                          np.complex64)
+        h = bp["crop_stop"] - bp["crop_start"]
+        spec_s[:, bp["crop_start"]:bp["crop_stop"], :] = \
+            spec_m[:, offset : offset + h, :]
+        offset += h
+        if d == bands_n:  # top band: native rate, optional high-end restore
+            if extra_bins_h:
+                max_bin = bp["n_fft"] // 2
+                spec_s[:, max_bin - extra_bins_h : max_bin, :] = \
+                    extra_bins[:, :extra_bins_h, :]
+            if bp.get("hpf_start", 0) > 0:
+                spec_s = fft_hp_filter(spec_s, bp["hpf_start"],
+                                       bp["hpf_stop"] - 1)
+            band_wave = spectrogram_to_wave(spec_s, bp["hl"], **ms_kw,
+                                            n_fft=bp["n_fft"])
+            if bands_n == 1:
+                wave = band_wave
+            else:  # resample ratios can drift length by a few samples
+                n = min(wave.shape[-1], band_wave.shape[-1])
+                wave = wave[:, :n] + band_wave[:, :n]
+        else:
+            sr_next = mp["band"][d + 1]["sr"]
+            if d == 1:  # bottom band: lp only, then upsample
+                spec_s = fft_lp_filter(spec_s, bp["lpf_start"], bp["lpf_stop"])
+                band_wave = spectrogram_to_wave(spec_s, bp["hl"], **ms_kw,
+                                                n_fft=bp["n_fft"])
+                wave = np.asarray(_resample(jnp.asarray(band_wave),
+                                            bp["sr"], sr_next))
+            else:  # mid bands: hp + lp, add, upsample
+                spec_s = fft_hp_filter(spec_s, bp["hpf_start"],
+                                       bp["hpf_stop"] - 1)
+                spec_s = fft_lp_filter(spec_s, bp["lpf_start"], bp["lpf_stop"])
+                band_wave = spectrogram_to_wave(spec_s, bp["hl"], **ms_kw,
+                                                n_fft=bp["n_fft"])
+                n = min(wave.shape[-1], band_wave.shape[-1])
+                wave = np.asarray(_resample(
+                    jnp.asarray(wave[:, :n] + band_wave[:, :n]),
+                    bp["sr"], sr_next))
+    return wave
+
+
+def mirroring_mp(algorithm: str, spec_m: np.ndarray,
+                 input_high_end: np.ndarray, mp: dict) -> np.ndarray:
+    """Band-param-dict wrapper over :func:`mirroring`."""
+    return mirroring(algorithm, spec_m, input_high_end,
+                     mp["pre_filter_start"])
+
+
 def mirroring(algorithm: str, spec_m: np.ndarray, input_high_end: np.ndarray,
               pre_filter_start: int) -> np.ndarray:
     """High-frequency reconstruction by mirroring the band below the filter

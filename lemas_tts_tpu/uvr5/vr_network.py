@@ -326,26 +326,72 @@ def convert_cascadednet(sd):
     return variables, n_fft, nout, nout_lstm
 
 
+def _as_stereo(audio: np.ndarray) -> np.ndarray:
+    x = np.asarray(audio, dtype=np.float32)
+    if x.ndim == 1:
+        x = np.stack([x, x])
+    elif x.shape[0] == 1:
+        x = np.concatenate([x, x], axis=0)
+    return x
+
+
 class VRSeparator:
-    """Mask-based VR separation: |STFT| → CascadedNet mask → masked iSTFT.
-    Minimal inference path of the reference VR arc (``vr_network``)."""
+    """Mask-based VR-arch separation.
+
+    Supports both network generations — the new ``CascadedNet`` (BiLSTM, this
+    module) and the legacy ``CascadedASPPNet`` (``vr_legacy.py``, most
+    published VR checkpoints) — and two analysis modes:
+
+    - single-band (``band_params=None``): one STFT at ``n_fft``/``hop``,
+      windowed mask prediction, masked iSTFT at the input rate.
+    - multi-band (``band_params`` set, the reference contract for legacy
+      checkpoints): per-band resample → STFT → ``combine_spectrograms`` →
+      windowed mask → per-band iSTFT/resample chain + high-end ``mirroring``
+      (``spec_utils.py:154-178,307-378``), output at the config sample rate.
+
+    TPU-first: mask windows are batched into one jitted forward (bucketed to
+    powers of two so recompiles stay bounded) instead of the reference's
+    per-window Python loop.
+    """
 
     @classmethod
-    def from_file(cls, path: str, hop: int = 1024) -> "VRSeparator":
+    def from_file(cls, path: str, band_params: str | dict | None = None,
+                  hop: int = 1024, window_size: int = 512) -> "VRSeparator":
         """Load reference VR-arch torch weights (``.pth``/``.ckpt``/
-        ``.safetensors``) and convert (hyper-params inferred from shapes)."""
+        ``.safetensors``), either generation, and convert (hyper-params
+        inferred from weight shapes). ``band_params`` names a registry config
+        (e.g. ``"4band_v2"``), a JSON path, or a parsed dict; legacy
+        checkpoints require one (it defines ``n_fft = 2·bins``)."""
         from lemas_tts_tpu.infer.checkpoints import load_state_dict
+        from lemas_tts_tpu.uvr5 import vr_legacy
+        from lemas_tts_tpu.uvr5.band_params import load_band_params
 
         sd = load_state_dict(str(path))
+        mp = band_params if isinstance(band_params, dict) else \
+            (load_band_params(band_params) if band_params else None)
+        if vr_legacy.is_legacy_state_dict(sd):
+            variables, arch = vr_legacy.convert_cascaded_aspp(sd)
+            if mp is None:
+                mp = load_band_params(None)  # reference default 2-band param
+            n_fft = 2 * mp["bins"]
+            model = vr_legacy.CascadedASPPNet(n_fft=n_fft,
+                                              nn_architecture=arch)
+            return cls(n_fft=n_fft, hop=hop, params=variables, model=model,
+                       offset=128, window_size=window_size, band_params=mp)
         variables, n_fft, nout, nout_lstm = convert_cascadednet(sd)
         return cls(n_fft=n_fft, hop=hop, nout=nout, nout_lstm=nout_lstm,
-                   params=variables)
+                   params=variables, window_size=window_size, band_params=mp)
 
     def __init__(self, n_fft: int = 2048, hop: int = 1024, nout: int = 32,
-                 nout_lstm: int = 128, params=None):
+                 nout_lstm: int = 128, params=None, model=None,
+                 offset: int = 64, window_size: int = 512, band_params=None):
         self.n_fft = n_fft
         self.hop = hop
-        self.model = CascadedNet(n_fft=n_fft, nout=nout, nout_lstm=nout_lstm)
+        self.offset = offset  # frames cropped per window edge (nets offset)
+        self.window_size = window_size
+        self.mp = band_params
+        self.model = model if model is not None else CascadedNet(
+            n_fft=n_fft, nout=nout, nout_lstm=nout_lstm)
         if params is None:
             import warnings
 
@@ -356,26 +402,123 @@ class VRSeparator:
         self.params = params
         self._run = jax.jit(self.model.apply)
 
+    # ------------------------------------------------------------- windows
+    def _predict_mask(self, mag: np.ndarray) -> np.ndarray:
+        """[2, bins, T] magnitude (pre-normalized) → [2, bins, T] mask via
+        batched overlapped windows (reference chunked inference: pad by
+        ``make_padding``, predict ``window_size`` frames, keep the central
+        ``roi`` of each — the offset crop of ``nets.py:predict_mask``)."""
+        from lemas_tts_tpu.uvr5.spec_utils import make_padding
+
+        n_frame = mag.shape[2]
+        # the offset crop needs a window strictly wider than both edges
+        ws = max(self.window_size, 2 * self.offset + 32)
+        pad_l, pad_r, roi = make_padding(n_frame, ws, self.offset)
+        n_window = int(np.ceil(n_frame / roi))
+        pad = np.pad(mag, ((0, 0), (0, 0), (pad_l, pad_r)), mode="constant")
+        windows = np.stack(
+            [pad[:, :, i * roi : i * roi + ws] for i in range(n_window)]
+        )
+        # bucket the window batch so long files don't recompile per length
+        n_bucket = 1 << (n_window - 1).bit_length()
+        if n_bucket > n_window:
+            windows = np.concatenate(
+                [windows, np.zeros((n_bucket - n_window,) + windows.shape[1:],
+                                   windows.dtype)])
+        masks = np.asarray(self._run(self.params, jnp.asarray(windows)))
+        masks = masks[:n_window, :, :, self.offset : self.offset + roi]
+        return np.concatenate(list(masks), axis=2)[:, :, :n_frame]
+
+    # ------------------------------------------------------------ separate
     def separate(self, audio: np.ndarray, sr: int,
                  aggressiveness: float = 0.0) -> np.ndarray:
-        """Stereo [2, T] → primary stem [2, T]. ``aggressiveness`` raises the
-        mask power in low bands (reference ``spec_utils.adjust_aggr``)."""
-        from lemas_tts_tpu.ops.stft import hann_window, istft, stft
+        """Stereo [2, T] → primary stem (masked mixture). Single-band mode
+        returns at the input rate; multi-band mode at the config rate
+        (use :meth:`separate_full` for the rate and secondary stem)."""
+        return self.separate_full(audio, sr, aggressiveness)[0]
 
-        x = np.asarray(audio, dtype=np.float32)
-        if x.ndim == 1:
-            x = np.stack([x, x])
-        elif x.shape[0] == 1:
-            x = np.concatenate([x, x], axis=0)
-        spec = stft(jnp.asarray(x), self.n_fft, self.hop,
-                    window=hann_window(self.n_fft))  # [2, bins, T]
-        mag = jnp.abs(spec)[None]  # [1, 2, bins, T]
-        mask = self._run(self.params, mag)[0]  # [2, bins, T]
-        if aggressiveness > 0:
-            split = mask.shape[1] // 2
-            mask = mask.at[:, :split].power(1.0 + aggressiveness / 3.0) \
-                if hasattr(mask, "power") else \
-                mask.at[:, :split].set(mask[:, :split] ** (1.0 + aggressiveness / 3.0))
-        out = istft(spec * mask, self.n_fft, self.hop,
-                    window=hann_window(self.n_fft), length=x.shape[-1])
-        return np.asarray(out)
+    def separate_full(
+        self,
+        audio: np.ndarray,
+        sr: int,
+        aggressiveness: float = 0.0,
+        high_end_process: str = "mirroring",
+        post_process: bool = False,
+    ):
+        """Full separation → ``(primary, secondary, out_sr)``.
+
+        ``aggressiveness`` raises the mask power (more below the band-1 crop,
+        reference ``adjust_aggr``); ``post_process`` applies
+        ``merge_artifacts`` to the mask; ``high_end_process`` controls the
+        mirrored high-frequency restore in multi-band mode."""
+        from lemas_tts_tpu.uvr5 import spec_utils as su
+
+        x = _as_stereo(audio)
+        if self.mp is None:
+            spec = su.stft_stereo(x, self.n_fft, self.hop)
+            mask = self._mask_for(np.abs(spec), aggressiveness,
+                                  split_bin=spec.shape[1] // 2,
+                                  post_process=post_process)
+            primary = su.istft_stereo(spec * mask, self.n_fft, self.hop,
+                                      length=x.shape[-1])
+            secondary = su.istft_stereo(spec * (1.0 - mask), self.n_fft,
+                                        self.hop, length=x.shape[-1])
+            return primary, secondary, sr
+
+        from lemas_tts_tpu.ops.resample import resample as _resample
+
+        mp = self.mp
+        band_ids = sorted(mp["band"])
+        bands_n = len(band_ids)
+        ms_kw = dict(mid_side=mp.get("mid_side", False),
+                     mid_side_b2=mp.get("mid_side_b2", False),
+                     reverse=mp.get("reverse", False))
+        waves: dict[int, np.ndarray] = {}
+        specs: dict[int, np.ndarray] = {}
+        input_high_end = None
+        input_high_end_h = 0
+        for d in reversed(band_ids):
+            bp = mp["band"][d]
+            if d == bands_n:
+                waves[d] = np.asarray(_resample(jnp.asarray(x), sr, bp["sr"])) \
+                    if sr != bp["sr"] else x
+            else:
+                prev = mp["band"][d + 1]["sr"]
+                waves[d] = np.asarray(
+                    _resample(jnp.asarray(waves[d + 1]), prev, bp["sr"]))
+            specs[d] = su.wave_to_spectrogram(waves[d], bp["hl"], bp["n_fft"],
+                                              **ms_kw)
+            if d == bands_n and high_end_process != "none":
+                input_high_end_h = (bp["n_fft"] // 2 - bp["crop_stop"]) + (
+                    mp["pre_filter_stop"] - mp["pre_filter_start"])
+                input_high_end = specs[d][
+                    :, bp["n_fft"] // 2 - input_high_end_h : bp["n_fft"] // 2, :]
+
+        spec_m = su.combine_spectrograms_mp(specs, mp)
+        mask = self._mask_for(np.abs(spec_m), aggressiveness,
+                              split_bin=mp["band"][1]["crop_stop"],
+                              post_process=post_process)
+        y_spec = mask * spec_m
+        v_spec = spec_m - y_spec
+
+        if high_end_process == "none" or input_high_end is None:
+            primary = su.cmb_spectrogram_to_wave(y_spec, mp)
+        else:
+            hi = su.mirroring_mp(high_end_process, y_spec, input_high_end, mp)
+            primary = su.cmb_spectrogram_to_wave(y_spec, mp,
+                                                 input_high_end_h, hi)
+        secondary = su.cmb_spectrogram_to_wave(v_spec, mp)
+        return primary, secondary, mp["sr"]
+
+    def _mask_for(self, mag: np.ndarray, aggressiveness: float,
+                  split_bin: int, post_process: bool) -> np.ndarray:
+        from lemas_tts_tpu.uvr5 import spec_utils as su
+
+        coef = float(mag.max()) or 1.0
+        mask = self._predict_mask(mag / coef)
+        if aggressiveness:
+            mask = su.adjust_aggr(mask, False, {"value": aggressiveness,
+                                                "split_bin": split_bin})
+        if post_process:
+            mask = su.merge_artifacts(mask)
+        return mask

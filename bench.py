@@ -48,20 +48,27 @@ UNROLL = int(os.environ.get("LEMAS_BENCH_UNROLL", "1"))
 
 
 def fast_random_params(model, init_fn, key):
-    """Generate a random param pytree on-device in one program (model.init
-    through the tunnel costs minutes; this costs milliseconds)."""
-    shapes = jax.eval_shape(init_fn, jax.random.key(0))
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    """Random params on-device in one program (see utils.misc)."""
+    from lemas_tts_tpu.utils.misc import fast_random_params as frp
 
-    @jax.jit
-    def gen(k):
-        ks = jax.random.split(k, len(leaves))
-        return treedef.unflatten(
-            [jax.random.normal(kk, l.shape, jnp.bfloat16) * 0.02
-             for kk, l in zip(ks, leaves)]
-        )
+    return frp(init_fn, key, dtype=jnp.bfloat16)
 
-    return jax.block_until_ready(gen(key))
+
+def run_kernel_check() -> str:
+    """On-device vmem-vs-xla agreement gate (scripts/kernel_check.py):
+    a fused-kernel numerics regression must fail the bench loudly instead
+    of producing fast wrong audio. LEMAS_BENCH_CHECK=0 skips, =full runs
+    the whole flagship grid; default checks the headline shape."""
+    mode = os.environ.get("LEMAS_BENCH_CHECK", "1")
+    if mode == "0":
+        return "skipped"
+    from lemas_tts_tpu.scripts.kernel_check import check_kernels
+
+    if mode == "full":
+        check_kernels()
+    else:
+        check_kernels(ns=(N_BUCKET,), bs=(1, BATCH))
+    return "ok"
 
 
 def main():
@@ -72,6 +79,7 @@ def main():
     enable_compile_cache(
         os.environ.get("LEMAS_COMPILE_CACHE", "/tmp/lemas_xla_cache")
     )
+    kernel_check = run_kernel_check()
     compute_dtype = jnp.bfloat16
     arch = DiTArch()
     model = DiT(arch=arch, mel_dim=100, text_num_embeds=898,
@@ -144,6 +152,7 @@ def main():
         "unit": "audio_sec/wall_sec",
         "vs_baseline": round(rtf / 20.0, 3),
         "batch": BATCH,
+        "kernel_check": kernel_check,
     }))
 
 

@@ -20,6 +20,8 @@ from functools import lru_cache
 import jax
 import jax.numpy as jnp
 
+from lemas_tts_tpu.ops._pallas import resolve_interpret
+
 _NEG_INF = -1e30
 
 
@@ -131,15 +133,16 @@ def vmem_attention(
     k: jax.Array,
     v: jax.Array,
     mask: jax.Array | None = None,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Fused non-causal attention with key-padding mask; q,k,v: [B,H,N,D].
 
-    ``interpret=True`` runs the Pallas kernel in interpreter mode so its
-    numerics are testable on CPU CI (the TPU-only kernel otherwise has no
-    fake-backend coverage)."""
+    ``interpret=None`` self-selects: compiled Mosaic on TPU, interpreter mode
+    elsewhere so the kernel's numerics are testable on CPU CI."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    interpret = resolve_interpret(interpret)
 
     B, H, N, D = q.shape
     if N % 128 != 0 or D % 64 != 0:
@@ -299,7 +302,7 @@ def vmem_attention_nhd(
     mask: jax.Array | None,
     angles: jax.Array,  # [N, D//2] rope angles (rope_angles)
     heads: int,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Flat-layout fused attention with in-kernel rope. Returns [B, N, H*D].
 
@@ -309,6 +312,8 @@ def vmem_attention_nhd(
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    interpret = resolve_interpret(interpret)
 
     B, N, inner = q.shape
     D = inner // heads

@@ -26,6 +26,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from lemas_tts_tpu.ops._pallas import resolve_interpret
+
 _LN_EPS = 1e-6
 
 
@@ -93,7 +95,7 @@ def qkv_block(
     wk: jax.Array, bk: jax.Array,
     wv: jax.Array, bv: jax.Array,
     block_n: int = 256,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Fused LN → AdaLN-modulate → q/k/v projections (reference
     ``modules.py:615-630`` attn half). Reads the residual stream once and
@@ -101,6 +103,8 @@ def qkv_block(
     each ``[B, N, I]`` in the flat layout the nhd attention kernel consumes."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    interpret = resolve_interpret(interpret)
 
     B, N, D = x.shape
     I = wq.shape[1]
@@ -172,11 +176,13 @@ def ffn_block(
     w2: jax.Array,  # [F, D]
     b2: jax.Array,  # [D]
     block_n: int = 256,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """x + gate · FF((LN(x))·(1+scale)+shift); returns [B, N, D]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    interpret = resolve_interpret(interpret)
 
     B, N, D = x.shape
     F = w1.shape[1]

@@ -31,6 +31,32 @@ def repetition_found(text: str, length: int = 2, tolerance: int = 10) -> bool:
     return False
 
 
+def fast_random_params(init_fn, key, scale: float = 0.02,
+                       dtype=None) -> "jax.Array":  # noqa: F821
+    """Random param pytree with the shapes of ``init_fn(key)``, generated
+    on-device in ONE jitted program.
+
+    Running a flax ``model.init`` through the benchmarking tunnel costs
+    minutes (every intermediate init op is dispatched host-side); sampling
+    normals directly into the abstract shapes costs milliseconds and is
+    exactly as good for weight-independent RTF / kernel-numerics checks."""
+    import jax
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(init_fn, jax.random.key(0))
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def gen(k):
+        ks = jax.random.split(k, len(leaves))
+        return treedef.unflatten(
+            [jax.random.normal(kk, l.shape, dtype or l.dtype or jnp.float32)
+             * scale for kk, l in zip(ks, leaves)]
+        )
+
+    return jax.block_until_ready(gen(key))
+
+
 def enable_compile_cache(path: str | None = None,
                          min_compile_seconds: float = 1.0) -> str | None:
     """Turn on JAX's persistent compilation cache so server restarts reuse

@@ -88,6 +88,20 @@ def chunk_text(text: str, max_chars: int = 135) -> List[str]:
     return chunks
 
 
+def estimate_duration_frames(ref_frames: int, n_ref_units: int,
+                             n_gen_units: int, speed: float) -> int:
+    """Reference duration heuristic (``utils_infer.py:520-527``): generated
+    length extrapolates the reference's frames-per-unit rate to the new text,
+    scaled by 1/speed. SINGLE SOURCE OF TRUTH — the serving engine's bucket
+    estimate (``Synthesizer.estimate_bucket``) and the synthesis paths
+    (``synthesize_chunks``/``synthesize_requests``) all call this; if the
+    formulas drifted, the engine would group requests into buckets their real
+    shape then misses (silent recompiles + padding waste)."""
+    return ref_frames + int(
+        ref_frames / max(1, n_ref_units) * n_gen_units / max(speed, 1e-6)
+    )
+
+
 def cross_fade_concat(
     waves: Sequence[np.ndarray], sample_rate: int, cross_fade_duration: float
 ) -> np.ndarray:
@@ -227,6 +241,21 @@ class Synthesizer:
         m = self._batch_multiple
         return bp if bp % m == 0 else ((bp + m - 1) // m) * m
 
+    def estimate_bucket(self, ref_wav, ref_sr: int, ref_units, gen_units,
+                        cfg: SamplerConfig) -> int:
+        """Duration bucket a request will land in — the serving engine
+        groups requests by this so a batch compiles to one program shape.
+        Shares :func:`estimate_duration_frames` with the synthesis paths."""
+        sr = self.mel_cfg.target_sample_rate
+        hop = self.mel_cfg.hop_length
+        # shape[-1], not len(): stereo refs are [C, T] and len() would be C
+        n_samples = np.asarray(ref_wav).shape[-1]
+        ref_len = int(n_samples / max(1, ref_sr) * sr) // hop
+        dur = estimate_duration_frames(
+            ref_len, len(ref_units), len(gen_units), cfg.speed
+        )
+        return pick_bucket(min(dur, cfg.max_duration), DURATION_BUCKETS)
+
     def warmup(
         self,
         cfg: SamplerConfig = SamplerConfig(),
@@ -364,9 +393,8 @@ class Synthesizer:
             if cfg.fix_duration is not None:
                 duration = int(cfg.fix_duration * sr / hop)
             else:
-                ref_len_units = max(1, len(ref_text_units))
-                duration = ref_audio_len + int(
-                    ref_audio_len / ref_len_units * len(gen) / local_speed
+                duration = estimate_duration_frames(
+                    ref_audio_len, len(ref_text_units), len(gen), local_speed
                 )
             full = ref_text_units + gen if isinstance(gen, str) \
                 else list(ref_text_units) + list(gen)
@@ -604,8 +632,8 @@ class Synthesizer:
             full = ref_units + gen if isinstance(gen, str) \
                 else list(ref_units) + list(gen)
             ids = text_to_ids(full, self.vocab)
-            duration = ref_audio_len + int(
-                ref_audio_len / max(1, len(ref_units)) * len(gen) / cfg.speed
+            duration = estimate_duration_frames(
+                ref_audio_len, len(ref_units), len(gen), cfg.speed
             )
             duration = max(max(len(ids), cond_mel.shape[0]) + 1, duration)
             duration = min(duration, cfg.max_duration, DURATION_BUCKETS[-1])

@@ -9,7 +9,12 @@ directly onto the engine's micro-batching).
 Endpoints:
   POST /tts     JSON {"ref_b64": <base64 WAV>, "ref_text": str, "text": str,
                       "seed": int?} → audio/wav bytes
-                (or {"ref_path": server-local path} instead of ref_b64)
+                (or {"ref_path": server-local path} instead of ref_b64).
+                Optional per-request sampler overrides: "nfe_step",
+                "cfg_strength", "sway_sampling_coef", "speed", "cfg_cutoff",
+                "ode_method" (the reference's Gradio app exposes NFE/CFG per
+                request, ``inference_gradio.py``; the engine batches
+                same-settings requests together).
   POST /tts_stream  same JSON (+ optional "max_chars", "chunk_batch") →
                 chunked ``audio/L16`` PCM, one HTTP chunk per synthesized
                 text chunk as it completes (reference streaming mode,
@@ -91,6 +96,33 @@ def _decode_ref(payload: dict):
     raise ValueError("request needs ref_b64 or ref_path")
 
 
+# per-request sampler overrides accepted in /tts and /tts_stream payloads
+# (recompile-safe: the synthesizer keys its jitted programs on the full
+# settings, so a new combination compiles once and is then cached; the engine
+# batches same-settings requests together via its composite bucket)
+_CFG_FIELDS = {
+    "nfe_step": ("nfe_steps", int),
+    "nfe_steps": ("nfe_steps", int),
+    "cfg_strength": ("cfg_strength", float),
+    "sway_sampling_coef": ("sway_sampling_coef", float),
+    "speed": ("speed", float),
+    "cfg_cutoff": ("cfg_cutoff", float),
+    "ode_method": ("ode_method", str),
+}
+
+
+def _request_cfg(base, payload: dict):
+    """SamplerConfig for this request: ``base`` overridden by any recognized
+    payload fields, or None when the payload carries no overrides."""
+    import dataclasses
+
+    over = {}
+    for key, (field_name, cast) in _CFG_FIELDS.items():
+        if key in payload and payload[key] is not None:
+            over[field_name] = cast(payload[key])
+    return dataclasses.replace(base, **over) if over else None
+
+
 def make_handler(tts, engine, max_streams: int = 2):
     """Bind a handler class over the shared TTS facade + engine.
 
@@ -132,8 +164,11 @@ def make_handler(tts, engine, max_streams: int = 2):
             """Sets ``self._stream_headers_sent`` once the 200 is committed
             (after that an error can only abort the connection, never a
             second reply)."""
+            import time
+
             from lemas_tts_tpu.infer.pipeline import chunk_text
 
+            t0 = time.perf_counter()
             ref_wav, ref_sr = _decode_ref(payload)
             ref_text = payload.get("ref_text", "")
             gen_text = payload.get("text", "")
@@ -146,7 +181,8 @@ def make_handler(tts, engine, max_streams: int = 2):
             ref_units = tts.prepare_units(ref_text)
 
             stream = tts.synth.synthesize_stream(
-                ref_wav, ref_sr, ref_units, gen_units, cfg=engine.cfg,
+                ref_wav, ref_sr, ref_units, gen_units,
+                cfg=_request_cfg(engine.cfg, payload) or engine.cfg,
                 seed=payload.get("seed"),
                 chunk_batch=max(1, int(payload.get("chunk_batch", 2))),
             )
@@ -155,6 +191,7 @@ def make_handler(tts, engine, max_streams: int = 2):
             first = next(stream, None)
             if first is None:
                 raise ValueError("no synthesizable chunks in 'text'")
+            engine.record_latency("stream_ttfb", time.perf_counter() - t0)
             sr = int(first[1])
             self.send_response(200)
             self.send_header("Content-Type",
@@ -219,6 +256,7 @@ def make_handler(tts, engine, max_streams: int = 2):
                 fut = engine.submit(TTSRequest(
                     ref_wav=ref_wav, ref_sr=ref_sr, ref_units=ref_units,
                     gen_units=gen_units, seed=payload.get("seed"),
+                    cfg=_request_cfg(engine.cfg, payload),
                 ))
                 out = fut.result(timeout=float(payload.get("timeout_s", 300)))
                 wav = out[0] if isinstance(out, tuple) else out

@@ -11,17 +11,22 @@ model per Gradio request (``inference_gradio.py:270-271``).
 from __future__ import annotations
 
 import threading
+import time
 import traceback
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Any, Dict, Optional
 
 import numpy as np
 
-from lemas_tts_tpu.cfm.sampler import DURATION_BUCKETS, pick_bucket
 from lemas_tts_tpu.config import SamplerConfig
 from lemas_tts_tpu.native.batcher import Batcher
 from lemas_tts_tpu.utils.profiling import TIMERS, JsonLogger
+
+# composite-bucket stride: bucket = cfg_id * _BUCKET_STRIDE + duration_bucket.
+# Must exceed DURATION_BUCKETS[-1] (4096) so the two factors never collide.
+_BUCKET_STRIDE = 1 << 13
 
 
 @dataclass
@@ -31,7 +36,12 @@ class TTSRequest:
     ref_units: Any  # token list or str
     gen_units: Any
     seed: Optional[int] = None
+    # per-request sampler settings (None → engine default). Requests are
+    # batched only with same-settings peers: the program shape is keyed on
+    # SamplerSettings, so mixing would force one row's settings on the batch.
+    cfg: Optional[SamplerConfig] = None
     future: Future = field(default_factory=Future)
+    _t_submit: float = field(default=0.0, repr=False)
 
 
 class ServingEngine:
@@ -60,29 +70,34 @@ class ServingEngine:
         self.log = logger or JsonLogger()
         self._pending: Dict[int, TTSRequest] = {}
         self._lock = threading.Lock()
+        # per-settings ids for composite bucketing; id 0 = the default cfg
+        self._cfg_ids: Dict[SamplerConfig, int] = {cfg: 0}
+        self._latencies: Dict[str, deque] = {}
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
     # ------------------------------------------------------------ client API
     def _estimate_bucket(self, req: TTSRequest) -> int:
-        """Duration bucket estimate — groups requests that will compile to the
-        same program shape."""
-        sr = self.synth.mel_cfg.target_sample_rate
-        hop = self.synth.mel_cfg.hop_length
-        # shape[-1], not len(): stereo refs are [C, T] and len() would be C
-        n_samples = np.asarray(req.ref_wav).shape[-1]
-        ref_len = int(n_samples / max(1, req.ref_sr) * sr) // hop
-        dur = ref_len + int(
-            ref_len / max(1, len(req.ref_units)) * len(req.gen_units) / self.cfg.speed
+        """Composite batch key: (sampler-settings id, duration bucket) packed
+        into one int for the native batcher. The duration estimate is the
+        synthesizer's own (``Synthesizer.estimate_bucket`` — single source of
+        truth with the synthesis paths), so the grouped requests really do
+        compile to one program shape."""
+        cfg = req.cfg or self.cfg
+        dur_bucket = self.synth.estimate_bucket(
+            req.ref_wav, req.ref_sr, req.ref_units, req.gen_units, cfg
         )
-        return pick_bucket(min(dur, self.cfg.max_duration), DURATION_BUCKETS)
+        with self._lock:
+            cfg_id = self._cfg_ids.setdefault(cfg, len(self._cfg_ids))
+        return cfg_id * _BUCKET_STRIDE + dur_bucket
 
     def submit(self, req: TTSRequest) -> Future:
         """Enqueue a request; the returned Future yields (wave, sr, mel).
         Raises when the engine is shut down or the queue is full
         (backpressure — callers should retry with backoff or shed load)."""
         bucket = self._estimate_bucket(req)
+        req._t_submit = time.perf_counter()
         with self._lock:
             if self.batcher.depth() >= self.max_queue:
                 self.log.log("queue_full", depth=self.batcher.depth())
@@ -111,6 +126,8 @@ class ServingEngine:
                 reqs = [self._pending.pop(i) for i in ids if i in self._pending]
             if not reqs:
                 continue
+            # composite bucket ⇒ every request in the batch shares settings
+            cfg = reqs[0].cfg or self.cfg
             try:
                 with TIMERS.stage("serve.batch"):
                     results = self.synth.synthesize_requests(
@@ -120,13 +137,16 @@ class ServingEngine:
                                  seed=r.seed)
                             for r in reqs
                         ],
-                        cfg=self.cfg,
+                        cfg=cfg,
                     )
+                now = time.perf_counter()
                 for r, res in zip(reqs, results):
                     # a client may have cancelled its future; don't let that
                     # poison the other rows of the batch
                     if not r.future.done():
                         r.future.set_result(res)
+                    if r._t_submit:
+                        self.record_latency("request", now - r._t_submit)
                 self.log.log("batch_done", size=len(reqs), bucket=bucket)
             except Exception as e:  # pragma: no cover - defensive
                 self.log.log("batch_error", error=str(e),
@@ -146,5 +166,27 @@ class ServingEngine:
                     r.future.set_exception(RuntimeError("engine shut down"))
             self._pending.clear()
 
+    # -------------------------------------------------------------- metrics
+    def record_latency(self, kind: str, seconds: float) -> None:
+        """Record one latency sample (seconds) under ``kind`` — the engine
+        records end-to-end ``request`` latency itself; the HTTP layer adds
+        ``stream_ttfb`` (time to first streamed audio chunk)."""
+        with self._lock:
+            self._latencies.setdefault(kind, deque(maxlen=512)).append(seconds)
+
+    @staticmethod
+    def _percentiles(samples) -> Dict[str, float]:
+        a = np.sort(np.asarray(samples, np.float64))
+        pick = lambda q: float(a[min(len(a) - 1, int(q * (len(a) - 1) + 0.5))])
+        return {"count": len(a), "p50_ms": round(pick(0.50) * 1e3, 2),
+                "p90_ms": round(pick(0.90) * 1e3, 2),
+                "p99_ms": round(pick(0.99) * 1e3, 2),
+                "max_ms": round(float(a[-1]) * 1e3, 2)}
+
     def stats(self) -> Dict[str, Any]:
-        return {"queue_depth": self.batcher.depth(), "timers": TIMERS.snapshot()}
+        with self._lock:
+            lat = {k: self._percentiles(v)
+                   for k, v in self._latencies.items() if v}
+            n_cfgs = len(self._cfg_ids)
+        return {"queue_depth": self.batcher.depth(), "timers": TIMERS.snapshot(),
+                "latency": lat, "settings_variants": n_cfgs}

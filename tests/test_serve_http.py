@@ -126,6 +126,37 @@ def test_tts_stream(server):
     assert np.isfinite(pcm.astype(np.float32)).all()
 
 
+def test_tts_per_request_settings_and_latency_stats(server):
+    """nfe_step/cfg_strength in the payload override the engine default for
+    just that request; /stats then reports latency percentiles and the
+    count of settings variants seen."""
+    base = {"ref_b64": _ref_b64(), "ref_text": "hello there",
+            "text": "general kenobi", "seed": 7}
+    code, ctype, w_default = _post(server + "/tts", base)
+    assert code == 200
+    code, ctype, w_fast = _post(server + "/tts",
+                                {**base, "nfe_step": 4, "cfg_strength": 0.0})
+    assert code == 200 and ctype == "audio/wav"
+    assert w_default != w_fast  # different sampler settings → different audio
+
+    code, body = _get(server + "/stats")
+    stats = json.loads(body)
+    assert stats["settings_variants"] >= 2
+    lat = stats["latency"]["request"]
+    assert lat["count"] >= 2 and lat["p99_ms"] >= lat["p50_ms"] > 0
+
+
+def test_tts_stream_ttfb_recorded(server):
+    code, ctype, body = _post(server + "/tts_stream", {
+        "ref_b64": _ref_b64(), "ref_text": "hello there",
+        "text": "general kenobi.", "seed": 5, "nfe_step": 4,
+    })
+    assert code == 200
+    code, body = _get(server + "/stats")
+    ttfb = json.loads(body)["latency"]["stream_ttfb"]
+    assert ttfb["count"] >= 1 and ttfb["p50_ms"] > 0
+
+
 def test_tts_stream_chunk_batch_zero_ok(server):
     """chunk_batch <= 0 must be clamped, not turn a valid request into 400."""
     code, ctype, body = _post(server + "/tts_stream", {

@@ -102,6 +102,51 @@ def test_engine_concurrent_clients(synth):
         eng.shutdown()
 
 
+def test_engine_per_request_settings(synth):
+    """Per-request SamplerConfig: requests carrying their own settings are
+    batched apart from default-settings traffic (composite bucket) and get
+    bit-identical results to calling the synthesizer with that cfg directly;
+    latency percentiles show up in stats."""
+    base = SamplerConfig(nfe_steps=2, cfg_strength=1.0)
+    fast = SamplerConfig(nfe_steps=4, cfg_strength=1.0)
+    eng = ServingEngine(synth, cfg=base, max_batch=4, max_wait_ms=30)
+    try:
+        f_default = eng.submit(TTSRequest(**_req(21)))
+        f_override = eng.submit(TTSRequest(**_req(21), cfg=fast))
+        w_default = f_default.result(timeout=120)[0]
+        w_override = f_override.result(timeout=120)[0]
+        # same seed, different NFE → different trajectories
+        assert w_default.shape != w_override.shape or \
+            not np.allclose(w_default, w_override)
+        # engine result == direct synthesis with the same cfg (per batch)
+        direct = synth.synthesize_requests([_req(21)], cfg=fast)[0][0]
+        np.testing.assert_allclose(w_override, direct, atol=1e-5)
+        stats = eng.stats()
+        assert stats["settings_variants"] == 2
+        lat = stats["latency"]["request"]
+        assert lat["count"] >= 2 and lat["p99_ms"] >= lat["p50_ms"] > 0
+    finally:
+        eng.shutdown()
+
+
+def test_engine_bucket_matches_synthesizer_estimate(synth):
+    """The engine's batch key derives from Synthesizer.estimate_bucket — the
+    single source of truth shared with the synthesis paths."""
+    from lemas_tts_tpu.serve.engine import _BUCKET_STRIDE
+
+    cfg = SamplerConfig(nfe_steps=2, cfg_strength=1.0)
+    eng = ServingEngine(synth, cfg=cfg)
+    try:
+        r = TTSRequest(**_req(1))
+        expect = synth.estimate_bucket(r.ref_wav, r.ref_sr, r.ref_units,
+                                       r.gen_units, cfg)
+        assert eng._estimate_bucket(r) % _BUCKET_STRIDE == expect
+        # default-cfg requests use settings id 0 → bucket == duration bucket
+        assert eng._estimate_bucket(r) == expect
+    finally:
+        eng.shutdown()
+
+
 def test_engine_shutdown_rejects(synth):
     eng = ServingEngine(synth, cfg=SamplerConfig(nfe_steps=2))
     eng.shutdown()

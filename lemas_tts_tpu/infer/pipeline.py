@@ -327,6 +327,8 @@ class Synthesizer:
         cfg: SamplerConfig = SamplerConfig(),
         seed: Optional[int] = None,
         return_parts: bool = False,
+        noise_override: Optional[np.ndarray] = None,
+        duration_override: Optional[Sequence[int]] = None,
     ) -> Tuple[np.ndarray, int, np.ndarray]:
         """Zero-shot TTS over pre-tokenized chunks.
 
@@ -334,6 +336,13 @@ class Synthesizer:
         normalization, resample to the model rate, per-chunk duration estimate,
         sampling, vocoding, RMS restore, cross-fade stitch. Returns
         (wave, sample_rate, concatenated mel [n_mels, T]).
+
+        ``noise_override`` ([T, n_mels], zero-padded/truncated to the duration
+        bucket) replaces the seeded initial-noise draw, and
+        ``duration_override`` (per-chunk frame counts, still subject to the
+        reference's min/max clamps) replaces the duration estimate. Both exist
+        for the checkpoint parity harness (``scripts/parity_check.py``), which
+        must pin the sampler inputs to the ones a captured reference run used.
         """
         # more chunks than the largest batch bucket → process in groups
         # (batch-invariant per-chunk noise keeps results identical)
@@ -346,6 +355,9 @@ class Synthesizer:
                     ref_wav, ref_sr, ref_text_units,
                     list(gen_chunks[i : i + max_b]), cfg, seed,
                     return_parts=True,
+                    noise_override=noise_override,
+                    duration_override=None if duration_override is None
+                    else list(duration_override[i : i + max_b]),
                 )
                 waves += w
                 slices += s
@@ -377,9 +389,14 @@ class Synthesizer:
             return np.zeros(0, np.float32), sr, empty_mel
 
         # --- durations & texts per chunk (utils_infer.py:506-527)
+        if duration_override is not None and len(duration_override) != len(gen_chunks):
+            raise ValueError(
+                f"duration_override has {len(duration_override)} entries for "
+                f"{len(gen_chunks)} chunks"
+            )
         texts: List[np.ndarray] = []
         durations: List[int] = []
-        for gen in gen_chunks:
+        for chunk_idx, gen in enumerate(gen_chunks):
             if isinstance(ref_text_units, str) != isinstance(gen, str):
                 raise TypeError(
                     "ref_text_units and gen chunks must both be strings or "
@@ -390,7 +407,9 @@ class Synthesizer:
             if isinstance(gen, str) and isinstance(ref_text_units, str):
                 if len(gen.encode("utf-8")) < 10:
                     local_speed = 0.3
-            if cfg.fix_duration is not None:
+            if duration_override is not None:
+                duration = int(duration_override[chunk_idx])
+            elif cfg.fix_duration is not None:
                 duration = int(cfg.fix_duration * sr / hop)
             else:
                 duration = estimate_duration_frames(
@@ -470,10 +489,17 @@ class Synthesizer:
             cond = random_cond
 
         # --- shared seeded noise prefix (cfm.py:430-435 semantics)
-        noise_seed = seed if seed is not None else int(rng.integers(2**31 - 1))
-        noise = jax.random.normal(
-            jax.random.key(noise_seed), (N, self.mel_cfg.n_mel_channels), jnp.float32
-        )
+        if noise_override is not None:
+            pad = np.zeros((N, self.mel_cfg.n_mel_channels), np.float32)
+            t = min(len(noise_override), N)
+            pad[:t] = np.asarray(noise_override[:t], np.float32)
+            noise = jnp.asarray(pad)
+        else:
+            noise_seed = seed if seed is not None else int(rng.integers(2**31 - 1))
+            noise = jax.random.normal(
+                jax.random.key(noise_seed), (N, self.mel_cfg.n_mel_channels),
+                jnp.float32,
+            )
         y0 = jnp.broadcast_to(noise[None], (Bp, N, self.mel_cfg.n_mel_channels))
 
         t_start = 0.0

@@ -324,9 +324,16 @@ class TextNorm:
                 self._tokenizer(lang), norm.strip().replace(".", ",").replace("。", ",")
             )
             return f"({lang})|" + phones if phones[:1] != "(" else phones
-        # char frontend: normalized chars with a lang tag
+        # char frontend: normalized chars with a lang tag; ``#n`` pause
+        # markers stay single tokens (they are vocab entries, same as the
+        # espeak path's txt2phone #\d handling — tokenizer.py:89-93)
         _, norm = self.text2norm(sentence, lang)
-        return "|".join([f"({lang})"] + list(norm))
+        parts: List[str] = []
+        for seg in re.split(r"(#\d)", norm):
+            if not seg:
+                continue
+            parts += [seg] if seg[0] == "#" else list(seg)
+        return "|".join([f"({lang})"] + parts)
 
     def text2norm(self, sentence: str, lang: Optional[str] = None) -> Tuple[str, str]:
         """Sentence → (lang, normalized text) — the char frontend

@@ -1,0 +1,129 @@
+"""Phone-string golden fixtures: the checkpoint text contract, pinned.
+
+``tests/data/phone_goldens.json`` freezes the frontend output for a fixed
+multilingual sentence set (captured by
+``scripts/capture_phone_goldens.py``). The fixture records which backend
+produced it:
+
+- ``builtin-fallback`` — the espeak-less char/pinyin fallbacks (the live CI
+  paths in this environment). The drift test then runs everywhere.
+- ``espeak-ng …`` — the REAL checkpoint contract
+  (reference ``infer/frontend.py:184-223`` + ``text_norm/tokenizer.py``),
+  captured once in an espeak-enabled environment. The drift test then
+  skips where espeak is absent, while format/coverage checks still run.
+
+Always-on checks: the token FORMAT contract (``(lang)phone`` tags, ``_``
+separators, ``#n`` pauses, punctuation) and — when the fixture carries a
+vocab snapshot or ``LEMAS_VOCAB_FILE`` points at one — full vocab coverage
+of every golden token.
+"""
+
+import json
+import os
+import re
+from pathlib import Path
+
+import pytest
+
+FIXTURE = Path(__file__).parent / "data" / "phone_goldens.json"
+
+KNOWN_LANGS = {"zh", "cmn", "en", "it", "es", "pt", "fr", "de", "ru", "id",
+               "vi", "th", "ja", "ko", "ar"}
+PUNCT = {"_", " ", ",", ".", "!", "?", ":", ";", "'", '"', "^", "-",
+         "。", "，", "？", "！", "、", "：", "(", ")"}
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    with open(FIXTURE, "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _live_backend() -> str:
+    from lemas_tts_tpu.scripts.capture_phone_goldens import backend_id
+
+    return backend_id()
+
+
+def test_goldens_regenerate_exactly(fixture):
+    """The live frontend must reproduce the fixture bit-for-bit (drift
+    detection). Skips when the fixture was captured with a backend this
+    environment doesn't have (espeak goldens in an espeak-less CI)."""
+    live = _live_backend()
+    cap = fixture["backend"]
+    if (cap == "builtin-fallback") != (live == "builtin-fallback"):
+        pytest.skip(f"fixture captured with {cap!r}, live backend {live!r}")
+
+    from lemas_tts_tpu.scripts.capture_phone_goldens import capture_cases
+
+    regenerated = capture_cases()
+    assert len(regenerated) == len(fixture["cases"])
+    for got, want in zip(regenerated, fixture["cases"]):
+        assert got["text"] == want["text"]
+        assert got["phones"] == want["phones"], (
+            f"phone-string drift for {want['lang']}: {want['text']!r}\n"
+            f"  fixture: {want['phones']}\n  live:    {got['phones']}")
+        assert got["tokens"] == want["tokens"]
+
+
+def test_golden_token_format_contract(fixture):
+    """Every golden token obeys the vocab token grammar regardless of which
+    backend captured it: ``(lang)phone`` / bare punctuation / ``#n`` / ``_``
+    (reference ``api.py:252-276`` consumption contract)."""
+    tag_re = re.compile(r"^\(([a-z]{2,3})\)(.*)$", re.DOTALL)
+    for case in fixture["cases"]:
+        assert case["phones"], case
+        for t in case["tokens"]:
+            m = tag_re.match(t)
+            if m:
+                assert m.group(1) in KNOWN_LANGS, t
+                assert m.group(2) != "", t  # bare tags never survive
+            else:
+                assert (t in PUNCT or re.fullmatch(r"#[1-4]", t)
+                        or not t[0].isalpha()), (
+                    f"bare non-punct token {t!r} in {case['lang']} case — "
+                    "phones must carry a (lang) tag")
+
+
+def test_golden_pause_markers_survive(fixture):
+    """#n pause markers must come through the frontend as single tokens
+    (they are vocab entries; char-splitting them breaks the contract)."""
+    for case in fixture["cases"]:
+        if "#" not in case["text"]:
+            continue
+        markers = re.findall(r"#[1-4]", case["text"])
+        for mk in markers:
+            assert mk in case["phones"].split("|"), (
+                f"{mk} not a single token in: {case['phones']}")
+
+
+def test_golden_vocab_coverage(fixture):
+    """When a real vocab snapshot is available, every golden token must be
+    in it (the 898-token checkpoint asset). Sources: the fixture itself
+    (``--vocab_file`` at capture time) or ``LEMAS_VOCAB_FILE``."""
+    vocab = fixture.get("vocab")
+    env = os.environ.get("LEMAS_VOCAB_FILE", "")
+    if vocab is None and env and os.path.isfile(env):
+        with open(env, "r", encoding="utf-8") as f:
+            vocab = [ln.rstrip("\n") for ln in f if ln.rstrip("\n")]
+    if vocab is None:
+        pytest.skip("no vocab snapshot in fixture and LEMAS_VOCAB_FILE unset")
+    if fixture["backend"] == "builtin-fallback":
+        pytest.skip("vocab coverage is only meaningful for espeak goldens "
+                    "(the vocab is built from espeak phones)")
+    vs = set(vocab)
+    missing = {t for case in fixture["cases"] for t in case["tokens"]
+               if t not in vs}
+    assert not missing, f"golden tokens missing from vocab: {sorted(missing)}"
+
+
+def test_zh_goldens_use_single_lang_tags(fixture):
+    """Chinese cases must emit (zh)-tagged units and map CJK punctuation to
+    ASCII (reference frontend ``_PAUSE_SYMBOL`` mapping)."""
+    zh = [c for c in fixture["cases"] if c["lang"] == "zh"]
+    assert zh
+    for case in zh:
+        assert any(t.startswith("(zh)") for t in case["tokens"]), case["text"]
+        for cjk in ("。", "，", "！", "？", "："):
+            assert cjk not in case["phones"], (
+                f"unmapped CJK punctuation {cjk} in {case['phones']}")

@@ -99,6 +99,7 @@ def test_unett_skip_types():
         assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_api_with_mmdit_backbone(tmp_path):
     import warnings
     from pathlib import Path

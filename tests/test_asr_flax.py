@@ -3,7 +3,9 @@ reference utils_infer.py:167-198): tiny random-init model, injected
 components, full feature-extract -> generate -> decode path."""
 
 import numpy as np
+import pytest
 
+@pytest.mark.slow
 def test_flax_whisper_roundtrip():
     import pytest
     transformers = pytest.importorskip("transformers")

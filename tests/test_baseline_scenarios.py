@@ -45,6 +45,7 @@ def _ref(tmp_path, seed=0, seconds=1.0, sr=8000):
     return str(p)
 
 
+@pytest.mark.slow
 def test_config2_code_switch_cfg_sway_sweep(tts, tmp_path):
     """Code-switch text across a CFG-strength and sway sweep (config 2).
     Different guidance settings must produce different audio; every setting
@@ -76,6 +77,7 @@ def test_config3_multilanguage_batch(tts, tmp_path):
     assert sr == 8000 and w.size > 0 and np.isfinite(w).all()
 
 
+@pytest.mark.slow
 def test_config5_longtext_chunked_with_denoise(tts, tmp_path):
     """Long-text chunked synthesis with cross-fade + UVR5 denoised reference
     (config 5, the serving path) — tiny separator stands in for real weights."""

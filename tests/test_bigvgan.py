@@ -156,6 +156,7 @@ def test_for_hop_reproduces_published_config():
     assert BigVGANConfig.for_hop(64).total_upsample == 64
 
 
+@pytest.mark.slow
 def test_api_with_bigvgan_vocoder(tmp_path):
     import warnings
 

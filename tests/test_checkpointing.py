@@ -37,6 +37,7 @@ def test_ema_update_math():
     np.testing.assert_allclose(np.asarray(out["w"]), 0.9)
 
 
+@pytest.mark.slow
 def test_trainer_tracks_ema():
     import random
 
@@ -53,6 +54,7 @@ def test_trainer_tracks_ema():
     assert not np.array_equal(np.asarray(ema2), np.asarray(p2))
 
 
+@pytest.mark.slow
 def test_checkpoint_policy_and_resume(tmp_path):
     import random
 
@@ -91,6 +93,7 @@ def test_restore_missing_raises(tmp_path):
         mgr.restore()
 
 
+@pytest.mark.slow
 def test_restored_params_drive_inference(tmp_path):
     """A saved EMA pytree loads into the TTS sampler path (native format)."""
     import random
@@ -119,6 +122,7 @@ def test_restored_params_drive_inference(tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_prosody_training_path():
     """Training with dense prosody conditioning maps (reference
     cfm.py:544-624): prosody_to_mel is trainable, prosody_text feeds the
@@ -171,6 +175,7 @@ def test_prosody_training_path():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_train_cli_and_resume(tmp_path):
     from lemas_tts_tpu.scripts.train import main
 
@@ -271,6 +276,7 @@ def test_collate_truncates_overlong_samples():
     assert batch["mel_lengths"][0] == 32
 
 
+@pytest.mark.slow
 def test_trainer_overfits_single_batch():
     """Optimization sanity: repeated steps on one fixed batch must drive the
     flow-matching loss down substantially (the reference ships no trainer to

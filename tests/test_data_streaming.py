@@ -63,6 +63,7 @@ def test_dataloader_epoch_and_prefetch():
     assert len(dl) >= 1
 
 
+@pytest.mark.slow
 def test_dataloader_feeds_trainer():
     import random
 

@@ -100,6 +100,7 @@ def test_mesh_sharded_demix_matches_single_device(tiny_sep):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_vr_arc_path(tmp_path, monkeypatch):
     src, out = tmp_path / "in", tmp_path / "out"
     src.mkdir()

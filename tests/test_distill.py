@@ -112,6 +112,7 @@ def test_stage_chain_bakes_cfg(tiny):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_distill_cli_smoke(tmp_path):
     """Hermetic end-to-end: save a tiny teacher, distill 2 stages on the
     8-device mesh, reload a stage and sample with it."""

@@ -39,6 +39,7 @@ def test_mesh_shapes():
     assert mesh.shape == {"data": 4, "model": 2}
 
 
+@pytest.mark.slow
 def test_train_step_on_mesh():
     mesh = make_mesh(8, model_parallel=2)
     dit = DiT(arch=ARCH, mel_dim=12, text_num_embeds=30)

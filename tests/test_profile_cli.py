@@ -2,8 +2,10 @@
 
 import glob
 import os
+import pytest
 
 
+@pytest.mark.slow
 def test_profile_sampler_cli(tmp_path, capsys):
     from lemas_tts_tpu.scripts.profile_sampler import main
 

@@ -188,6 +188,7 @@ def test_stage_timers_and_json_logger(tmp_path):
     assert rec["event"] == "evt" and rec["a"] == 1
 
 
+@pytest.mark.slow
 def test_engine_on_device_mesh():
     """Continuous-batching serving over an 8-device data-parallel mesh:
     params replicated, request batches sharded over 'data', results match the

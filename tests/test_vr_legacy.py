@@ -182,6 +182,7 @@ def test_combine_and_cmb_roundtrip_shapes():
     assert np.isfinite(out).all() and np.abs(out).max() > 0
 
 
+@pytest.mark.slow
 def test_multiband_separator_end_to_end():
     """Full multi-band VRSeparator loop on a tiny 4-band config with a
     random-weight new-arch net: finite stems at the config rate, and

@@ -75,6 +75,7 @@ def test_vr_separate_end_to_end(vr):
     assert np.abs(out).max() <= np.abs(x).max() * 1.5
 
 
+@pytest.mark.slow
 def test_convert_cascadednet_parity_vs_torch():
     """Reference-format VR torch weights → flax, activation parity."""
     torch = pytest.importorskip("torch")
@@ -107,6 +108,7 @@ def test_convert_cascadednet_parity_vs_torch():
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_vrseparator_from_file(tmp_path):
     torch = pytest.importorskip("torch")
     from tests.torch_ref.vr_torch import CascadedNetTorch

@@ -37,7 +37,9 @@ from lemas_tts_tpu.ops.quant import quantize_dense_tree
 SR = 24000
 HOP = 256
 NFE = 32
-N_BUCKET = 1024  # mel frames ≈ 10.9 s audio
+# mel frames ≈ 10.9 s audio at the default; LEMAS_BENCH_N probes the long
+# buckets (2048/4096) for the docs/performance.md long-bucket table
+N_BUCKET = int(os.environ.get("LEMAS_BENCH_N", "1024"))
 REF_FRAMES = 188  # ≈ 2 s reference audio
 BATCH = int(os.environ.get("LEMAS_BENCH_BATCH", "8"))
 # "int8" benches the W8A8 serving mode (ops/quant.py) — probe knob, not the

@@ -215,11 +215,12 @@ def _pair_swap_matrix(width: int):
 
 
 def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
-                          ck_ref, sk_ref, p_ref, o_ref, *, sm_scale: float,
-                          d_head: int):
+                          ck_ref, sk_ref, p_ref, o_ref, kr_ref, *,
+                          sm_scale: float, d_head: int):
+    from jax.experimental import pallas as pl
+
     q2 = q_ref[0]  # [bq, 2D] two heads side by side
-    k2 = k_ref[0]  # [N, 2D]
-    v2 = v_ref[0]
+    v2 = v_ref[0]  # [N, 2D]
     msk = mask_ref[0]  # [1, N]
     cdt = q2.dtype
     P = p_ref[...].astype(cdt)  # [2D, 2D] pair-swap
@@ -243,14 +244,26 @@ def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
             out = out * scale  # instead of a [bq,N] f32 pass on the scores
         return out.astype(cdt)
 
+    # k-rope is per-(batch, head-pair), not per-q-block: compute it once on
+    # the first q-block into a persistent VMEM scratch. Long buckets run
+    # many q-blocks (N=4096/bq=128 → 32) and re-roping the full [N, 2D] k
+    # each time was pure N²/bq overhead.
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        kr_ref[...] = rope(k_ref[0], ck_ref[...], sk_ref[...])
+
     qr = rope(q2, cq_ref[...], sq_ref[...], scale=sm_scale)
-    kr = rope(k2, ck_ref[...], sk_ref[...])
+    kr = kr_ref[...]
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d_head), 1)
     m0 = (lanes < d_head).astype(cdt)  # head 0 lanes
     m1 = (lanes >= d_head).astype(cdt)
 
     mprec = None if cdt != jnp.float32 else prec
+    # two sequential per-head chains. Probed alternative: stacking both
+    # heads into one [2bq, N] score tile (one matmul + one softmax) is
+    # neutral at N≤2048 and ~7% WORSE at N=4096 — the doubled f32 tile
+    # blows the VMEM budget that the bq sweep below optimizes.
     o_acc = None
     l2 = None
     for hm in (m0, m1):
@@ -263,12 +276,14 @@ def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)  # [bq, 1]
         o_part = jax.lax.dot_general(
-            p.astype(cdt), v2 * hm, (((1,), (0,)), ((), ())),
+            p.astype(cdt), v2, (((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=mprec,
-        )  # [bq, 2D], other head's lanes exactly zero
-        contrib = o_part
+        )  # [bq, 2D]; the other head's lanes hold p·v_other garbage that the
+        # hm mask below zeroes — masking the [bq, 2D] output replaces the old
+        # [N, 2D] per-program v2·hm pass (N/bq× more VPU work at long N)
+        o_acc = o_part * hm.astype(f32) if o_acc is None \
+            else o_acc + o_part * hm.astype(f32)
         lane_l = l * hm.astype(f32)  # normalizer on this head's lanes
-        o_acc = contrib if o_acc is None else o_acc + contrib
         l2 = lane_l if l2 is None else l2 + lane_l
     o_ref[0] = (o_acc / l2).astype(o_ref.dtype)
 
@@ -303,6 +318,7 @@ def vmem_attention_nhd(
     angles: jax.Array,  # [N, D//2] rope angles (rope_angles)
     heads: int,
     interpret: bool | None = None,
+    block_q: int | None = None,
 ) -> jax.Array:
     """Flat-layout fused attention with in-kernel rope. Returns [B, N, H*D].
 
@@ -321,10 +337,18 @@ def vmem_attention_nhd(
     if mask is None:
         mask = jnp.ones((B, N), dtype=jnp.bool_)
 
-    # two score tiles live per program: halve the per-tile budget
-    bq = _pick_block_q(N)
-    while bq > 128 and bq * N * 4 > 2 * 1024 * 1024:
-        bq //= 2
+    if block_q is not None:
+        bq = block_q
+        assert N % bq == 0, (N, bq)
+    else:
+        # measured sweep on v5e (docs/performance.md long-bucket table):
+        # largest bq ≤ 512 whose [bq, N] f32 score tile stays ≤ 4 MB wins at
+        # every bucket (N=1024/2048 → 512, N=4096 → 256); bq=512 at N=4096
+        # (8 MB tile) regresses, bq=1024 at N=1024 regresses.
+        bq = min(N, 512)
+        while bq > 128 and (bq * N * 4 > 4 * 1024 * 1024 or N % bq):
+            bq //= 2
+        bq = math.gcd(bq, N)  # non-power-of-two N (e.g. 384): largest divisor
     h2 = heads // 2
     maskf = mask[:, None, :]  # [B, 1, N]
     cos2, sin2 = _rope_pair_tables(angles)  # [N, 128]
@@ -356,6 +380,7 @@ def vmem_attention_nhd(
         out_specs=pl.BlockSpec((1, bq, 2 * D), lambda b, h, i: (b, i, h),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, inner), q.dtype),
+        scratch_shapes=[pltpu.VMEM((N, 2 * D), q.dtype)],  # roped k, per (b,h)
         interpret=interpret,
     )(q, k, v, maskf, cos2, sin2, cos2, sin2, P)
     return out

@@ -65,13 +65,16 @@ def check_kernels(
         jax.random.key(11), dtype=dtype,
     )
 
+    # params MUST be a jit argument, not a closure capture: closed-over
+    # arrays are inlined into the HLO as constants, and 330M inlined weights
+    # exceed the axon tunnel's compile-request size limit (HTTP 413)
     @jax.jit
-    def fwd_vmem(x, cond, text, t, mask):
-        return vmem.apply(params, x, cond, text, t, mask)
+    def fwd_vmem(p, x, cond, text, t, mask):
+        return vmem.apply(p, x, cond, text, t, mask)
 
     @jax.jit
-    def fwd_xla(x, cond, text, t, mask):
-        return xla.apply(params, x, cond, text, t, mask)
+    def fwd_xla(p, x, cond, text, t, mask):
+        return xla.apply(p, x, cond, text, t, mask)
 
     rng = np.random.default_rng(5)
     records = []
@@ -87,8 +90,8 @@ def check_kernels(
                 lens[-1] = n // 2
             mask = jnp.asarray(np.arange(n)[None, :] < lens[:, None])
 
-            a = np.asarray(fwd_vmem(x, cond, text, t, mask), np.float32)
-            r = np.asarray(fwd_xla(x, cond, text, t, mask), np.float32)
+            a = np.asarray(fwd_vmem(params, x, cond, text, t, mask), np.float32)
+            r = np.asarray(fwd_xla(params, x, cond, text, t, mask), np.float32)
             # compare valid frames only (padded queries are zeroed by both)
             m = np.asarray(mask)[..., None]
             diff = (a - r) * m

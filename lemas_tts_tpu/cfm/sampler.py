@@ -137,6 +137,15 @@ class SamplerSettings:
             return 0
         if self.cfg_cutoff is None:
             return steps
+        if isinstance(time_grid, jax.core.Tracer):
+            # the CFG prefix split is static program structure — it cannot
+            # depend on a traced grid. Fail loudly instead of letting
+            # np.asarray raise an opaque TracerArrayConversionError.
+            raise TypeError(
+                "cfg_cutoff requires a concrete (non-traced) time_grid: "
+                "pass it as a numpy array / jit-static argument, or use "
+                "make_sampler (which closes over the grid)"
+            )
         ts = np.asarray(time_grid)[:-1]
         cfg_t = self.cfg_strength * np.square(1.0 - ts)
         return int(np.sum(cfg_t >= self.cfg_cutoff))

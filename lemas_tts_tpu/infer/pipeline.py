@@ -249,12 +249,32 @@ class Synthesizer:
         sr = self.mel_cfg.target_sample_rate
         hop = self.mel_cfg.hop_length
         # shape[-1], not len(): stereo refs are [C, T] and len() would be C
-        n_samples = np.asarray(ref_wav).shape[-1]
-        ref_len = int(n_samples / max(1, ref_sr) * sr) // hop
+        n_samples = int(np.asarray(ref_wav).shape[-1])
+        ref_sr = max(1, int(ref_sr))
+        # ceil-divide to match the polyphase resampler's output length
+        # (ops/resample.py target_len = ceil(new/orig · T)), then // hop —
+        # the same ref_audio_len synthesize_requests computes
+        ref_len = (-(-n_samples * sr // ref_sr)) // hop if ref_sr != sr \
+            else n_samples // hop
         dur = estimate_duration_frames(
             ref_len, len(ref_units), len(gen_units), cfg.speed
         )
-        return pick_bucket(min(dur, cfg.max_duration), DURATION_BUCKETS)
+        # mirror synthesize_requests' duration floor/cap exactly: the floor
+        # (total token count / cond frames, +1 generated frame) can cross a
+        # bucket boundary the raw estimate misses, and a mismatch would batch
+        # this request with peers whose program shape it then can't share
+        if isinstance(ref_units, str) and self.vocab.char_map is None:
+            # byte-vocab path: text_to_ids yields one id per utf-8 byte
+            n_units = len((ref_units + gen_units).encode("utf-8"))
+        else:
+            n_units = len(ref_units) + len(gen_units)
+        # cond-mel frame count: center=True STFT (vocos) yields T//hop + 1
+        # frames, the bigvgan variant T//hop
+        cond_frames = ref_len + 1 \
+            if self.mel_cfg.mel_spec_type == "vocos" else ref_len
+        dur = max(max(n_units, cond_frames) + 1, dur)
+        dur = min(dur, cfg.max_duration, DURATION_BUCKETS[-1])
+        return pick_bucket(dur, DURATION_BUCKETS)
 
     def warmup(
         self,

@@ -101,25 +101,44 @@ def _decode_ref(payload: dict):
 # settings, so a new combination compiles once and is then cached; the engine
 # batches same-settings requests together via its composite bucket)
 _CFG_FIELDS = {
-    "nfe_step": ("nfe_steps", int),
-    "nfe_steps": ("nfe_steps", int),
-    "cfg_strength": ("cfg_strength", float),
-    "sway_sampling_coef": ("sway_sampling_coef", float),
-    "speed": ("speed", float),
-    "cfg_cutoff": ("cfg_cutoff", float),
-    "ode_method": ("ode_method", str),
+    # name → (SamplerConfig field, cast, (lo, hi) inclusive range or choices)
+    "nfe_step": ("nfe_steps", int, (1, 256)),
+    "nfe_steps": ("nfe_steps", int, (1, 256)),
+    "cfg_strength": ("cfg_strength", float, (0.0, 20.0)),
+    "sway_sampling_coef": ("sway_sampling_coef", float, (-20.0, 20.0)),
+    "speed": ("speed", float, (0.1, 10.0)),
+    "cfg_cutoff": ("cfg_cutoff", float, (0.0, 100.0)),
+    "ode_method": ("ode_method", str, ("euler", "midpoint")),
 }
 
 
 def _request_cfg(base, payload: dict):
     """SamplerConfig for this request: ``base`` overridden by any recognized
-    payload fields, or None when the payload carries no overrides."""
+    payload fields, or None when the payload carries no overrides.
+
+    Overrides are range-validated (a hostile ``nfe_step`` would otherwise
+    compile an arbitrarily large scan program on the single engine worker —
+    a remote DoS) and floats are quantized to 3 decimals so clients sweeping
+    noisy float values can't mint unbounded distinct jit programs."""
     import dataclasses
 
     over = {}
-    for key, (field_name, cast) in _CFG_FIELDS.items():
+    for key, (field_name, cast, rng) in _CFG_FIELDS.items():
         if key in payload and payload[key] is not None:
-            over[field_name] = cast(payload[key])
+            try:
+                v = cast(payload[key])
+            except (TypeError, ValueError):
+                raise ValueError(f"{key!r} must be {cast.__name__}")
+            if cast is str:
+                if v not in rng:
+                    raise ValueError(f"{key!r} must be one of {rng}")
+            else:
+                lo, hi = rng
+                if not (lo <= v <= hi):
+                    raise ValueError(f"{key!r} must be in [{lo}, {hi}]")
+                if cast is float:
+                    v = round(v, 3)
+            over[field_name] = v
     return dataclasses.replace(base, **over) if over else None
 
 

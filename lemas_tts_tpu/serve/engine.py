@@ -27,6 +27,9 @@ from lemas_tts_tpu.utils.profiling import TIMERS, JsonLogger
 # composite-bucket stride: bucket = cfg_id * _BUCKET_STRIDE + duration_bucket.
 # Must exceed DURATION_BUCKETS[-1] (4096) so the two factors never collide.
 _BUCKET_STRIDE = 1 << 13
+# cap on distinct per-request sampler settings an engine will ever serve
+# (each pins compiled programs for its lifetime)
+_MAX_CFG_IDS = 32
 
 
 @dataclass
@@ -89,14 +92,26 @@ class ServingEngine:
             req.ref_wav, req.ref_sr, req.ref_units, req.gen_units, cfg
         )
         with self._lock:
-            cfg_id = self._cfg_ids.setdefault(cfg, len(self._cfg_ids))
-        return cfg_id * _BUCKET_STRIDE + dur_bucket
+            cfg_id = self._cfg_ids.get(cfg)
+            if cfg_id is None:
+                # each distinct settings tuple pins jitted programs for life
+                # (one per shape bucket, ~10 s compile each on TPU) — cap the
+                # set so a client sweeping settings can't leak compiles
+                # without bound; RuntimeError → 503 at the HTTP layer
+                if len(self._cfg_ids) >= _MAX_CFG_IDS:
+                    raise RuntimeError(
+                        f"too many distinct sampler settings "
+                        f"({_MAX_CFG_IDS}); reuse an existing combination"
+                    )
+                cfg_id = len(self._cfg_ids)
+                self._cfg_ids[cfg] = cfg_id
+        return cfg_id * _BUCKET_STRIDE + dur_bucket, dur_bucket
 
     def submit(self, req: TTSRequest) -> Future:
         """Enqueue a request; the returned Future yields (wave, sr, mel).
         Raises when the engine is shut down or the queue is full
         (backpressure — callers should retry with backoff or shed load)."""
-        bucket = self._estimate_bucket(req)
+        bucket, dur_bucket = self._estimate_bucket(req)
         req._t_submit = time.perf_counter()
         with self._lock:
             if self.batcher.depth() >= self.max_queue:
@@ -104,7 +119,10 @@ class ServingEngine:
                 raise RuntimeError(
                     f"engine queue full ({self.max_queue} pending)"
                 )
-            rid = self.batcher.submit(bucket=bucket, cost=bucket)
+            # cost = duration frames (the batcher's max_cost budget is in
+            # frames); the composite key must NOT leak into the cost or one
+            # non-default-settings request would blow any frame budget
+            rid = self.batcher.submit(bucket=bucket, cost=dur_bucket)
             if rid == 0:
                 raise RuntimeError("engine is shut down")
             self._pending[rid] = req

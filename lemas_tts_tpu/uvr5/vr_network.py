@@ -384,12 +384,14 @@ class VRSeparator:
 
     def __init__(self, n_fft: int = 2048, hop: int = 1024, nout: int = 32,
                  nout_lstm: int = 128, params=None, model=None,
-                 offset: int = 64, window_size: int = 512, band_params=None):
+                 offset: int = 64, window_size: int = 512, band_params=None,
+                 batch_size: int = 4):
         self.n_fft = n_fft
         self.hop = hop
         self.offset = offset  # frames cropped per window edge (nets offset)
         self.window_size = window_size
         self.mp = band_params
+        self.batch_size = max(1, int(batch_size))
         self.model = model if model is not None else CascadedNet(
             n_fft=n_fft, nout=nout, nout_lstm=nout_lstm)
         if params is None:
@@ -419,14 +421,23 @@ class VRSeparator:
         windows = np.stack(
             [pad[:, :, i * roi : i * roi + ws] for i in range(n_window)]
         )
-        # bucket the window batch so long files don't recompile per length
-        n_bucket = 1 << (n_window - 1).bit_length()
-        if n_bucket > n_window:
-            windows = np.concatenate(
-                [windows, np.zeros((n_bucket - n_window,) + windows.shape[1:],
-                                   windows.dtype)])
-        masks = np.asarray(self._run(self.params, jnp.asarray(windows)))
-        masks = masks[:n_window, :, :, self.offset : self.offset + roi]
+        # bounded window batches: one giant forward over every window of a
+        # long file would need multi-GB U-Net activations (a 3-minute track
+        # is ~60 windows); cap the batch and pad the tail to a power of two
+        # so at most log2(batch_size)+1 program shapes ever compile
+        cap = self.batch_size
+        masks = []
+        for i in range(0, n_window, cap):
+            chunk = windows[i : i + cap]
+            nb = 1 << (len(chunk) - 1).bit_length()
+            if nb > len(chunk):
+                chunk = np.concatenate(
+                    [chunk, np.zeros((nb - len(chunk),) + chunk.shape[1:],
+                                     chunk.dtype)])
+            m = np.asarray(self._run(self.params, jnp.asarray(chunk)))
+            masks.append(m[: min(cap, n_window - i)])
+        masks = np.concatenate(masks, axis=0)
+        masks = masks[:, :, :, self.offset : self.offset + roi]
         return np.concatenate(list(masks), axis=2)[:, :, :n_frame]
 
     # ------------------------------------------------------------ separate

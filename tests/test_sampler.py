@@ -267,3 +267,23 @@ def test_cfg_cutoff_truncates_and_stays_close():
         jnp.asarray(text.astype(np.int32)), jnp.asarray(duration),
         jnp.asarray(y0)))
     assert np.abs(full - got).max() > 0  # the truncation did change something
+
+
+def test_cfg_cutoff_requires_concrete_time_grid():
+    """The CFG prefix split is static program structure — a traced grid must
+    fail loudly (clear TypeError), not with an opaque tracer-leak error."""
+    import jax
+
+    from lemas_tts_tpu.cfm.sampler import SamplerSettings
+
+    import pytest
+
+    s = SamplerSettings(steps=4, cfg_strength=2.0, cfg_cutoff=0.5)
+    grid = np.linspace(0.0, 1.0, 5, dtype=np.float32)
+    assert 0 < s.cfg_active_steps(grid) <= 4  # concrete grid works
+
+    def f(g):
+        return s.cfg_active_steps(g)
+
+    with pytest.raises(TypeError, match="concrete"):
+        jax.jit(f)(grid)

@@ -180,3 +180,17 @@ def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server + "/nope")
     assert e.value.code == 404
+
+
+def test_tts_rejects_out_of_range_overrides(server):
+    """Per-request overrides are range-validated: a hostile nfe_step would
+    otherwise compile an arbitrarily large scan program on the engine worker
+    (remote DoS), so it must 400 before reaching the engine."""
+    base = {"ref_b64": _ref_b64(), "ref_text": "hello there",
+            "text": "general kenobi", "seed": 7}
+    for bad in ({"nfe_step": 1000000}, {"nfe_step": 0}, {"nfe_step": "x"},
+                {"cfg_strength": -1.0}, {"ode_method": "rk4"},
+                {"speed": 0.0}):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server + "/tts", {**base, **bad})
+        assert e.value.code == 400, bad

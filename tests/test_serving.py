@@ -140,9 +140,13 @@ def test_engine_bucket_matches_synthesizer_estimate(synth):
         r = TTSRequest(**_req(1))
         expect = synth.estimate_bucket(r.ref_wav, r.ref_sr, r.ref_units,
                                        r.gen_units, cfg)
-        assert eng._estimate_bucket(r) % _BUCKET_STRIDE == expect
+        composite, dur_bucket = eng._estimate_bucket(r)
+        assert composite % _BUCKET_STRIDE == expect
+        # the batcher cost budget is in frames — the duration bucket, not
+        # the composite key
+        assert dur_bucket == expect
         # default-cfg requests use settings id 0 → bucket == duration bucket
-        assert eng._estimate_bucket(r) == expect
+        assert composite == expect
     finally:
         eng.shutdown()
 
@@ -392,6 +396,56 @@ def test_estimate_bucket_stereo_matches_mono(synth):
                            gen_units=list("cde"))
         req_s = TTSRequest(ref_wav=stereo, ref_sr=sr, ref_units=list("ab"),
                            gen_units=list("cde"))
-        assert eng._estimate_bucket(req_m) == eng._estimate_bucket(req_s)
+        assert eng._estimate_bucket(req_m) == eng._estimate_bucket(req_s)  # (composite, dur) tuples
     finally:
         eng.shutdown()
+
+
+def test_engine_caps_distinct_settings(synth):
+    """Each distinct per-request settings tuple pins compiled programs for
+    the engine's lifetime — the set must be bounded (RuntimeError → 503 at
+    the HTTP layer), or a client sweeping values leaks compiles forever."""
+    from lemas_tts_tpu.serve.engine import _MAX_CFG_IDS
+
+    eng = ServingEngine(synth, cfg=SamplerConfig(nfe_steps=2))
+    try:
+        r = TTSRequest(**_req(1))
+        for i in range(_MAX_CFG_IDS - 1):  # id 0 = the engine default cfg
+            r.cfg = SamplerConfig(nfe_steps=2, cfg_strength=1.0 + 0.001 * i)
+            eng._estimate_bucket(r)
+        r.cfg = SamplerConfig(nfe_steps=2, cfg_strength=99.0)
+        with pytest.raises(RuntimeError, match="distinct sampler settings"):
+            eng._estimate_bucket(r)
+        # already-seen settings still resolve fine at the cap
+        r.cfg = None
+        eng._estimate_bucket(r)
+    finally:
+        eng.shutdown()
+
+
+def test_estimate_bucket_matches_actual_program_shape(synth, monkeypatch):
+    """estimate_bucket must predict the exact duration bucket
+    synthesize_requests compiles for — including the token-count/cond-frame
+    floor — or the engine groups requests into batches whose program shape
+    they then miss (recompile + padding waste)."""
+    import lemas_tts_tpu.infer.pipeline as pl
+
+    rec = []
+    orig = pl.pick_bucket
+
+    def spy(v, buckets):
+        r = orig(v, buckets)
+        if buckets is pl.DURATION_BUCKETS:
+            rec.append(r)
+        return r
+
+    monkeypatch.setattr(pl, "pick_bucket", spy)
+    cfg = SamplerConfig(nfe_steps=2, cfg_strength=0.0)
+    # short ref + long text: the +1/token floor, not the rate extrapolation,
+    # decides the bucket
+    for req in (_req(1, text="abc def " * 40), _req(2), _req(3, sr=7900)):
+        est = synth.estimate_bucket(req["ref_wav"], req["ref_sr"],
+                                    req["ref_units"], req["gen_units"], cfg)
+        rec.clear()
+        synth.synthesize_requests([req], cfg=cfg)
+        assert rec and rec[0] == est

@@ -122,3 +122,24 @@ def test_vrseparator_from_file(tmp_path):
     x = np.random.default_rng(1).standard_normal((2, 800)).astype(np.float32) * 0.2
     out = sep.separate(x, 8000)
     assert out.shape == x.shape and np.isfinite(out).all()
+
+
+def test_predict_mask_chunking_invariance(vr):
+    """Window batches are capped (long files would otherwise need one giant
+    U-Net forward with multi-GB activations); the chunked result must be
+    identical to an effectively-unchunked run."""
+    rng = np.random.default_rng(3)
+    n_bins = 256 // 2 + 1
+    # enough frames for several windows at window_size=16
+    mag = np.abs(rng.standard_normal((2, n_bins, 200))).astype(np.float32)
+    vr.window_size, old_ws = 16, vr.window_size
+    vr.offset, old_off = 4, vr.offset
+    try:
+        vr.batch_size = 2
+        chunked = vr._predict_mask(mag)
+        vr.batch_size = 1024  # one chunk covers all windows
+        whole = vr._predict_mask(mag)
+    finally:
+        vr.window_size, vr.offset, vr.batch_size = old_ws, old_off, 4
+    assert chunked.shape == whole.shape == mag.shape
+    np.testing.assert_allclose(chunked, whole, rtol=1e-5, atol=1e-6)

@@ -7,11 +7,12 @@ Measures the full generation path — jitted Euler/CFG sampler (2×22
 transformer blocks per step, fused Pallas VMEM attention) + batched masked
 Vocos decode — on randomly initialized flagship weights (RTF is
 weight-independent). Default batch is 8, the serving engine's measured
-sweet spot (serve/engine.py max_batch; on v5e: B=1 → 28.0, B=4 → 33.8,
-B=8 → 35.0, B=16/32 → 35.9 audio-s/s per chip — the old B=4 optimum moved
-after the fused-kernel layout fix and the istft fold), so the headline is
-per-chip serving throughput;
-set LEMAS_BENCH_BATCH=1 for single-stream RTF. Timing forces device
+sweet spot (serve/engine.py max_batch; on v5e after the round-2 long-N
+kernel fixes: B=1 → 29.7, B=8 → 37.9, B=16 → 38.9 audio-s/s per chip — the
+old B=4 optimum moved after the fused-kernel layout fix and the istft
+fold), so the headline is per-chip serving throughput. The host has one
+CPU: run the bench strictly alone or dispatch contention skews it.
+Set LEMAS_BENCH_BATCH=1 for single-stream RTF. Timing forces device
 completion by fetching a scalar reduction of the waveform; fetching the
 full audio is excluded because the benchmarking tunnel's device→host path
 (~3 MB/s) is not representative of TPU serving I/O.

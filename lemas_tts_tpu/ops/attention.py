@@ -214,9 +214,15 @@ def _pair_swap_matrix(width: int):
     return jnp.asarray(p)
 
 
+# online-softmax running-max floor: far above every masked score (-1e30) so
+# a fully-masked kv chunk underflows to p = exp(-1e30 + 1e29) = 0 instead of
+# the degenerate p = exp(0) = 1, yet far below any real logit
+_M_FLOOR = -1e29
+
+
 def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
                           ck_ref, sk_ref, p_ref, o_ref, kr_ref, *,
-                          sm_scale: float, d_head: int):
+                          sm_scale: float, d_head: int, block_kv: int = 0):
     from jax.experimental import pallas as pl
 
     q2 = q_ref[0]  # [bq, 2D] two heads side by side
@@ -260,6 +266,7 @@ def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
     m1 = (lanes >= d_head).astype(cdt)
 
     mprec = None if cdt != jnp.float32 else prec
+    n_kv = v2.shape[0]
     # two sequential per-head chains. Probed alternative: stacking both
     # heads into one [2bq, N] score tile (one matmul + one softmax) is
     # neutral at N≤2048 and ~7% WORSE at N=4096 — the doubled f32 tile
@@ -267,20 +274,48 @@ def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
     o_acc = None
     l2 = None
     for hm in (m0, m1):
-        s = jax.lax.dot_general(
-            qr * hm, kr, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32, precision=mprec,
-        )  # [bq, N] — zeroed q lanes restrict the contraction; q pre-scaled
-        s = jnp.where(msk, s, _NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)  # [bq, 1]
-        o_part = jax.lax.dot_general(
-            p.astype(cdt), v2, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=mprec,
-        )  # [bq, 2D]; the other head's lanes hold p·v_other garbage that the
-        # hm mask below zeroes — masking the [bq, 2D] output replaces the old
-        # [N, 2D] per-program v2·hm pass (N/bq× more VPU work at long N)
+        qh = qr * hm
+        if block_kv and block_kv < n_kv:
+            # kv-chunked online softmax (flash-style): the live f32 tile is
+            # [bq, block_kv] instead of [bq, N], which unlocks bq=512 at long
+            # N where the one-shot tile would blow the VMEM budget. The
+            # rescale corrections are [bq, 1]/[bq, 2D] VPU work per chunk —
+            # negligible next to the [bq, block_kv] exp.
+            m_run = jnp.full((q2.shape[0], 1), _M_FLOOR, f32)
+            l_run = jnp.zeros((q2.shape[0], 1), f32)
+            o_run = jnp.zeros((q2.shape[0], v2.shape[1]), f32)
+            for j in range(n_kv // block_kv):
+                sl = slice(j * block_kv, (j + 1) * block_kv)
+                s = jax.lax.dot_general(
+                    qh, kr[sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32, precision=mprec,
+                )  # [bq, bkv]
+                s = jnp.where(msk[:, sl], s, _NEG_INF)
+                m_new = jnp.maximum(m_run, jnp.max(s, axis=-1, keepdims=True))
+                alpha = jnp.exp(m_run - m_new)
+                p = jnp.exp(s - m_new)
+                l_run = l_run * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                o_run = o_run * alpha + jax.lax.dot_general(
+                    p.astype(cdt), v2[sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=mprec,
+                )
+                m_run = m_new
+            o_part, l = o_run, l_run
+        else:
+            s = jax.lax.dot_general(
+                qh, kr, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=mprec,
+            )  # [bq, N] — zeroed q lanes restrict the contraction; q pre-scaled
+            s = jnp.where(msk, s, _NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)  # [bq, 1]
+            o_part = jax.lax.dot_general(
+                p.astype(cdt), v2, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=mprec,
+            )  # [bq, 2D]; the other head's lanes hold p·v_other garbage that
+            # the hm mask below zeroes — masking the [bq, 2D] output replaces
+            # the old [N, 2D] per-program v2·hm pass (N/bq× more VPU work)
         o_acc = o_part * hm.astype(f32) if o_acc is None \
             else o_acc + o_part * hm.astype(f32)
         lane_l = l * hm.astype(f32)  # normalizer on this head's lanes
@@ -319,6 +354,7 @@ def vmem_attention_nhd(
     heads: int,
     interpret: bool | None = None,
     block_q: int | None = None,
+    block_kv: int | None = None,
 ) -> jax.Array:
     """Flat-layout fused attention with in-kernel rope. Returns [B, N, H*D].
 
@@ -337,14 +373,26 @@ def vmem_attention_nhd(
     if mask is None:
         mask = jnp.ones((B, N), dtype=jnp.bool_)
 
+    if block_kv is None:
+        # kv-chunked online softmax for long buckets (N > 2048). Measured on
+        # v5e at N=4096 vs the one-shot [bq, N] tile (rows = 2B):
+        # bkv 512 → −10/−12/−15% at rows 2/4/8; bkv 1024 → −7%; 2048 → −4%;
+        # 256 → −3%; 128 regresses (unroll bloat). The smaller live tile wins
+        # on VMEM pressure, not VPU work. At N ≤ 2048 chunking REGRESSES
+        # (1926 vs 1609 µs at N=2048/bq=512/bkv=1024) — keep one-shot there.
+        # bq=512 with chunking at N=4096 crashes the Mosaic compiler; bq
+        # stays at the 4 MB-budget rule below.
+        block_kv = 512 if N > 2048 and N % 512 == 0 else 0
     if block_q is not None:
         bq = block_q
         assert N % bq == 0, (N, bq)
     else:
         # measured sweep on v5e (docs/performance.md long-bucket table):
         # largest bq ≤ 512 whose [bq, N] f32 score tile stays ≤ 4 MB wins at
-        # every bucket (N=1024/2048 → 512, N=4096 → 256); bq=512 at N=4096
-        # (8 MB tile) regresses, bq=1024 at N=1024 regresses.
+        # every bucket (N=1024/2048 → 512, N=4096 → 256); bq=1024 at N=1024
+        # regresses. The same rule holds under kv-chunking (bq=512 + chunks
+        # at N=4096 crashes the Mosaic compiler; bq=256 + bkv=512 is the
+        # measured optimum).
         bq = min(N, 512)
         while bq > 128 and (bq * N * 4 > 4 * 1024 * 1024 or N % bq):
             bq //= 2
@@ -355,7 +403,8 @@ def vmem_attention_nhd(
     P = _pair_swap_matrix(2 * D)
 
     out = pl.pallas_call(
-        _partial(_vmem_attn_nhd_kernel, sm_scale=1.0 / math.sqrt(D), d_head=D),
+        _partial(_vmem_attn_nhd_kernel, sm_scale=1.0 / math.sqrt(D), d_head=D,
+                 block_kv=int(block_kv)),
         grid=(B, h2, N // bq),
         in_specs=[
             pl.BlockSpec((1, bq, 2 * D), lambda b, h, i: (b, i, h),

@@ -116,3 +116,31 @@ def test_dispatch_backends():
     a = np.asarray(attention(q, k, v, backend="xla"))
     b = np.asarray(attention(q, k, v, backend="splash"))  # small N → sdpa
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_vmem_nhd_kv_chunked_matches_one_shot():
+    """The flash-style kv-chunked online softmax (engaged at long N so bq can
+    stay at 512 without a [512, N] f32 tile) must agree with the one-shot
+    path — including a kv chunk that is masked in full (the running-max
+    floor keeps exp() underflowing to 0 instead of the degenerate exp(0))."""
+    from lemas_tts_tpu.ops.attention import vmem_attention_nhd
+    from lemas_tts_tpu.ops.rope import rope_angles
+
+    rng = np.random.default_rng(11)
+    B, N, heads, D = 2, 512, 4, 64
+    mk = lambda: jnp.asarray(rng.standard_normal((B, N, heads * D)),
+                             jnp.float32)
+    q, k, v = mk(), mk(), mk()
+    angles = rope_angles(N, D)
+    mask = np.ones((B, N), bool)
+    mask[0, 128:256] = False  # chunk 1 fully masked at bkv=128
+    mask[1, 300:] = False  # prefix mask (lens_to_mask shape)
+    mask = jnp.asarray(mask)
+
+    base = vmem_attention_nhd(q, k, v, mask, angles, heads=heads,
+                              interpret=True, block_q=128, block_kv=0)
+    for bkv in (128, 256):
+        got = vmem_attention_nhd(q, k, v, mask, angles, heads=heads,
+                                 interpret=True, block_q=128, block_kv=bkv)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   rtol=2e-5, atol=2e-5)

@@ -37,7 +37,16 @@ from lemas_tts_tpu.ops.quant import quantize_dense_tree
 
 SR = 24000
 HOP = 256
-NFE = 32
+# LEMAS_BENCH_NFE / LEMAS_BENCH_CFG / LEMAS_BENCH_SWAY /
+# LEMAS_BENCH_CFG_CUTOFF probe the canonical CLI settings (NFE=64, CFG 5.0,
+# sway 3.0 — tts_multilingual.sh) and the opt-in CFG truncation; the
+# headline stays NFE=32/CFG=2 (BASELINE.md). Sway only affects cost through
+# the cutoff's active-step count (the warp sets where cfg·(1−t)² decays).
+NFE = int(os.environ.get("LEMAS_BENCH_NFE", "32"))
+CFG = float(os.environ.get("LEMAS_BENCH_CFG", "2.0"))
+SWAY = float(os.environ.get("LEMAS_BENCH_SWAY", "1.0"))
+_cut = os.environ.get("LEMAS_BENCH_CFG_CUTOFF")
+CFG_CUTOFF = float(_cut) if _cut else None
 # mel frames ≈ 10.9 s audio at the default; LEMAS_BENCH_N probes the long
 # buckets (2048/4096) for the docs/performance.md long-bucket table
 N_BUCKET = int(os.environ.get("LEMAS_BENCH_N", "1024"))
@@ -117,7 +126,9 @@ def main():
     duration = np.full(B, N, np.int32)
     y0 = rng.standard_normal((B, N, 100)).astype(np.float32)
 
-    settings = SamplerSettings(steps=NFE, cfg_strength=2.0, sway_sampling_coef=1.0)
+    settings = SamplerSettings(steps=NFE, cfg_strength=CFG,
+                               sway_sampling_coef=SWAY,
+                               cfg_cutoff=CFG_CUTOFF)
     run = make_sampler(model, settings)
     gen_frames = N - REF_FRAMES
     frame_mask = jnp.asarray((np.arange(N)[None, :] < gen_frames).repeat(B, axis=0))
@@ -150,7 +161,7 @@ def main():
     audio_sec = B * (gen_frames - 1) * HOP / SR
     rtf = audio_sec / wall
     print(json.dumps({
-        "metric": "rtf_per_chip_nfe32",
+        "metric": f"rtf_per_chip_nfe{NFE}",
         "value": round(rtf, 3),
         "unit": "audio_sec/wall_sec",
         "vs_baseline": round(rtf / 20.0, 3),

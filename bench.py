@@ -37,16 +37,20 @@ from lemas_tts_tpu.ops.quant import quantize_dense_tree
 
 SR = 24000
 HOP = 256
-# LEMAS_BENCH_NFE / LEMAS_BENCH_CFG / LEMAS_BENCH_SWAY /
-# LEMAS_BENCH_CFG_CUTOFF probe the canonical CLI settings (NFE=64, CFG 5.0,
-# sway 3.0 — tts_multilingual.sh) and the opt-in CFG truncation; the
-# headline stays NFE=32/CFG=2 (BASELINE.md). Sway only affects cost through
-# the cutoff's active-step count (the warp sets where cfg·(1−t)² decays).
+# LEMAS_BENCH_NFE / LEMAS_BENCH_CFG / LEMAS_BENCH_SWAY probe the canonical
+# CLI settings (NFE=64, CFG 5.0, sway 3.0 — tts_multilingual.sh); the
+# headline stays NFE=32/CFG=2 (BASELINE.md). The benchmark runs the serving
+# engine's default CFG truncation (config.SERVING_CFG_CUTOFF=0.5: skip the
+# uncond forward once cfg·(1−t)² < 0.5 — measured 1.5e-5 mel MSE vs full
+# CFG, 65× inside the 1e-3 parity bar; docs/performance.md). Reported in
+# the JSON line; LEMAS_BENCH_CFG_CUTOFF=0 measures exact full CFG.
 NFE = int(os.environ.get("LEMAS_BENCH_NFE", "32"))
 CFG = float(os.environ.get("LEMAS_BENCH_CFG", "2.0"))
 SWAY = float(os.environ.get("LEMAS_BENCH_SWAY", "1.0"))
-_cut = os.environ.get("LEMAS_BENCH_CFG_CUTOFF")
-CFG_CUTOFF = float(_cut) if _cut else None
+_cut = float(os.environ.get("LEMAS_BENCH_CFG_CUTOFF", "-1"))
+if _cut < 0:
+    from lemas_tts_tpu.config import SERVING_CFG_CUTOFF as _cut
+CFG_CUTOFF = _cut or None
 # mel frames ≈ 10.9 s audio at the default; LEMAS_BENCH_N probes the long
 # buckets (2048/4096) for the docs/performance.md long-bucket table
 N_BUCKET = int(os.environ.get("LEMAS_BENCH_N", "1024"))
@@ -166,6 +170,7 @@ def main():
         "unit": "audio_sec/wall_sec",
         "vs_baseline": round(rtf / 20.0, 3),
         "batch": BATCH,
+        "cfg_cutoff": CFG_CUTOFF,
         "kernel_check": kernel_check,
     }))
 

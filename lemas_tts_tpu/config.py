@@ -86,6 +86,15 @@ class ModelConfig:
     vocoder: VocoderConfig = field(default_factory=VocoderConfig)
 
 
+# Measured serving default for CFG truncation (docs/performance.md): skipping
+# the uncond forward once cfg_strength·(1−t)² decays below 0.5 lifts v5e
+# serving throughput 37.7 → 43.5 audio-s/s (B=8, NFE=32) at 1.5e-5 mel MSE
+# vs the full-CFG trajectory — 65× inside the 1e-3 parity bar. The library
+# SamplerConfig default stays None (exact reference semantics,
+# cfm.py:393-424); the serving entry points opt in with this value.
+SERVING_CFG_CUTOFF = 0.5
+
+
 @dataclass(frozen=True)
 class SamplerConfig:
     """CFM sampler parameters.

@@ -306,6 +306,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nfe_step", type=int, default=32)
     p.add_argument("--cfg_strength", type=float, default=3.0)
     p.add_argument("--sway_sampling_coef", type=float, default=1.0)
+    p.add_argument("--cfg_cutoff", type=float, default=-1.0,
+                   help="CFG truncation threshold; <0 uses the measured "
+                        "serving default (0.5 — docs/performance.md), 0 "
+                        "disables (exact full-CFG reference semantics).")
     p.add_argument("--max_batch", type=int, default=4)
     p.add_argument("--max_streams", type=int, default=2,
                    help="Concurrent /tts_stream requests (excess → 503).")
@@ -313,12 +317,26 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def sampler_config_from_args(args):
+    """Server-default SamplerConfig from the CLI flags. ``--cfg_cutoff`` < 0
+    (the flag default) resolves to the measured serving default
+    ``config.SERVING_CFG_CUTOFF``; 0 disables truncation entirely (exact
+    full-CFG reference semantics)."""
+    from lemas_tts_tpu.config import SERVING_CFG_CUTOFF, SamplerConfig
+
+    cutoff = getattr(args, "cfg_cutoff", -1.0)
+    return SamplerConfig(
+        nfe_steps=args.nfe_step, cfg_strength=args.cfg_strength,
+        sway_sampling_coef=args.sway_sampling_coef,
+        cfg_cutoff=SERVING_CFG_CUTOFF if cutoff < 0 else (cutoff or None),
+    )
+
+
 def serve(args, *, ready_event: Optional[threading.Event] = None,
           server_box: Optional[list] = None) -> None:
     """Build model + engine, then serve forever. ``ready_event``/``server_box``
     let tests start/stop the server from another thread."""
     import lemas_tts_tpu
-    from lemas_tts_tpu.config import SamplerConfig
     from lemas_tts_tpu.serve.engine import ServingEngine
 
     tts = lemas_tts_tpu.TTS(
@@ -326,10 +344,7 @@ def serve(args, *, ready_event: Optional[threading.Event] = None,
         vocab_file=args.vocab_file,
         frontend=None if args.frontend == "none" else args.frontend,
     )
-    cfg = SamplerConfig(
-        nfe_steps=args.nfe_step, cfg_strength=args.cfg_strength,
-        sway_sampling_coef=args.sway_sampling_coef,
-    )
+    cfg = sampler_config_from_args(args)
     if not args.no_warmup:
         tts.synth.warmup(cfg)
     engine = ServingEngine(tts.synth, cfg=cfg, max_batch=args.max_batch)

@@ -90,6 +90,18 @@ def _ref_b64(sr=8000):
     return base64.b64encode(buf.getvalue()).decode()
 
 
+def test_cfg_cutoff_flag_resolution():
+    """--cfg_cutoff default → SERVING_CFG_CUTOFF; 0 → exact full CFG;
+    explicit value → itself."""
+    from lemas_tts_tpu.config import SERVING_CFG_CUTOFF
+
+    parse = serve_http.build_parser().parse_args
+    resolve = serve_http.sampler_config_from_args
+    assert resolve(parse([])).cfg_cutoff == SERVING_CFG_CUTOFF
+    assert resolve(parse(["--cfg_cutoff", "0"])).cfg_cutoff is None
+    assert resolve(parse(["--cfg_cutoff", "1.25"])).cfg_cutoff == 1.25
+
+
 def test_healthz_and_stats(server):
     code, body = _get(server + "/healthz")
     assert code == 200 and json.loads(body)["ok"] is True

@@ -47,10 +47,10 @@ HOP = 256
 NFE = int(os.environ.get("LEMAS_BENCH_NFE", "32"))
 CFG = float(os.environ.get("LEMAS_BENCH_CFG", "2.0"))
 SWAY = float(os.environ.get("LEMAS_BENCH_SWAY", "1.0"))
-_cut = float(os.environ.get("LEMAS_BENCH_CFG_CUTOFF", "-1"))
+_cut = float(os.environ.get("LEMAS_BENCH_CFG_CUTOFF") or "-1")
 if _cut < 0:
     from lemas_tts_tpu.config import SERVING_CFG_CUTOFF as _cut
-CFG_CUTOFF = _cut or None
+CFG_CUTOFF = _cut or None  # 0 → exact full CFG
 # mel frames ≈ 10.9 s audio at the default; LEMAS_BENCH_N probes the long
 # buckets (2048/4096) for the docs/performance.md long-bucket table
 N_BUCKET = int(os.environ.get("LEMAS_BENCH_N", "1024"))

@@ -164,9 +164,16 @@ def sample_mel(
     settings: SamplerSettings,
     step_cond: Optional[jax.Array] = None,  # alt cond for the ODE (GRL shuffle)
     prosody_text: Optional[jax.Array] = None,  # [B, T_text, 512]
+    text_embed_pair: Optional[tuple] = None,  # precomputed (te_cond, te_uncond)
+    attn_mask_override: Optional[jax.Array] = None,  # [B, N] (seq-parallel)
 ) -> jax.Array:
     """Run the Euler CFG flow from noise to mel. Returns [B, N, D] with kept
-    frames pasted from ``cond`` (plus trajectory if requested)."""
+    frames pasted from ``cond`` (plus trajectory if requested).
+
+    ``text_embed_pair``/``attn_mask_override`` let a sequence-parallel caller
+    (``parallel/sequence``) precompute the full-sequence text embeddings and
+    the global attention mask outside ``shard_map`` and pass them in sharded
+    — everything else in this function is shard-local math."""
     B, N, D = cond.shape
     keep = cond_mask[..., None]
 
@@ -174,14 +181,20 @@ def sample_mel(
         step_cond = cond
     step_cond = jnp.where(keep, step_cond, 0.0)
 
-    attn_mask = lens_to_mask(duration, N)  # [B, N]
+    if attn_mask_override is not None:
+        attn_mask = attn_mask_override
+    else:
+        attn_mask = lens_to_mask(duration, N)  # [B, N]
     # Reference pads per-sample noise with zeros to the batch max duration
     # (``cfm.py:430-435`` pad_sequence(..., padding_value=0)).
     y0 = jnp.where(attn_mask[..., None], y0, 0.0)
 
     # Text embeddings for both CFG branches, computed once (replaces the
     # reference's mutable cache).
-    te_cond = model.apply(params, text_ids, N, False, method=model.embed_text)
+    if text_embed_pair is not None:
+        te_cond = text_embed_pair[0]
+    else:
+        te_cond = model.apply(params, text_ids, N, False, method=model.embed_text)
 
     def velocity_cond_only(t, x, clamp):
         # single cond pass; the no-CFG path skips the clamp on purpose (the
@@ -197,7 +210,12 @@ def sample_mel(
         return v
 
     if settings.use_cfg:
-        te_uncond = model.apply(params, text_ids, N, True, method=model.embed_text)
+        if text_embed_pair is not None:
+            te_uncond = text_embed_pair[1]
+            assert te_uncond is not None, "CFG needs the uncond text embed"
+        else:
+            te_uncond = model.apply(params, text_ids, N, True,
+                                    method=model.embed_text)
         te2 = jnp.concatenate([te_cond, te_uncond], axis=0)
         cond2 = jnp.concatenate([step_cond, jnp.zeros_like(step_cond)], axis=0)
         mask2 = jnp.concatenate([attn_mask, attn_mask], axis=0)

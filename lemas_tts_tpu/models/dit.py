@@ -87,6 +87,7 @@ class InputEmbedding(nn.Module):
 
     out_dim: int
     compute_dtype: jnp.dtype = jnp.float32
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, cond, text_embed, drop_audio_cond: bool = False):
@@ -96,7 +97,8 @@ class InputEmbedding(nn.Module):
             jnp.concatenate([x, cond, text_embed], axis=-1)
         )
         return ConvPositionEmbedding(
-            self.out_dim, compute_dtype=self.compute_dtype, name="conv_pos"
+            self.out_dim, compute_dtype=self.compute_dtype,
+            seq_axis=self.seq_axis, name="conv_pos"
         )(h) + h
 
 
@@ -107,6 +109,7 @@ class _ScanBlock(nn.Module):
     attn_backend: str
     compute_dtype: jnp.dtype
     quant: Optional[str] = None
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, t_emb, mask, rope, deterministic=True):
@@ -121,6 +124,7 @@ class _ScanBlock(nn.Module):
             dropout=self.arch.dropout,
             quant=self.quant,
             compute_dtype=self.compute_dtype,
+            seq_axis=self.seq_axis,
             name="block",
         )(x, t_emb, mask=mask, rope_angles_arr=rope,
           deterministic=deterministic)
@@ -140,6 +144,12 @@ class DiT(nn.Module):
     # None | "int8": W8A8 block matmuls (ops/quant.py). Serving-only: params
     # must come from quantize_dense_tree() over a float checkpoint.
     quant: Optional[str] = None
+    # Sequence-parallel mesh axis (parallel/sequence): __call__ then runs on
+    # sequence SHARDS inside shard_map — ring attention, halo convs, rope at
+    # global positions. Same params as the unsharded model. text_embed must
+    # be precomputed globally and passed in sharded (TextEmbedding's ConvNeXt
+    # stack spans the full sequence).
+    seq_axis: Optional[str] = None
 
     def setup(self):
         a = self.arch
@@ -155,7 +165,8 @@ class DiT(nn.Module):
         )
         if self.use_prosody_encoder:
             self.prosody_text_proj = nn.Dense(text_dim, dtype=self.compute_dtype)
-        self.input_embed = InputEmbedding(a.dim, compute_dtype=self.compute_dtype)
+        self.input_embed = InputEmbedding(a.dim, compute_dtype=self.compute_dtype,
+                                          seq_axis=self.seq_axis)
 
         block_cls = _ScanBlock
         if a.checkpoint_activations:
@@ -168,7 +179,8 @@ class DiT(nn.Module):
             length=a.depth,
             unroll=self.scan_unroll,
         )(arch=a, attn_backend=self.attn_backend,
-          compute_dtype=self.compute_dtype, quant=self.quant)
+          compute_dtype=self.compute_dtype, quant=self.quant,
+          seq_axis=self.seq_axis)
 
         if a.long_skip_connection:
             self.long_skip = nn.Dense(a.dim, use_bias=False, dtype=self.compute_dtype)
@@ -199,6 +211,11 @@ class DiT(nn.Module):
         t_emb = self.time_embed(time)
 
         if text_embed is None:
+            if self.seq_axis is not None:
+                raise ValueError(
+                    "seq_axis is set: text_embed must be precomputed on the "
+                    "full sequence (embed_text) and passed in sharded"
+                )
             text_embed = self.text_embed(text_ids, N, drop_text=drop_text)
 
         if prosody_text is not None and self.use_prosody_encoder:
@@ -216,7 +233,16 @@ class DiT(nn.Module):
             drop_audio_cond=drop_audio_cond,
         )
 
-        rope = rope_angles(N, self.arch.dim_head)
+        if self.seq_axis is not None:
+            # rope rows for THIS shard's global positions: build the global
+            # table (axis size is static) and slice at the shard offset
+            table = rope_angles(N * jax.lax.axis_size(self.seq_axis),
+                                self.arch.dim_head)
+            rope = jax.lax.dynamic_slice_in_dim(
+                table, jax.lax.axis_index(self.seq_axis) * N, N
+            )
+        else:
+            rope = rope_angles(N, self.arch.dim_head)
         if self.arch.long_skip_connection:
             residual = h
         h, _ = self.blocks(h, t_emb, mask, rope, deterministic)

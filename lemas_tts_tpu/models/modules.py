@@ -73,6 +73,7 @@ class GroupedConvTaps(nn.Module):
     groups: int
     compute_dtype: jnp.dtype = jnp.float32
     tap_batch_threshold: int = 2  # conv batch at/below which taps win (v5e)
+    padding: str = "SAME"  # "VALID" for halo-extended sequence shards
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -88,11 +89,12 @@ class GroupedConvTaps(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         B, N, _ = x.shape
+        n_out = N if self.padding == "SAME" else N - K + 1
         if B > self.tap_batch_threshold:
             out = jax.lax.conv_general_dilated(
                 x.astype(self.compute_dtype),
                 kernel.astype(self.compute_dtype),
-                (1,), "SAME",
+                (1,), self.padding,
                 dimension_numbers=("NWC", "WIO", "NWC"),
                 feature_group_count=G,
             )
@@ -100,41 +102,74 @@ class GroupedConvTaps(nn.Module):
         w_tap = jnp.transpose(
             kernel.reshape(K, cin, G, cout), (0, 2, 1, 3)
         ).astype(self.compute_dtype)  # [K, G, cin, cout]
-        # SAME padding split must match XLA/flax: floor((K-1)/2) low, ceil high
-        xpad = jnp.pad(x.astype(self.compute_dtype),
-                       ((0, 0), ((K - 1) // 2, K // 2), (0, 0)))
-        xg = xpad.reshape(B, N + K - 1, G, cin)
-        out = jnp.zeros((B, N, G, cout), jnp.float32)
+        if self.padding == "SAME":
+            # padding split must match XLA/flax: floor((K-1)/2) low, ceil high
+            xpad = jnp.pad(x.astype(self.compute_dtype),
+                           ((0, 0), ((K - 1) // 2, K // 2), (0, 0)))
+        else:
+            xpad = x.astype(self.compute_dtype)
+        xg = xpad.reshape(B, n_out + K - 1, G, cin)
+        out = jnp.zeros((B, n_out, G, cout), jnp.float32)
         for t in range(K):
             out = out + jnp.einsum(
-                "bngi,gio->bngo", xg[:, t : t + N], w_tap[t],
+                "bngi,gio->bngo", xg[:, t : t + n_out], w_tap[t],
                 preferred_element_type=jnp.float32,
             )
-        out = out.reshape(B, N, self.features) + bias
+        out = out.reshape(B, n_out, self.features) + bias
         return out.astype(self.compute_dtype)
 
 
 class ConvPositionEmbedding(nn.Module):
-    """Two grouped k=31 convs with Mish (``modules.py:167-190``)."""
+    """Two grouped k=31 convs with Mish (``modules.py:167-190``).
+
+    With ``seq_axis`` set (sequence-parallel sampling, ``parallel/sequence``),
+    the input is a sequence shard: the chained SAME convs need ``2·(K//2)``
+    frames of context per side, fetched once from the ring neighbors
+    (``ops/ring_attention.halo_exchange`` — zeros at the global edges, exactly
+    the global SAME zero padding), then both convs run VALID on the extended
+    shard. Identical math to the unsharded chain, so the same params serve
+    both paths.
+    """
 
     dim: int
     kernel_size: int = 31
     groups: int = 16
     compute_dtype: jnp.dtype = jnp.float32
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
         # x: [B, N, D]; channel-last.
         if mask is not None:
             x = jnp.where(mask[..., None], x, 0.0)
+        padding = "SAME"
+        half = self.kernel_size // 2
+        if self.seq_axis is not None:
+            from lemas_tts_tpu.ops.ring_attention import halo_exchange
+
+            # symmetric halo requires odd K (SAME pads (K-1)//2 low, K//2 high)
+            assert self.kernel_size % 2 == 1, self.kernel_size
+            nl = x.shape[1]
+            x = halo_exchange(x, 2 * half, self.seq_axis)
+            padding = "VALID"
         h = GroupedConvTaps(
             self.dim, self.kernel_size, self.groups,
-            compute_dtype=self.compute_dtype, name="conv1",
+            compute_dtype=self.compute_dtype, padding=padding, name="conv1",
         )(x)
         h = mish(h)
+        if self.seq_axis is not None:
+            # conv2's SAME pad in the global chain zeroes conv1's POST-mish
+            # output outside the sequence — but the VALID chain computed
+            # mish(conv1(zero-halo)) = mish(bias) ≠ 0 there. Zero the rows
+            # whose global center falls outside [0, N_global).
+            idx = jax.lax.axis_index(self.seq_axis)
+            n_global = nl * jax.lax.axis_size(self.seq_axis)
+            centers = jnp.arange(h.shape[1]) - half + idx * nl
+            inside = (centers >= 0) & (centers < n_global)
+            h = jnp.where(inside[None, :, None], h, 0.0)
         h = GroupedConvTaps(
             self.dim, self.kernel_size, self.groups,
-            compute_dtype=self.compute_dtype, name="conv2",
+            compute_dtype=self.compute_dtype, padding=padding, name="conv2",
         )(h)
         h = mish(h)
         if mask is not None:
@@ -277,6 +312,10 @@ class Attention(nn.Module):
     dropout: float = 0.0
     quant: Optional[str] = None  # None | "int8" (ops/quant.py W8A8 serving path)
     compute_dtype: jnp.dtype = jnp.float32
+    # sequence-parallel mesh axis (parallel/sequence): x/mask are sequence
+    # shards, rope_angles_arr carries global positions, attention runs the
+    # ring schedule (ops/ring_attention) instead of a local backend
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -320,9 +359,13 @@ class Attention(nn.Module):
             # docs/performance.md), rope applied in-kernel
             from lemas_tts_tpu.ops.attention import nhd_supported
 
-            use_nhd = self.attn_backend == "vmem" and nhd_supported(
-                self.heads, self.dim_head, N, self.qk_norm,
-                self.pe_attn_head, rope_angles_arr is not None,
+            use_nhd = (
+                self.seq_axis is None
+                and self.attn_backend == "vmem"
+                and nhd_supported(
+                    self.heads, self.dim_head, N, self.qk_norm,
+                    self.pe_attn_head, rope_angles_arr is not None,
+                )
             )
             if use_nhd:
                 from lemas_tts_tpu.ops.attention import vmem_attention_nhd
@@ -357,7 +400,13 @@ class Attention(nn.Module):
                         q = apply_rope(q, rope_angles_arr)
                         k = apply_rope(k, rope_angles_arr)
 
-                out = attention(q, k, v, mask=mask, backend=self.attn_backend)
+                if self.seq_axis is not None:
+                    from lemas_tts_tpu.ops.ring_attention import ring_attention
+
+                    out = ring_attention(q, k, v, mask, self.seq_axis)
+                else:
+                    out = attention(q, k, v, mask=mask,
+                                    backend=self.attn_backend)
                 out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
         out = dense(self.dim, "to_out")(out)
         # reference to_out = [Linear, Dropout] (modules.py:412-414)
@@ -423,6 +472,7 @@ class DiTBlock(nn.Module):
     dropout: float = 0.0
     quant: Optional[str] = None
     compute_dtype: jnp.dtype = jnp.float32
+    seq_axis: Optional[str] = None  # sequence-parallel mesh axis
 
     @nn.compact
     def __call__(self, x, t_emb, mask=None, rope_angles_arr=None,
@@ -443,6 +493,7 @@ class DiTBlock(nn.Module):
             dropout=self.dropout,
             quant=self.quant,
             compute_dtype=self.compute_dtype,
+            seq_axis=self.seq_axis,
             name="attn",
         )
         # fused TPU inference path (ops/ffn.py qkv_block + nhd attention):
@@ -450,7 +501,8 @@ class DiTBlock(nn.Module):
         # weights in the compute dtype
         itemsize = jnp.dtype(self.compute_dtype).itemsize
         fused_attn = (
-            self.attn_backend == "vmem"
+            self.seq_axis is None
+            and self.attn_backend == "vmem"
             and self.quant is None
             and deterministic
             and nhd_supported(

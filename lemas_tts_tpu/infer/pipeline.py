@@ -226,14 +226,47 @@ class Synthesizer:
             with self._sampler_lock:
                 fn = self._samplers.get(settings)
                 if fn is None:
-                    fn = make_sampler(self.dit_model, settings)
-                    if self.mesh is not None:
-                        from lemas_tts_tpu.parallel.mesh import (
-                            data_parallel_sampler,
-                        )
+                    if (self.mesh is not None
+                            and dict(self.mesh.shape).get("seq", 1) > 1):
+                        fn = self._seq_sampler(settings)
+                    else:
+                        fn = make_sampler(self.dit_model, settings)
+                        if self.mesh is not None:
+                            from lemas_tts_tpu.parallel.mesh import (
+                                data_parallel_sampler,
+                            )
 
-                        fn = data_parallel_sampler(fn, self.mesh)
+                            fn = data_parallel_sampler(fn, self.mesh)
                     self._samplers[settings] = fn
+        return fn
+
+    def _seq_sampler(self, settings: SamplerSettings):
+        """Sequence-parallel sampling on a ('data','seq') mesh
+        (parallel/sequence.py): the sequence axis of every utterance shards
+        over 'seq' — ring attention + halo convs cut long-bucket latency
+        with chip count. GRL step_cond / prosody conditioning stay on the
+        data-parallel path."""
+        from lemas_tts_tpu.parallel.sequence import sequence_parallel_sampler
+
+        if not hasattr(self.dit_model, "seq_axis"):
+            raise NotImplementedError(
+                f"sequence parallelism supports the DiT backbone only, "
+                f"not {type(self.dit_model).__name__}"
+            )
+        sp = sequence_parallel_sampler(
+            self.dit_model.clone(seq_axis="seq"), settings, self.mesh
+        )
+
+        def fn(params, cond, cond_mask, text, duration, y0,
+               step_cond=None, prosody_text=None):
+            if step_cond is not None or prosody_text is not None:
+                raise NotImplementedError(
+                    "sequence-parallel sampling does not support GRL "
+                    "step_cond / prosody conditioning — use a "
+                    "('data','model') mesh for those"
+                )
+            return sp(params, cond, cond_mask, text, duration, y0)
+
         return fn
 
     def _pick_batch(self, b: int) -> int:

@@ -143,6 +143,49 @@ def test_sequence_parallel_sampler_matches_single(cfg_cutoff):
         np.asarray(out)[:, :64], np.asarray(cond)[:, :64])
 
 
+def test_synthesizer_seq_mesh_matches_unmeshed():
+    """A Synthesizer on a ('data','seq') mesh produces the same audio as the
+    unmeshed one (same seed) — the full pipeline path, not just the sampler."""
+    from lemas_tts_tpu.config import DiTArch, MelSpecConfig, SamplerConfig
+    from lemas_tts_tpu.infer.pipeline import Synthesizer
+    from lemas_tts_tpu.models.dit import DiT
+    from lemas_tts_tpu.models.vocos import Vocos
+    from lemas_tts_tpu.utils.vocab import Vocab
+
+    mel_cfg = MelSpecConfig(n_mel_channels=20, n_fft=256, win_length=256,
+                            hop_length=64, target_sample_rate=8000)
+    arch = DiTArch(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2,
+                   text_dim=32, conv_layers=1)
+    vocab = Vocab(char_map={c: i for i, c in enumerate(" abcdefghij")}, size=11)
+    dit = DiT(arch=arch, mel_dim=20, text_num_embeds=vocab.size)
+    key = jax.random.key(0)
+    dparams = dit.init(
+        key, jnp.zeros((1, 32, 20)), jnp.zeros((1, 32, 20)),
+        jnp.zeros((1, 8), jnp.int32), jnp.zeros((1,)),
+    )
+    voc = Vocos(input_channels=20, dim=32, intermediate_dim=64, num_layers=2,
+                n_fft=256, hop_length=64)
+    vparams = voc.init(key, jnp.zeros((1, 20, 16)))
+
+    sr = 8000
+    ref = (0.2 * np.sin(2 * np.pi * 200 * np.arange(sr) / sr)).astype(np.float32)
+    cfg = SamplerConfig(nfe_steps=2, cfg_strength=2.0, sway_sampling_coef=1.0,
+                        max_duration=512)
+    args = (ref, sr, list("abba"), [list("abc"), list("fgh")], cfg)
+
+    base = Synthesizer(dit, dparams, voc, vparams, vocab, mel_cfg,
+                       max_duration=512)
+    wave0, _, mel0 = base.synthesize_chunks(*args, seed=0)
+
+    mesh = make_seq_mesh(8, seq_parallel=4)
+    seq = Synthesizer(dit, dparams, voc, vparams, vocab, mel_cfg,
+                      max_duration=512, mesh=mesh)
+    wave1, _, mel1 = seq.synthesize_chunks(*args, seed=0)
+
+    np.testing.assert_allclose(wave1, wave0, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(mel1, mel0, rtol=1e-3, atol=1e-3)
+
+
 def test_sequence_parallel_data_axis_combo():
     """2 data × 4 seq: batch rows AND their sequences shard simultaneously."""
     from lemas_tts_tpu.cfm.sampler import SamplerSettings, make_sampler

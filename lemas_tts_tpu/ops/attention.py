@@ -320,7 +320,12 @@ def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
             else o_acc + o_part * hm.astype(f32)
         lane_l = l * hm.astype(f32)  # normalizer on this head's lanes
         l2 = lane_l if l2 is None else l2 + lane_l
-    o_ref[0] = (o_acc / l2).astype(o_ref.dtype)
+    # fully-masked rows: one-shot l ≥ 1 (uniform over -1e30 scores) but the
+    # chunked accumulator underflows to l = 0 (m_run floor −1e29 keeps every
+    # exp at 0) — clamp so those rows yield 0 instead of NaN. Either value is
+    # garbage the caller zeroes (padded queries), but NaN would poison
+    # downstream `where`s under --debug_nans.
+    o_ref[0] = (o_acc / jnp.maximum(l2, 1e-30)).astype(o_ref.dtype)
 
 
 def nhd_supported(
@@ -383,6 +388,10 @@ def vmem_attention_nhd(
         # bq=512 with chunking at N=4096 crashes the Mosaic compiler; bq
         # stays at the 4 MB-budget rule below.
         block_kv = 512 if N > 2048 and N % 512 == 0 else 0
+    elif block_kv:
+        # the chunk loop has no remainder handling — a non-divisor would
+        # silently drop the trailing keys from attention
+        assert N % block_kv == 0, (N, block_kv)
     if block_q is not None:
         bq = block_q
         assert N % bq == 0, (N, bq)

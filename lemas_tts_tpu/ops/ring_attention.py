@@ -59,8 +59,14 @@ def ring_attention(
     qf = q.astype(jnp.float32) * scale
     ring = [(i, (i + 1) % s) for i in range(s)]
 
-    def step(carry, _):
-        acc, m, l, kc, vc, mc = carry
+    acc = jnp.zeros((B, H, Nl, dh), jnp.float32)
+    m = jnp.full((B, H, Nl, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((B, H, Nl, 1), jnp.float32)
+    kc, vc, mc = k, v, mask
+    # static Python loop (axis size is a compile-time int): the last step
+    # skips the rotation — its result would be discarded, and one [Nl, H·dh]
+    # kv pair per block per ODE step is real ICI bandwidth
+    for i in range(s):
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", qf, kc.astype(jnp.float32)
         )  # [B, H, Nl, Nl] f32
@@ -73,16 +79,9 @@ def ring_attention(
             "bhqk,bhkd->bhqd", p.astype(cdt), vc,
             preferred_element_type=jnp.float32,
         )
-        if s > 1:
+        m = m_new
+        if i + 1 < s:
             kc, vc, mc = jax.lax.ppermute((kc, vc, mc), axis_name, ring)
-        return (acc, m_new, l, kc, vc, mc), None
-
-    acc0 = jnp.zeros((B, H, Nl, dh), jnp.float32)
-    m0 = jnp.full((B, H, Nl, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((B, H, Nl, 1), jnp.float32)
-    (acc, _, l, _, _, _), _ = jax.lax.scan(
-        step, (acc0, m0, l0, k, v, mask), None, length=s
-    )
     return (acc / l).astype(cdt)
 
 

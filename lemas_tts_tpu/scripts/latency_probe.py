@@ -22,13 +22,12 @@ import numpy as np
 
 
 def _percentiles(xs):
-    xs = sorted(xs)
+    # the engine's nearest-rank formula — this probe prints its own table AND
+    # the engine's /stats table on the last line; two different rank formulas
+    # would read as a measurement discrepancy
+    from lemas_tts_tpu.serve.engine import ServingEngine
 
-    def pct(p):
-        return xs[min(len(xs) - 1, int(p / 100.0 * len(xs)))]
-
-    return dict(count=len(xs), p50=pct(50), p90=pct(90), p99=pct(99),
-                max=xs[-1])
+    return ServingEngine._percentiles(xs)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -135,10 +134,15 @@ def main() -> int:
                 print(f"[latency] shed (queue-full 503): {shed}")
         wall = time.time() - t_start
 
-        pct = _percentiles([x * 1000.0 for x in lat])
-        print(f"[latency] latency ms: p50={pct['p50']:.0f} "
-              f"p90={pct['p90']:.0f} p99={pct['p99']:.0f} "
-              f"max={pct['max']:.0f} (n={pct['count']})")
+        if not lat:
+            # every open-loop request shed, or --requests 0: there is no
+            # latency table, but the shed count above already told the story
+            print("[latency] no completed requests — nothing to report")
+        else:
+            pct = _percentiles(lat)  # seconds in, *_ms out (engine formula)
+            print(f"[latency] latency ms: p50={pct['p50_ms']:.0f} "
+                  f"p90={pct['p90_ms']:.0f} p99={pct['p99_ms']:.0f} "
+                  f"max={pct['max_ms']:.0f} (n={pct['count']})")
         print(f"[latency] aggregate: {sum(audio_s):.1f}s audio in "
               f"{wall:.1f}s = {sum(audio_s) / max(wall, 1e-9):.1f}x RT")
         print(f"[latency] engine stats: {eng.stats()['latency']}")

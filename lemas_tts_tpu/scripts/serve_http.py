@@ -138,6 +138,12 @@ def _request_cfg(base, payload: dict):
                     raise ValueError(f"{key!r} must be in [{lo}, {hi}]")
                 if cast is float:
                     v = round(v, 3)
+            if field_name in over and over[field_name] != v:
+                # aliases (nfe_step/nfe_steps) disagreeing would silently
+                # resolve by dict order — reject instead
+                raise ValueError(
+                    f"conflicting values for {field_name!r} aliases"
+                )
             over[field_name] = v
     return dataclasses.replace(base, **over) if over else None
 
@@ -199,9 +205,14 @@ def make_handler(tts, engine, max_streams: int = 2):
             gen_units = [tts.prepare_units(c) for c in chunks]
             ref_units = tts.prepare_units(ref_text)
 
+            cfg = _request_cfg(engine.cfg, payload) or engine.cfg
+            # streams bypass the batcher, but NOT the engine's cap on
+            # distinct sampler settings — each combination pins compiled
+            # programs for life (RuntimeError → 503 below)
+            engine.register_cfg(cfg)
             stream = tts.synth.synthesize_stream(
                 ref_wav, ref_sr, ref_units, gen_units,
-                cfg=_request_cfg(engine.cfg, payload) or engine.cfg,
+                cfg=cfg,
                 seed=payload.get("seed"),
                 chunk_batch=max(1, int(payload.get("chunk_batch", 2))),
             )
@@ -244,6 +255,12 @@ def make_handler(tts, engine, max_streams: int = 2):
                     self._stream_tts(payload)
                 except (BrokenPipeError, ConnectionResetError):
                     self.close_connection = True  # client hung up mid-stream
+                except RuntimeError as e:
+                    if self._stream_headers_sent:
+                        engine.log.log("stream_aborted", error=str(e))
+                        self.close_connection = True
+                    else:  # settings cap / capacity → backpressure status
+                        self._reply_json(503, {"error": str(e)})
                 except Exception as e:
                     if self._stream_headers_sent:
                         # mid-body failure: a second status line would corrupt

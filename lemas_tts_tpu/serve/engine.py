@@ -81,23 +81,18 @@ class ServingEngine:
         self._worker.start()
 
     # ------------------------------------------------------------ client API
-    def _estimate_bucket(self, req: TTSRequest) -> int:
-        """Composite batch key: (sampler-settings id, duration bucket) packed
-        into one int for the native batcher. The duration estimate is the
-        synthesizer's own (``Synthesizer.estimate_bucket`` — single source of
-        truth with the synthesis paths), so the grouped requests really do
-        compile to one program shape."""
-        cfg = req.cfg or self.cfg
-        dur_bucket = self.synth.estimate_bucket(
-            req.ref_wav, req.ref_sr, req.ref_units, req.gen_units, cfg
-        )
+    def register_cfg(self, cfg: SamplerConfig) -> int:
+        """Settings-id for composite bucketing, enforcing the per-lifetime cap
+        on distinct sampler settings: each combination pins jitted programs
+        for life (one per shape bucket, ~10 s compile each on TPU), so a
+        client sweeping settings must not mint compiles without bound.
+        EVERY per-request-settings path must pass through here — including
+        ones that bypass the batcher (``serve_http`` streams) — or it
+        reopens the compile-DoS this cap closes. RuntimeError → 503 at the
+        HTTP layer."""
         with self._lock:
             cfg_id = self._cfg_ids.get(cfg)
             if cfg_id is None:
-                # each distinct settings tuple pins jitted programs for life
-                # (one per shape bucket, ~10 s compile each on TPU) — cap the
-                # set so a client sweeping settings can't leak compiles
-                # without bound; RuntimeError → 503 at the HTTP layer
                 if len(self._cfg_ids) >= _MAX_CFG_IDS:
                     raise RuntimeError(
                         f"too many distinct sampler settings "
@@ -105,6 +100,20 @@ class ServingEngine:
                     )
                 cfg_id = len(self._cfg_ids)
                 self._cfg_ids[cfg] = cfg_id
+        return cfg_id
+
+    def _estimate_bucket(self, req: TTSRequest) -> "tuple[int, int]":
+        """Composite batch key: (sampler-settings id, duration bucket) packed
+        into one int for the native batcher, plus the raw duration bucket
+        (the batcher's cost unit). The duration estimate is the synthesizer's
+        own (``Synthesizer.estimate_bucket`` — single source of truth with
+        the synthesis paths), so the grouped requests really do compile to
+        one program shape."""
+        cfg = req.cfg or self.cfg
+        dur_bucket = self.synth.estimate_bucket(
+            req.ref_wav, req.ref_sr, req.ref_units, req.gen_units, cfg
+        )
+        cfg_id = self.register_cfg(cfg)
         return cfg_id * _BUCKET_STRIDE + dur_bucket, dur_bucket
 
     def submit(self, req: TTSRequest) -> Future:

@@ -332,7 +332,10 @@ class TextNorm:
         for seg in re.split(r"(#\d)", norm):
             if not seg:
                 continue
-            parts += [seg] if seg[0] == "#" else list(seg)
+            # only an exact #n capture is a pause token; a segment that merely
+            # STARTS with '#' (e.g. "#winning") is ordinary text and must
+            # split into chars, not become one out-of-vocab glued token
+            parts += [seg] if re.fullmatch(r"#\d", seg) else list(seg)
         return "|".join([f"({lang})"] + parts)
 
     def text2norm(self, sentence: str, lang: Optional[str] = None) -> Tuple[str, str]:

@@ -48,6 +48,20 @@ def test_txt2pin_phns_format():
     assert "_|_" not in out
 
 
+def test_text2phn_char_hash_is_not_a_pause():
+    """Only exact #n captures are pause tokens — text that merely starts
+    with '#' must split into chars, not one glued out-of-vocab token."""
+    tn = TextNorm(dtype="char")
+    out = tn.text2phn("#winning today", lang="en")
+    parts = out.split("|")
+    assert parts[0] == "(en)"
+    assert "#" in parts and "w" in parts  # split to chars, incl. the '#'
+    assert not any(len(p) > 1 and p.startswith("#") for p in parts)
+    # a real pause marker still survives as one token
+    out2 = tn.text2phn("hi #2 there", lang="en")
+    assert "#2" in out2.split("|")
+
+
 def test_text2phn_chinese_char_fallback():
     tn = TextNorm(dtype="char")
     out = tn.text2phn("你好。")

@@ -144,3 +144,30 @@ def test_vmem_nhd_kv_chunked_matches_one_shot():
                                  interpret=True, block_q=128, block_kv=bkv)
         np.testing.assert_allclose(np.asarray(got), np.asarray(base),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_vmem_nhd_kv_chunked_guards():
+    """(a) A row whose keys are ALL masked must come out finite under
+    chunking (the accumulator underflows to l=0 — clamped, not NaN).
+    (b) A block_kv that does not divide N is rejected loudly instead of
+    silently dropping the trailing keys."""
+    import pytest
+
+    from lemas_tts_tpu.ops.attention import vmem_attention_nhd
+    from lemas_tts_tpu.ops.rope import rope_angles
+
+    rng = np.random.default_rng(12)
+    B, N, heads, D = 2, 256, 2, 64
+    mk = lambda: jnp.asarray(rng.standard_normal((B, N, heads * D)),
+                             jnp.float32)
+    q, k, v = mk(), mk(), mk()
+    angles = rope_angles(N, D)
+    mask = np.ones((B, N), bool)
+    mask[1] = False  # fully masked batch row
+    out = vmem_attention_nhd(q, k, v, jnp.asarray(mask), angles, heads=heads,
+                             interpret=True, block_q=128, block_kv=128)
+    assert np.isfinite(np.asarray(out)).all()
+
+    with pytest.raises(AssertionError):
+        vmem_attention_nhd(q, k, v, None, angles, heads=heads,
+                           interpret=True, block_q=128, block_kv=96)

@@ -90,6 +90,41 @@ def _ref_b64(sr=8000):
     return base64.b64encode(buf.getvalue()).decode()
 
 
+def test_request_cfg_alias_conflict_rejected():
+    """nfe_step/nfe_steps disagreeing must raise (→ 400), not silently
+    resolve by dict order; agreeing aliases are fine."""
+    from lemas_tts_tpu.config import SamplerConfig
+
+    base = SamplerConfig()
+    with pytest.raises(ValueError, match="alias"):
+        serve_http._request_cfg(base, {"nfe_step": 4, "nfe_steps": 64})
+    cfg = serve_http._request_cfg(base, {"nfe_step": 8, "nfe_steps": 8})
+    assert cfg.nfe_steps == 8
+
+
+def test_engine_register_cfg_caps_distinct_settings(tiny_tts):
+    """Every per-request-settings path (incl. /tts_stream, which bypasses
+    the batcher) goes through register_cfg — the compile-DoS cap."""
+    import dataclasses
+
+    from lemas_tts_tpu.config import SamplerConfig
+    from lemas_tts_tpu.serve import engine as eng_mod
+    from lemas_tts_tpu.serve.engine import ServingEngine
+
+    base = SamplerConfig(nfe_steps=2, cfg_strength=1.0)
+    eng = ServingEngine(tiny_tts.synth, cfg=base, max_batch=1)
+    try:
+        for i in range(eng_mod._MAX_CFG_IDS - 1):
+            eng.register_cfg(dataclasses.replace(
+                base, cfg_strength=1.0 + 0.001 * (i + 1)))
+        with pytest.raises(RuntimeError, match="distinct sampler settings"):
+            eng.register_cfg(dataclasses.replace(base, cfg_strength=9.9))
+        # already-registered settings stay accepted at the cap
+        assert eng.register_cfg(base) == 0
+    finally:
+        eng.shutdown()
+
+
 def test_cfg_cutoff_flag_resolution():
     """--cfg_cutoff default → SERVING_CFG_CUTOFF; 0 → exact full CFG;
     explicit value → itself."""

@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vocab", default="", help="vocab.txt (blank: byte tokenizer)")
     p.add_argument("--nfe", type=int, default=32)
     p.add_argument("--cfg_strength", type=float, default=2.0)
+    p.add_argument("--cfg_cutoff", type=float, default=-1.0,
+                   help="CFG truncation; <0 = serving default "
+                        "(config.SERVING_CFG_CUTOFF), 0 = exact full CFG")
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--qps", type=float, default=0.0,
                    help="open-loop arrival rate; 0 = closed loop (B=1 floor)")
@@ -71,7 +74,12 @@ def main() -> int:
     ]
     gen_units = [tts.prepare_units(s) for s in texts]
 
-    cfg = SamplerConfig(nfe_steps=args.nfe, cfg_strength=args.cfg_strength)
+    from lemas_tts_tpu.config import SERVING_CFG_CUTOFF
+
+    cutoff = SERVING_CFG_CUTOFF if args.cfg_cutoff < 0 else (args.cfg_cutoff
+                                                             or None)
+    cfg = SamplerConfig(nfe_steps=args.nfe, cfg_strength=args.cfg_strength,
+                        cfg_cutoff=cutoff)
     eng = ServingEngine(tts.synth, cfg=cfg, max_batch=args.max_batch)
 
     def make_req(i):

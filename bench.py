@@ -7,10 +7,10 @@ Measures the full generation path — jitted Euler/CFG sampler (2×22
 transformer blocks per step, fused Pallas VMEM attention) + batched masked
 Vocos decode — on randomly initialized flagship weights (RTF is
 weight-independent). Default batch is 8, the serving engine's measured
-sweet spot (serve/engine.py max_batch; on v5e after the round-2 long-N
-kernel fixes: B=1 → 29.7, B=8 → 37.9, B=16 → 38.9 audio-s/s per chip — the
-old B=4 optimum moved after the fused-kernel layout fix and the istft
-fold), so the headline is per-chip serving throughput. The host has one
+sweet spot (serve/engine.py max_batch; on v5e at the serving defaults incl.
+cfg_cutoff=0.5: B=1 → 33.1, B=8 → 43.4, B=16 → 44.7 audio-s/s per chip;
+29.7/37.7/38.9 at exact full CFG), so the headline is per-chip serving
+throughput. The host has one
 CPU: run the bench strictly alone or dispatch contention skews it.
 Set LEMAS_BENCH_BATCH=1 for single-stream RTF. Timing forces device
 completion by fetching a scalar reduction of the waveform; fetching the

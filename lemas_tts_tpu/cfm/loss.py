@@ -92,6 +92,9 @@ def cfm_training_loss(
     vocab_size: Optional[int] = None,
     prosody_params: Optional[Dict[str, Any]] = None,  # {"kernel","bias"} 512→D
     prosody_dropout: float = 0.2,
+    apply_fn: Optional[Any] = None,  # override for dit_model.apply (same
+    # signature) — used by parallel/pipeline.py to route the forward through
+    # the microbatch pipeline while keeping the loss math identical
 ):
     mel = batch["mel"]  # [B, T, D]
     lens = batch["mel_lengths"]
@@ -144,7 +147,7 @@ def cfm_training_loss(
     # behavior parity; flip the order if training prosody models from scratch.
     cond_grl = grad_reverse(cond, 1.0)
 
-    pred = dit_model.apply(
+    pred = (apply_fn or dit_model.apply)(
         dit_params, phi, cond_grl, text, time, mask,
         drop_audio_cond=drop_audio_cond, drop_text=drop_text,
         prosody_text=prosody_text_cond,

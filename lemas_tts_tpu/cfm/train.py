@@ -36,17 +36,20 @@ class TrainState:
     ema_params: Any = None  # EMA of params["dit"] (ckpt `ema_model.*` parity)
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    schedule = optax.join_schedules(
+def make_schedule(cfg: TrainConfig) -> optax.Schedule:
+    return optax.join_schedules(
         [
             optax.linear_schedule(0.0, cfg.learning_rate, cfg.num_warmup_updates),
             optax.constant_schedule(cfg.learning_rate),
         ],
         [cfg.num_warmup_updates],
     )
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(schedule),
+        optax.adamw(make_schedule(cfg)),
     )
 
 

@@ -192,19 +192,22 @@ class DiT(nn.Module):
         reused across all ODE steps (design note in module docstring)."""
         return self.text_embed(text_ids, seq_len, drop_text=drop_text)
 
-    def __call__(
+    def embed_inputs(
         self,
-        x: jax.Array,  # [B, N, mel_dim] noised input
-        cond: jax.Array,  # [B, N, mel_dim] masked cond mel
-        text_ids: Optional[jax.Array],  # [B, nt] (-1 padded), or None
-        time: jax.Array,  # [B] or scalar
-        mask: Optional[jax.Array] = None,  # [B, N]
+        x: jax.Array,
+        cond: jax.Array,
+        text_ids: Optional[jax.Array],
+        time: jax.Array,
+        mask: Optional[jax.Array] = None,
         drop_audio_cond: bool = False,
         drop_text: bool = False,
-        text_embed: Optional[jax.Array] = None,  # precomputed [B, N, text_dim]
-        prosody_text: Optional[jax.Array] = None,  # [B, T_text, 512]
-        deterministic: bool = True,  # False = training (arch.dropout active)
-    ) -> jax.Array:
+        text_embed: Optional[jax.Array] = None,
+        prosody_text: Optional[jax.Array] = None,
+    ):
+        """Everything of ``__call__`` up to (not including) the block stack:
+        returns ``(h, t_emb, rope)``. Split out so the pipeline-parallel
+        executor (``parallel/pipeline.py``) can run the embed replicated per
+        stage and drive the blocks itself."""
         B, N, _ = x.shape
         if time.ndim == 0:
             time = jnp.broadcast_to(time, (B,))
@@ -243,11 +246,35 @@ class DiT(nn.Module):
             )
         else:
             rope = rope_angles(N, self.arch.dim_head)
-        if self.arch.long_skip_connection:
-            residual = h
-        h, _ = self.blocks(h, t_emb, mask, rope, deterministic)
+        return h, t_emb, rope
+
+    def head(self, h: jax.Array, residual: Optional[jax.Array],
+             t_emb: jax.Array) -> jax.Array:
+        """Post-block output path: optional long-skip, final AdaLN, mel
+        projection (the tail of ``__call__``)."""
         if self.arch.long_skip_connection:
             h = self.long_skip(jnp.concatenate([h, residual], axis=-1))
-
         h = self.norm_out(h, t_emb)
         return self.proj_out(h).astype(jnp.float32)
+
+    def __call__(
+        self,
+        x: jax.Array,  # [B, N, mel_dim] noised input
+        cond: jax.Array,  # [B, N, mel_dim] masked cond mel
+        text_ids: Optional[jax.Array],  # [B, nt] (-1 padded), or None
+        time: jax.Array,  # [B] or scalar
+        mask: Optional[jax.Array] = None,  # [B, N]
+        drop_audio_cond: bool = False,
+        drop_text: bool = False,
+        text_embed: Optional[jax.Array] = None,  # precomputed [B, N, text_dim]
+        prosody_text: Optional[jax.Array] = None,  # [B, T_text, 512]
+        deterministic: bool = True,  # False = training (arch.dropout active)
+    ) -> jax.Array:
+        h, t_emb, rope = self.embed_inputs(
+            x, cond, text_ids, time, mask=mask,
+            drop_audio_cond=drop_audio_cond, drop_text=drop_text,
+            text_embed=text_embed, prosody_text=prosody_text,
+        )
+        residual = h if self.arch.long_skip_connection else None
+        h, _ = self.blocks(h, t_emb, mask, rope, deterministic)
+        return self.head(h, residual, t_emb)

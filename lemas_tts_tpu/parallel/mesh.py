@@ -103,16 +103,16 @@ def shard_pytree(tree: Any, mesh: Mesh, specs: Any) -> Any:
     )
 
 
-def shard_opt_state(opt_state: Any, mesh: Mesh, param_pspecs: Any) -> Any:
-    """Shard an optax state: param-structured subtrees (adam moments, …) get
-    the SAME PartitionSpecs as the params — they are 2× model size, and
-    replicating them would OOM exactly when tensor parallelism is needed.
-    Optax states are nested (named)tuples whose param-shaped subtrees are
-    detected by treedef; scalars (step counts, …) replicate."""
+def opt_state_pspecs(opt_state: Any, param_pspecs: Any) -> Any:
+    """PartitionSpec pytree for an optax state: param-structured subtrees
+    (adam moments, …) get the SAME PartitionSpecs as the params — they are
+    2× model size, and replicating them would OOM exactly when tensor
+    parallelism is needed. Optax states are nested (named)tuples whose
+    param-shaped subtrees are detected by treedef; scalars (step counts, …)
+    replicate."""
     param_def = jax.tree_util.tree_structure(
         jax.tree_util.tree_map(lambda _: 0, param_pspecs)
     )
-    replicated = NamedSharding(mesh, P())
 
     def go(node):
         if (
@@ -121,14 +121,20 @@ def shard_opt_state(opt_state: Any, mesh: Mesh, param_pspecs: Any) -> Any:
             )
             == param_def
         ):
-            return shard_pytree(node, mesh, param_pspecs)
+            return param_pspecs
         if isinstance(node, tuple):  # optax chain / namedtuple states
             children = [go(c) for c in node]
             return (type(node)(*children) if hasattr(node, "_fields")
                     else type(node)(children))
-        return jax.device_put(node, replicated)
+        return jax.tree_util.tree_map(lambda _: P(), node)
 
     return go(opt_state)
+
+
+def shard_opt_state(opt_state: Any, mesh: Mesh, param_pspecs: Any) -> Any:
+    """Place an optax state onto the mesh (specs from `opt_state_pspecs`)."""
+    return shard_pytree(opt_state, mesh,
+                        opt_state_pspecs(opt_state, param_pspecs))
 
 
 def data_parallel_sampler(sampler_fn, mesh: Mesh):

@@ -1,0 +1,440 @@
+"""Pipeline parallelism: GPipe-style microbatch pipeline over the DiT blocks.
+
+The reference has no distributed runtime at all (SURVEY.md §2.3), so — like
+tensor and sequence parallelism (``parallel/mesh.py``, ``parallel/sequence.py``)
+— this axis is designed TPU-first rather than translated. It completes the
+parallelism matrix: DP (`data`), TP (`model`), SP (`seq`), and now PP
+(`pipe`); the model family has no MoE, so EP is structurally N/A.
+
+Design (everything inside one ``shard_map`` over a ``('data','pipe')`` mesh):
+
+ - The 22 identical DiT blocks are already *stacked* along a leading depth
+   axis by ``nn.scan`` — pipeline sharding is literally a ``P('pipe')`` on
+   that axis: each stage holds ``depth / pipe`` consecutive blocks, no
+   re-layout, no per-stage parameter surgery.
+ - Embeddings / final head are replicated and computed redundantly per stage
+   (they are <2% of step FLOPs); only the block stack is pipelined.
+ - Circular schedule: ``M`` microbatches flow through ``M + P − 1`` ticks of
+   a ``lax.scan``; each tick every stage applies its block shard and
+   ``ppermute``s its activation to the next stage over the ICI ring. Stage 0
+   injects microbatches, the last stage collects them. Bubble fraction is the
+   standard ``(P−1)/(M+P−1)``.
+ - Backward is plain autodiff: ``ppermute`` transposes to the reverse
+   ``ppermute``, so the cotangents flow back around the ring in the mirrored
+   schedule — no hand-written backward pass.
+ - Gradient combination is explicit (grad-inside-shard_map): the scalar loss
+   is masked to the last stage, so each parameter's gradient materializes on
+   exactly the stage(s) that used it — stage-local for block shards,
+   single-stage for embed/head — making ``psum('pipe')`` for replicated
+   params + ``pmean('data')`` for everything the exact global gradient.
+
+Composable with data parallelism on the same mesh; the tensor-parallel
+(`model`) axis is a separate tool (GSPMD pspecs) and does not compose with
+the pipe axis in this implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lemas_tts_tpu.cfm.loss import cfm_training_loss
+from lemas_tts_tpu.cfm.train import TrainState, Trainer, make_schedule
+from lemas_tts_tpu.config import TrainConfig
+from lemas_tts_tpu.models.dit import DiT, _ScanBlock
+from lemas_tts_tpu.parallel.mesh import opt_state_pspecs, shard_pytree
+
+
+def make_pipe_mesh(
+    n_devices: Optional[int] = None, pipe_parallel: int = 2, devices=None
+) -> Mesh:
+    """('data','pipe') mesh: batch shards over 'data', DiT block stages over
+    'pipe'. The pipe ring rides the minor (fastest) ICI axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    assert n_devices % pipe_parallel == 0, (n_devices, pipe_parallel)
+    grid = np.asarray(devices[:n_devices]).reshape(
+        n_devices // pipe_parallel, pipe_parallel
+    )
+    return Mesh(grid, axis_names=("data", "pipe"))
+
+
+def _shard_map():
+    try:  # jax ≥ 0.8 (check_vma replaces check_rep)
+        from jax import shard_map as _sm
+
+        def sm(f, mesh, in_specs, out_specs):
+            return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                       check_vma=False)
+
+        return sm
+    except ImportError:  # pragma: no cover - older jax
+        from functools import partial as _p
+
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _p(_sm, check_rep=False)
+
+
+def _block_stack(model: DiT, length: int):
+    """A standalone nn.scan block stack matching the DiT's own scan config,
+    applied to a per-stage slice of the stacked block params."""
+    block_cls = _ScanBlock
+    if model.arch.checkpoint_activations:
+        block_cls = nn.remat(block_cls, static_argnums=())
+    return nn.scan(
+        block_cls,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+        length=length,
+        unroll=model.scan_unroll,
+    )(arch=model.arch, attn_backend=model.attn_backend,
+      compute_dtype=model.compute_dtype, quant=model.quant,
+      seq_axis=model.seq_axis)
+
+
+def pipe_param_pspecs(params: Any, pipe_axis: str = "pipe") -> Any:
+    """Blocks (stacked depth axis) shard over 'pipe'; everything else
+    replicates."""
+
+    def rule(path, leaf):
+        names = [getattr(p, "key", getattr(p, "idx", p)) for p in path]
+        if "blocks" in names:
+            return P(*([pipe_axis] + [None] * (leaf.ndim - 1)))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def pipeline_forward_local(
+    model: DiT,
+    stack: Any,
+    pipe_size: int,
+    num_microbatches: int,
+    pipe_axis: str,
+    variables: Any,  # full DiT variables; ["params"]["blocks"] = stage shard
+    x: jax.Array,
+    cond: jax.Array,
+    text_ids: Optional[jax.Array],
+    time: jax.Array,
+    mask: Optional[jax.Array] = None,
+    *,
+    drop_audio_cond: bool = False,
+    drop_text: bool = False,
+    prosody_text: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+    remat: bool = True,
+):
+    """Device-local pipelined DiT forward (call inside shard_map).
+
+    Returns pred on the LAST stage and zeros elsewhere — callers either mask
+    their loss to the last stage (training) or ``psum`` over 'pipe' to
+    broadcast (inference). The zeros keep every garbage/bubble path NaN-free
+    through autodiff.
+    """
+    Pp, M = pipe_size, num_microbatches
+    stage = jax.lax.axis_index(pipe_axis)
+    is_last = stage == Pp - 1
+
+    h, t_emb, rope = model.apply(
+        variables, x, cond, text_ids, time,
+        drop_audio_cond=drop_audio_cond, drop_text=drop_text,
+        prosody_text=prosody_text, method=DiT.embed_inputs,
+    )
+    residual = h if model.arch.long_skip_connection else None
+
+    B = h.shape[0]
+    assert B % M == 0, (B, M)
+
+    def mb(a):
+        return a.reshape(M, B // M, *a.shape[1:])
+
+    h_mb, t_mb = mb(h), mb(t_emb)
+    mask_mb = None if mask is None else mb(mask)
+    perm = [(p, (p + 1) % Pp) for p in range(Pp)]
+    block_vars = {"params": variables["params"]["blocks"]}
+    base_key = None if rngs is None else rngs.get("dropout")
+
+    def apply_stage(xb, tb, mkb, key):
+        r = None if key is None else {"dropout": key}
+        out, _ = stack.apply(block_vars, xb, tb, mkb, rope, deterministic,
+                             rngs=r)
+        return out
+
+    if remat:
+        apply_stage = jax.checkpoint(apply_stage)
+
+    def tick(buf, i):
+        inj = jnp.where(stage == 0, h_mb[jnp.clip(i, 0, M - 1)], buf)
+        mb_i = jnp.clip(i - stage, 0, M - 1)  # microbatch at this stage now
+        tb = t_mb[mb_i]
+        mkb = None if mask_mb is None else mask_mb[mb_i]
+        key = (None if base_key is None
+               else jax.random.fold_in(jax.random.fold_in(base_key, i), stage))
+        out = apply_stage(inj, tb, mkb, key)
+        return jax.lax.ppermute(out, pipe_axis, perm), out
+
+    _, outs = jax.lax.scan(tick, jnp.zeros_like(h_mb[0]),
+                           jnp.arange(M + Pp - 1))
+    # last stage's outputs at ticks P−1 … M+P−2 are microbatches 0 … M−1;
+    # zero every other stage so downstream garbage math stays finite and the
+    # masked-loss backward never multiplies a NaN
+    sel = jnp.where(is_last, outs[Pp - 1:], 0.0)
+    h_out = sel.reshape(B, *sel.shape[2:])
+    pred = model.apply(variables, h_out, residual, t_emb, method=DiT.head)
+    return jnp.where(is_last, pred, 0.0)
+
+
+def pipeline_dit_forward(
+    model: DiT,
+    mesh: Mesh,
+    num_microbatches: Optional[int] = None,
+    data_axis: str = "data",
+    pipe_axis: str = "pipe",
+):
+    """Jitted pipelined DiT forward over a ('data','pipe') mesh:
+    ``fn(variables, x, cond, text_ids, time, mask) -> pred`` with the output
+    broadcast back to every stage. Used for inference-style runs and parity
+    tests; training goes through :class:`PipelinedTrainer`."""
+    Pp = mesh.shape[pipe_axis]
+    assert model.arch.depth % Pp == 0, (model.arch.depth, Pp)
+    M = num_microbatches or Pp
+    stack = _block_stack(model, model.arch.depth // Pp)
+    shard_map = _shard_map()
+
+    def local(variables, x, cond, text_ids, time, mask):
+        pred = pipeline_forward_local(
+            model, stack, Pp, M, pipe_axis,
+            variables, x, cond, text_ids, time, mask,
+        )
+        return jax.lax.psum(pred, pipe_axis)  # broadcast from the last stage
+
+    d3 = P(data_axis, None, None)
+    d2 = P(data_axis, None)
+    d1 = P(data_axis)
+    cache: dict = {}
+
+    def fn(variables, x, cond, text_ids, time, mask):
+        specs = pipe_param_pspecs(variables, pipe_axis)
+        if "run" not in cache:
+            cache["run"] = jax.jit(shard_map(
+                local, mesh=mesh,
+                in_specs=(specs, d3, d3, d2, d1, d2),
+                out_specs=d3,
+            ))
+        variables = shard_pytree(variables, mesh, specs)
+        return cache["run"](variables, x, cond, text_ids, time, mask)
+
+    return fn
+
+
+def _tree_sq_norm(tree) -> jax.Array:
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves:
+        return jnp.zeros((), jnp.float32)
+    return sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves)
+
+
+class PipelinedTrainer(Trainer):
+    """Trainer whose step runs the DiT forward/backward through the microbatch
+    pipeline. Same public interface as :class:`Trainer` (init_state /
+    train_step / shard_state); requires a ('data','pipe') mesh from
+    :func:`make_pipe_mesh` and ``depth % pipe == 0``."""
+
+    def __init__(
+        self,
+        dit_model: DiT,
+        vocab_size: int,
+        mel_dim: int = 100,
+        cfg: TrainConfig = TrainConfig(),
+        use_ctc: bool = True,
+        mesh: Optional[Mesh] = None,
+        use_prosody: bool = False,
+        num_microbatches: Optional[int] = None,
+        data_axis: str = "data",
+        pipe_axis: str = "pipe",
+        remat: bool = True,
+    ):
+        assert mesh is not None and pipe_axis in mesh.axis_names, (
+            "PipelinedTrainer needs a ('data','pipe') mesh (make_pipe_mesh)"
+        )
+        super().__init__(dit_model, vocab_size, mel_dim=mel_dim, cfg=cfg,
+                         use_ctc=use_ctc, mesh=mesh, use_prosody=use_prosody)
+        self.pipe_axis = pipe_axis
+        self.data_axis = data_axis
+        self.pipe_size = mesh.shape[pipe_axis]
+        assert dit_model.arch.depth % self.pipe_size == 0, (
+            dit_model.arch.depth, self.pipe_size)
+        self.num_microbatches = num_microbatches or self.pipe_size
+        self.remat = remat
+        self._stack = _block_stack(dit_model, dit_model.arch.depth // self.pipe_size)
+        # manual global-norm clip inside the step (the clip must psum the
+        # stage-local block-gradient norms over 'pipe'); adamw alone here
+        self.optimizer = optax.adamw(make_schedule(cfg))
+
+    # ------------------------------------------------------------ sharding
+    def param_pspecs(self, params: Any) -> Any:
+        specs = {"dit": pipe_param_pspecs(params["dit"], self.pipe_axis)}
+        for k in params:
+            if k != "dit":
+                specs[k] = jax.tree_util.tree_map(lambda _: P(), params[k])
+        return specs
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        pspecs = self.param_pspecs(state.params)
+        params = shard_pytree(state.params, self.mesh, pspecs)
+        opt_state = shard_pytree(
+            state.opt_state, self.mesh,
+            opt_state_pspecs(state.opt_state, pspecs))
+        ema = (
+            None if state.ema_params is None
+            else shard_pytree(state.ema_params, self.mesh,
+                              pipe_param_pspecs(state.ema_params,
+                                                self.pipe_axis))
+        )
+        return TrainState(step=state.step, params=params, opt_state=opt_state,
+                          ema_params=ema)
+
+    def _state_specs(self, state: TrainState) -> TrainState:
+        pspecs = self.param_pspecs(state.params)
+        ema_specs = (None if state.ema_params is None
+                     else pipe_param_pspecs(state.ema_params, self.pipe_axis))
+        return TrainState(
+            step=P(), params=pspecs,
+            opt_state=opt_state_pspecs(state.opt_state, pspecs),
+            ema_params=ema_specs,
+        )
+
+    # ---------------------------------------------------------------- step
+    def _build_pipe_step(self, drop_audio: bool, drop_text: bool,
+                         state_specs: TrainState, batch_specs: Any):
+        mesh, Pp, M = self.mesh, self.pipe_size, self.num_microbatches
+        pipe_axis, data_axis = self.pipe_axis, self.data_axis
+        model, stack = self.dit_model, self._stack
+        remat = self.remat
+        max_norm = self.cfg.max_grad_norm
+        shard_map = _shard_map()
+
+        def apply_fn(dit_params, phi, cond, text, time, mask,
+                     drop_audio_cond=False, drop_text=False,
+                     prosody_text=None, deterministic=True, rngs=None):
+            return pipeline_forward_local(
+                model, stack, Pp, M, pipe_axis,
+                dit_params, phi, cond, text, time, mask,
+                drop_audio_cond=drop_audio_cond, drop_text=drop_text,
+                prosody_text=prosody_text, deterministic=deterministic,
+                rngs=rngs, remat=remat,
+            )
+
+        def local_loss(params, batch, rng):
+            aux_params = {k: params[k] for k in params
+                          if k not in ("dit", "prosody_to_mel")}
+            total, metrics = cfm_training_loss(
+                model, params["dit"], self.aux_models, aux_params, batch, rng,
+                frac_lengths_mask=self.cfg.frac_lengths_mask,
+                drop_audio_cond=drop_audio, drop_text=drop_text,
+                vocab_size=self.vocab_size if "ctc" in self.aux_models else None,
+                prosody_params=params.get("prosody_to_mel"),
+                apply_fn=apply_fn,
+            )
+            # pred is zeros on every stage but the last (pipeline_forward_
+            # local), so only the last stage's loss is the real one — mask the
+            # scalar so each param's cotangent materializes exactly on the
+            # stage(s) that used it, making the explicit psum/pmean below the
+            # exact global gradient
+            is_last = jax.lax.axis_index(pipe_axis) == Pp - 1
+            total = jnp.where(is_last, total, 0.0)
+            metrics = {k: jnp.where(is_last, v, 0.0)
+                       for k, v in metrics.items()}
+            return total, metrics
+
+        # True at leaves whose spec names the pipe axis (the block shards)
+        is_block = jax.tree_util.tree_map(
+            lambda s: pipe_axis in tuple(s), state_specs.params)
+
+        def local_step(state: TrainState, batch, rng):
+            # identical randomness across the pipe stages of one data shard
+            # (each stage recomputes the same φ/x0/span masks); distinct per
+            # data shard
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+            (_, metrics), grads = jax.value_and_grad(
+                local_loss, has_aux=True)(state.params, batch, rng)
+
+            def combine(g, blk):
+                g = g if blk else jax.lax.psum(g, pipe_axis)
+                return jax.lax.pmean(g, data_axis)
+
+            grads = jax.tree_util.tree_map(combine, grads, is_block)
+            metrics = {k: jax.lax.pmean(jax.lax.psum(v, pipe_axis), data_axis)
+                       for k, v in metrics.items()}
+
+            # global-norm clip: block-shard norms live per stage → psum
+            blocks_sq = _tree_sq_norm(
+                jax.tree_util.tree_map(lambda g, b: g if b else None,
+                                       grads, is_block))
+            rest_sq = _tree_sq_norm(
+                jax.tree_util.tree_map(lambda g, b: None if b else g,
+                                       grads, is_block))
+            gnorm = jnp.sqrt(jax.lax.psum(blocks_sq, pipe_axis) + rest_sq)
+            scale = jnp.where(gnorm > max_norm, max_norm / (gnorm + 1e-12), 1.0)
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+            updates, new_opt = self.optimizer.update(
+                grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_ema = state.ema_params
+            if new_ema is not None:
+                from lemas_tts_tpu.cfm.checkpoint import ema_update
+
+                new_ema = ema_update(new_ema, new_params["dit"],
+                                     decay=self.ema_decay)
+            new_state = TrainState(step=state.step + 1, params=new_params,
+                                   opt_state=new_opt, ema_params=new_ema)
+            return new_state, metrics
+
+        metric_specs = {k: P() for k in
+                        ("loss", "flow_loss", "accent_loss", "ctc_loss")}
+        return jax.jit(shard_map(
+            local_step, mesh=mesh,
+            in_specs=(state_specs, batch_specs, P()),
+            out_specs=(state_specs, metric_specs),
+        ), donate_argnums=(0,))
+
+    def train_step(self, state: TrainState, batch: Dict[str, jax.Array],
+                   rng: jax.Array, step_rng_host: Optional[Any] = None):
+        import random as _pyrandom
+
+        r = step_rng_host if step_rng_host is not None else _pyrandom
+        drop_audio = r.random() < self.cfg.audio_drop_prob
+        drop_text = r.random() < self.cfg.text_drop_prob
+        B = batch["mel"].shape[0]
+        d = self.mesh.shape[self.data_axis]
+        assert B % (d * self.num_microbatches) == 0, (
+            f"global batch {B} must divide into data={d} shards of "
+            f"{self.num_microbatches} microbatches")
+        key = (drop_audio, drop_text, tuple(sorted(batch.keys())))
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_pipe_step(
+                drop_audio, drop_text, self._state_specs(state),
+                batch_pspecs_axis(batch, self.data_axis))
+        batch = shard_pytree(batch, self.mesh,
+                             batch_pspecs_axis(batch, self.data_axis))
+        return self._step_cache[key](state, batch, rng)
+
+
+def batch_pspecs_axis(batch: Any, axis: str) -> Any:
+    """Leading-axis batch specs over a named axis (mesh-axis-generic
+    `mesh.batch_pspecs`)."""
+    return jax.tree_util.tree_map(
+        lambda x: P(axis) if getattr(x, "ndim", 0) >= 1 else P(), batch
+    )

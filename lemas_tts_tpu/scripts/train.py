@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=0, help="0 → epochs from config.")
     p.add_argument("--epochs", type=int, default=0, help="0 → config value.")
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--pipe_parallel", type=int, default=1,
+                   help="GPipe stages over the DiT blocks "
+                        "(parallel/pipeline.py); exclusive of "
+                        "--model_parallel > 1.")
+    p.add_argument("--microbatches", type=int, default=0,
+                   help="pipeline microbatches per step (0 → pipe degree)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_file", type=str, default="")
     p.add_argument("--log_every", type=int, default=10)
@@ -136,19 +142,36 @@ def main(argv=None) -> int:
         return 2
 
     n_dev = jax.device_count()
-    mesh = (
-        make_mesh(n_dev, model_parallel=args.model_parallel)
-        if n_dev > 1
-        else None
-    )
     dit = DiT(arch=arch, mel_dim=mel_dim, text_num_embeds=vocab.size,
               use_prosody_encoder=cfg.use_prosody_encoder)
-    trainer = Trainer(dit, vocab_size=vocab.size, mel_dim=mel_dim, cfg=tcfg,
-                      use_ctc=cfg.use_ctc_loss, mesh=mesh,
-                      use_prosody=cfg.use_prosody_encoder)
+    if args.pipe_parallel > 1:
+        assert args.model_parallel == 1, (
+            "--pipe_parallel composes with data parallelism, not "
+            "--model_parallel")
+        from lemas_tts_tpu.parallel.pipeline import (PipelinedTrainer,
+                                                     make_pipe_mesh)
+
+        mesh = make_pipe_mesh(n_dev, pipe_parallel=args.pipe_parallel)
+        microbatches = args.microbatches or args.pipe_parallel
+        trainer = PipelinedTrainer(
+            dit, vocab_size=vocab.size, mel_dim=mel_dim, cfg=tcfg,
+            use_ctc=cfg.use_ctc_loss, mesh=mesh,
+            use_prosody=cfg.use_prosody_encoder,
+            num_microbatches=microbatches)
+        batch_multiple = mesh.shape["data"] * microbatches
+    else:
+        mesh = (
+            make_mesh(n_dev, model_parallel=args.model_parallel)
+            if n_dev > 1
+            else None
+        )
+        trainer = Trainer(dit, vocab_size=vocab.size, mel_dim=mel_dim,
+                          cfg=tcfg, use_ctc=cfg.use_ctc_loss, mesh=mesh,
+                          use_prosody=cfg.use_prosody_encoder)
+        batch_multiple = mesh.shape["data"] if mesh is not None else 1
     loader = DataLoader(
         dataset, tcfg, seed=args.seed,
-        batch_multiple=(mesh.shape["data"] if mesh is not None else 1),
+        batch_multiple=batch_multiple,
     )
     mgr = CheckpointManager(args.ckpt_dir, tcfg)
 

@@ -77,6 +77,13 @@ class Trainer:
                 hidden_size=dit_model.arch.dim, vocab_size=vocab_size
             )
         self.optimizer = make_optimizer(cfg)
+        # gradient accumulation (reference config field
+        # `grad_accumulation_steps`, configs/multilingual_grl.yaml): mini-step
+        # grads average inside MultiSteps; the inner clip+adamw (and its
+        # warmup count) fire only at accumulation boundaries
+        self._accum = max(int(cfg.grad_accumulation_steps), 1)
+        if self._accum > 1:
+            self.optimizer = optax.MultiSteps(self.optimizer, self._accum)
         self.ema_decay = 0.999
         self._step_cache: Dict[tuple, Any] = {}
 
@@ -166,8 +173,16 @@ class Trainer:
             if new_ema is not None:
                 from lemas_tts_tpu.cfm.checkpoint import ema_update
 
-                new_ema = ema_update(new_ema, new_params["dit"],
-                                     decay=self.ema_decay)
+                cand = ema_update(new_ema, new_params["dit"],
+                                  decay=self.ema_decay)
+                if self._accum > 1:
+                    # decay only when the optimizer actually stepped — EMA
+                    # tracks optimizer updates, not accumulation mini-steps
+                    did = self.optimizer.has_updated(new_opt)
+                    new_ema = jax.tree_util.tree_map(
+                        lambda e, n: jnp.where(did, n, e), new_ema, cand)
+                else:
+                    new_ema = cand
             new_state = TrainState(
                 step=state.step + 1, params=new_params, opt_state=new_opt,
                 ema_params=new_ema,

@@ -278,6 +278,10 @@ class PipelinedTrainer(Trainer):
         self.num_microbatches = num_microbatches or self.pipe_size
         self.remat = remat
         self._stack = _block_stack(dit_model, dit_model.arch.depth // self.pipe_size)
+        assert cfg.grad_accumulation_steps <= 1, (
+            "gradient accumulation is not supported with pipeline "
+            "parallelism — raise num_microbatches instead (same effect: "
+            "more microbatches per optimizer step)")
         # manual global-norm clip inside the step (the clip must psum the
         # stage-local block-gradient norms over 'pipe'); adamw alone here
         self.optimizer = optax.adamw(make_schedule(cfg))

@@ -84,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "--model_parallel > 1.")
     p.add_argument("--microbatches", type=int, default=0,
                    help="pipeline microbatches per step (0 → pipe degree)")
+    p.add_argument("--grad_accum", type=int, default=0,
+                   help="gradient accumulation mini-steps per optimizer "
+                        "update (0 → config value)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_file", type=str, default="")
     p.add_argument("--log_every", type=int, default=10)
@@ -117,6 +120,9 @@ def main(argv=None) -> int:
         epochs=args.epochs or TrainConfig().epochs,
         batch_size_per_gpu=(
             2000 if args.tiny else TrainConfig().batch_size_per_gpu
+        ),
+        grad_accumulation_steps=(
+            args.grad_accum or TrainConfig().grad_accumulation_steps
         ),
     )
     if args.vocab_file:

@@ -16,7 +16,8 @@ def _tiny_trainer(tmpdir=None, **cfg_kw):
     arch = DiTArch(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2,
                    text_dim=16, conv_layers=1)
     dit = DiT(arch=arch, mel_dim=8, text_num_embeds=20)
-    cfg = TrainConfig(num_warmup_updates=2, **cfg_kw)
+    cfg_kw.setdefault("num_warmup_updates", 2)
+    cfg = TrainConfig(**cfg_kw)
     return Trainer(dit, vocab_size=20, mel_dim=8, cfg=cfg, use_ctc=False)
 
 
@@ -52,6 +53,39 @@ def test_trainer_tracks_ema():
     # warmup lr is tiny, so compare exactly: EMA moved, and lags the raw params
     assert not np.array_equal(np.asarray(ema0), np.asarray(ema2))
     assert not np.array_equal(np.asarray(ema2), np.asarray(p2))
+
+
+@pytest.mark.slow
+def test_grad_accumulation_boundaries():
+    """grad_accumulation_steps=2: params/EMA move only when the accumulated
+    optimizer update fires (mini-step boundaries), matching the reference's
+    config-field semantics (configs/multilingual_grl.yaml)."""
+    import random
+
+    # warmup 0 so the first accumulated update has a non-zero lr
+    tr = _tiny_trainer(grad_accumulation_steps=2, learning_rate=1e-3,
+                       num_warmup_updates=0)
+    batch = _batch()
+    state = tr.init_state(jax.random.key(0), batch)
+
+    def snap(s):
+        return (np.concatenate([np.asarray(l).ravel() for l in
+                                jax.tree_util.tree_leaves(s.params["dit"])]),
+                np.concatenate([np.asarray(l).ravel() for l in
+                                jax.tree_util.tree_leaves(s.ema_params)]))
+
+    p0, e0 = snap(state)
+    state, m1 = tr.train_step(state, batch, jax.random.key(1), random.Random(0))
+    p1, e1 = snap(state)
+    assert np.array_equal(p0, p1), "params must not move mid-accumulation"
+    assert np.array_equal(e0, e1), "EMA must not decay mid-accumulation"
+    assert np.isfinite(float(m1["loss"]))
+
+    state, m2 = tr.train_step(state, batch, jax.random.key(2), random.Random(1))
+    p2, e2 = snap(state)
+    assert not np.array_equal(p1, p2), "accumulated update must apply"
+    assert not np.array_equal(e1, e2), "EMA must track the applied update"
+    assert np.isfinite(float(m2["loss"]))
 
 
 @pytest.mark.slow

@@ -346,7 +346,9 @@ class TextNorm:
         if _HAN_RE.search(sentence):
             _, phones = self.txt2pinyin(sentence)
             return lang, " ".join(phones)
-        return lang, sentence
+        # collapse whitespace runs (incl. newlines/tabs) so the char frontend
+        # never emits raw control characters as tokens
+        return lang, re.sub(r"\s+", " ", sentence).strip()
 
 
 def _merge_lang_runs(txts: List[List[str]]) -> List[List[str]]:

@@ -121,3 +121,53 @@ def test_text_to_ids_bounds(text):
     ids = text_to_ids(list(text), vocab)
     assert ids.dtype == np.int32
     assert ((ids >= 0) & (ids < vocab.size)).all()
+
+
+# mixed-script alphabet: latin, digits, CJK, kana, hangul, cyrillic, arabic,
+# emoji, full-width punctuation, combining marks, control-ish whitespace
+_FUZZ_ALPHABET = (
+    "abcXYZ 0123456789.,!?;:()[]#|_-'\"\n\t"
+    "你好世界中文数字一二三两千〇"
+    "こんにちはカタカナ한국어"
+    "привет مرحبا ñüßéàç"
+    "€%$¥°½㎡"
+    "。！？，、；：「」『』（）"
+    "😀🎵👍"
+    "́​"
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet=_FUZZ_ALPHABET, min_size=0, max_size=120))
+def test_frontend_fuzz_never_crashes(text):
+    """Arbitrary mixed-script input must flow through the host text frontend
+    (normalize → phonemize → pause tokens) without exceptions, returning a
+    str whose '|'-separated tokens are well-formed (reference contract
+    frontend.py:184-223)."""
+    from lemas_tts_tpu.text.frontend import TextNorm
+
+    tn = _fuzz_frontend()
+    lang, norm = tn.text2norm(text)  # (lang, normalized), frontend.py:242-251
+    assert isinstance(lang, str) and isinstance(norm, str)
+    phn = tn.text2phn(text)
+    assert isinstance(phn, str)
+    for tok in (t for t in phn.split("|") if t):
+        # pause tokens keep the #N grammar; no raw newlines/tabs leak through
+        assert "\n" not in tok and "\t" not in tok
+        if tok.startswith("#") and len(tok) == 2:
+            assert tok[1].isdigit()
+
+
+def _fuzz_frontend():
+    from lemas_tts_tpu.text.frontend import TextNorm
+
+    global _FUZZ_TN
+    try:
+        return _FUZZ_TN
+    except NameError:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            _FUZZ_TN = TextNorm(dtype="phone", strict=False)
+        return _FUZZ_TN

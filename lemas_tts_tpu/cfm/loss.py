@@ -95,6 +95,11 @@ def cfm_training_loss(
     apply_fn: Optional[Any] = None,  # override for dit_model.apply (same
     # signature) — used by parallel/pipeline.py to route the forward through
     # the microbatch pipeline while keeping the loss math identical
+    loss_psum_axis: Optional[str] = None,  # mesh axis holding batch shards
+    # (shard_map callers): reductions (flow denom, accent mean, CTC gate)
+    # psum over it so the local-batch loss IS the global-batch loss — the
+    # reference's single-device semantics (e.g. its `n_sel > 2` CTC gate,
+    # cfm.py:679, is over the whole batch, not a shard)
 ):
     mel = batch["mel"]  # [B, T, D]
     lens = batch["mel_lengths"]
@@ -157,6 +162,10 @@ def cfm_training_loss(
     )
 
     # --- flow loss: clamped masked MSE (cfm.py:647-661)
+    def gsum(x):
+        return (jax.lax.psum(x, loss_psum_axis) if loss_psum_axis is not None
+                else x)
+
     pred_clamp = jnp.clip(pred.astype(jnp.float32), -20.0, 20.0)
     diff = pred_clamp - flow.astype(jnp.float32)
     # sanitize per-element BEFORE the reduction (double-where): a scalar
@@ -165,16 +174,17 @@ def cfm_training_loss(
     diff = jnp.where(jnp.isfinite(diff), diff, 0.0)
     per_elem = jnp.square(diff)
     mexp = rand_span_mask[..., None].astype(jnp.float32)
-    denom = jnp.maximum(mexp.sum() * D, 1.0)
-    loss = (per_elem * mexp).sum() / denom
+    denom = jnp.maximum(gsum(mexp.sum()) * D, 1.0)
+    loss = gsum((per_elem * mexp).sum()) / denom
     loss = jnp.where(jnp.isnan(loss) | (loss > 300.0), 300.0, loss)
 
     # --- accent loss over gradient-reversed cond (cfm.py:663-671)
     accent_logits = aux_models["accent"].apply(aux_params["accent"], cond_grl)
     accent_mean = accent_logits.mean(axis=1)
-    accent_loss = optax.softmax_cross_entropy_with_integer_labels(
+    accent_ce = optax.softmax_cross_entropy_with_integer_labels(
         accent_mean, langs
-    ).mean()
+    )
+    accent_loss = gsum(accent_ce.sum()) / gsum(jnp.float32(B))
     accent_loss = jnp.where(jnp.isfinite(accent_loss), accent_loss, 0.0)
 
     total = loss + accent_weight * accent_loss
@@ -196,8 +206,8 @@ def cfm_training_loss(
         # the outer clamp's zero cotangent never multiplies a NaN
         per_sample = jnp.where(bad, 300.0, jnp.where(bad, 0.0, per_sample))
         sel = (time > 0.5).astype(jnp.float32)
-        n_sel = sel.sum()
-        ctc_mean = (per_sample * sel).sum() / jnp.maximum(n_sel, 1.0)
+        n_sel = gsum(sel.sum())
+        ctc_mean = gsum((per_sample * sel).sum()) / jnp.maximum(n_sel, 1.0)
         # n_sel > 2: the reference's exact activation gate (cfm.py:679) —
         # with global batch <= 2 the CTC term never fires, by design
         use_ctc = (n_sel > 2) & jnp.isfinite(ctc_mean) & (ctc_mean > 1e-6)

@@ -89,11 +89,36 @@ def dit_param_pspecs(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def compat_shard_map():
+    """`shard_map` with replication checking off, across jax versions
+    (`check_vma` on jax ≥ 0.8, `check_rep` before). One shim shared by every
+    parallel module (sequence/pipeline/data-parallel sampler)."""
+    try:
+        from jax import shard_map as _sm
+
+        def sm(f, mesh, in_specs, out_specs):
+            return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                       check_vma=False)
+
+        return sm
+    except ImportError:  # pragma: no cover - older jax
+        from functools import partial as _p
+
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _p(_sm, check_rep=False)
+
+
+def batch_pspecs_axis(batch: Any, axis: str) -> Any:
+    """Shard the leading (batch) axis of every array over the named axis."""
+    return jax.tree_util.tree_map(
+        lambda x: P(axis) if getattr(x, "ndim", 0) >= 1 else P(), batch
+    )
+
+
 def batch_pspecs(batch: Any) -> Any:
     """Shard the leading (batch) axis of every array over 'data'."""
-    return jax.tree_util.tree_map(
-        lambda x: P("data") if getattr(x, "ndim", 0) >= 1 else P(), batch
-    )
+    return batch_pspecs_axis(batch, "data")
 
 
 def shard_pytree(tree: Any, mesh: Mesh, specs: Any) -> Any:
@@ -148,14 +173,7 @@ def data_parallel_sampler(sampler_fn, mesh: Mesh):
     the full program on its local batch shard, which is exactly the
     embarrassingly-parallel semantics batched synthesis wants. Batch sizes
     must be multiples of the 'data' axis (``Synthesizer._pick_batch`` pads)."""
-    try:  # jax ≥ 0.8 (check_vma replaces check_rep)
-        from jax import shard_map as _sm
-
-        def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
-            return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                       check_vma=check_rep)
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    shard_map = compat_shard_map()
 
     def bspec(nd):
         return P(*(["data"] + [None] * (nd - 1)))
@@ -180,7 +198,7 @@ def data_parallel_sampler(sampler_fn, mesh: Mesh):
             in_specs = (P(), bspec(3), bspec(2), bspec(2), bspec(1), bspec(3))
             in_specs += tuple(bspec(nd) for nd in ndims)
             f = jax.jit(shard_map(local, mesh=mesh, in_specs=in_specs,
-                                  out_specs=bspec(3), check_rep=False))
+                                  out_specs=bspec(3)))
             programs[key] = f
         return f
 

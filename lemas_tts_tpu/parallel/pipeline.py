@@ -48,7 +48,12 @@ from lemas_tts_tpu.cfm.loss import cfm_training_loss
 from lemas_tts_tpu.cfm.train import TrainState, Trainer, make_schedule
 from lemas_tts_tpu.config import TrainConfig
 from lemas_tts_tpu.models.dit import DiT, _ScanBlock
-from lemas_tts_tpu.parallel.mesh import opt_state_pspecs, shard_pytree
+from lemas_tts_tpu.parallel.mesh import (
+    batch_pspecs_axis,
+    compat_shard_map,
+    opt_state_pspecs,
+    shard_pytree,
+)
 
 
 def make_pipe_mesh(
@@ -67,21 +72,7 @@ def make_pipe_mesh(
     return Mesh(grid, axis_names=("data", "pipe"))
 
 
-def _shard_map():
-    try:  # jax ≥ 0.8 (check_vma replaces check_rep)
-        from jax import shard_map as _sm
-
-        def sm(f, mesh, in_specs, out_specs):
-            return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                       check_vma=False)
-
-        return sm
-    except ImportError:  # pragma: no cover - older jax
-        from functools import partial as _p
-
-        from jax.experimental.shard_map import shard_map as _sm
-
-        return _p(_sm, check_rep=False)
+_shard_map = compat_shard_map
 
 
 def _block_stack(model: DiT, length: int):
@@ -222,18 +213,21 @@ def pipeline_dit_forward(
     d3 = P(data_axis, None, None)
     d2 = P(data_axis, None)
     d1 = P(data_axis)
-    cache: dict = {}
+    cache: dict = {}  # variables treedef → (specs, jitted shard_map)
 
     def fn(variables, x, cond, text_ids, time, mask):
-        specs = pipe_param_pspecs(variables, pipe_axis)
-        if "run" not in cache:
-            cache["run"] = jax.jit(shard_map(
+        tdef = jax.tree_util.tree_structure(variables)
+        if tdef not in cache:
+            specs = pipe_param_pspecs(variables, pipe_axis)
+            run = jax.jit(shard_map(
                 local, mesh=mesh,
                 in_specs=(specs, d3, d3, d2, d1, d2),
                 out_specs=d3,
             ))
+            cache[tdef] = (specs, run)
+        specs, run = cache[tdef]
         variables = shard_pytree(variables, mesh, specs)
-        return cache["run"](variables, x, cond, text_ids, time, mask)
+        return run(variables, x, cond, text_ids, time, mask)
 
     return fn
 
@@ -350,6 +344,10 @@ class PipelinedTrainer(Trainer):
                 vocab_size=self.vocab_size if "ctc" in self.aux_models else None,
                 prosody_params=params.get("prosody_to_mel"),
                 apply_fn=apply_fn,
+                # global-batch reductions over the data shards: the loss each
+                # stage computes IS the plain trainer's global objective
+                # (incl. the reference's whole-batch `n_sel > 2` CTC gate)
+                loss_psum_axis=data_axis,
             )
             # pred is zeros on every stage but the last (pipeline_forward_
             # local), so only the last stage's loss is the real one — mask the
@@ -374,12 +372,22 @@ class PipelinedTrainer(Trainer):
             (_, metrics), grads = jax.value_and_grad(
                 local_loss, has_aux=True)(state.params, batch, rng)
 
+            # the loss each device computes is the GLOBAL objective
+            # (loss_psum_axis inside the loss). Under shard_map, psum
+            # transposes to psum (pinned by test_psum_transpose_contract), so
+            # every device's local grad carries an extra data-axis-size
+            # factor on its local-term contribution: pmean over 'data'
+            # yields exactly the sum of contributions = the global gradient.
+            # Replicated params additionally psum over 'pipe' (their use
+            # sites are stage-disjoint); block shards are stage-local.
             def combine(g, blk):
                 g = g if blk else jax.lax.psum(g, pipe_axis)
                 return jax.lax.pmean(g, data_axis)
 
             grads = jax.tree_util.tree_map(combine, grads, is_block)
-            metrics = {k: jax.lax.pmean(jax.lax.psum(v, pipe_axis), data_axis)
+            # metrics are global scalars already (identical across 'data');
+            # the pipe psum recovers them from the last-stage masking
+            metrics = {k: jax.lax.psum(v, pipe_axis)
                        for k, v in metrics.items()}
 
             # global-norm clip: block-shard norms live per stage → psum
@@ -434,11 +442,3 @@ class PipelinedTrainer(Trainer):
         batch = shard_pytree(batch, self.mesh,
                              batch_pspecs_axis(batch, self.data_axis))
         return self._step_cache[key](state, batch, rng)
-
-
-def batch_pspecs_axis(batch: Any, axis: str) -> Any:
-    """Leading-axis batch specs over a named axis (mesh-axis-generic
-    `mesh.batch_pspecs`)."""
-    return jax.tree_util.tree_map(
-        lambda x: P(axis) if getattr(x, "ndim", 0) >= 1 else P(), batch
-    )

@@ -58,21 +58,7 @@ def make_seq_mesh(
     return Mesh(grid, axis_names=("data", "seq"))
 
 
-def _shard_map():
-    try:  # jax ≥ 0.8
-        from jax import shard_map as _sm
-
-        def sm(f, mesh, in_specs, out_specs):
-            return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                       check_vma=False)
-
-        return sm
-    except ImportError:  # pragma: no cover - older jax
-        from functools import partial as _p
-
-        from jax.experimental.shard_map import shard_map as _sm
-
-        return _p(_sm, check_rep=False)
+from lemas_tts_tpu.parallel.mesh import compat_shard_map as _shard_map
 
 
 def sequence_parallel_sampler(

@@ -112,6 +112,11 @@ def main(argv=None) -> int:
     from lemas_tts_tpu.utils.profiling import JsonLogger
     from lemas_tts_tpu.utils.vocab import Vocab, get_tokenizer
 
+    if args.microbatches and args.pipe_parallel <= 1:
+        print("--microbatches only applies with --pipe_parallel > 1",
+              file=sys.stderr)
+        return 2
+
     initialize()  # multi-host no-op when single-process
     log = JsonLogger(path=args.log_file or None)
 

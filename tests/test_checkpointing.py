@@ -89,6 +89,48 @@ def test_grad_accumulation_boundaries():
 
 
 @pytest.mark.slow
+def test_grad_accumulation_state_resumes(tmp_path):
+    """The MultiSteps-wrapped optimizer state (mini_step counter + nested
+    inner state + grad accumulators) must survive an orbax save→restore
+    against a fresh init_state template — the path scripts/train.py --resume
+    takes."""
+    import random
+
+    cfg_kw = dict(grad_accumulation_steps=2, learning_rate=1e-3,
+                  num_warmup_updates=0, save_per_updates=1,
+                  last_per_updates=1)
+    tr = _tiny_trainer(**cfg_kw)
+    batch = _batch()
+    state = tr.init_state(jax.random.key(0), batch)
+    # stop mid-accumulation so the restored mini_step/acc_grads matter
+    state, _ = tr.train_step(state, batch, jax.random.key(1), random.Random(0))
+    mgr = CheckpointManager(str(tmp_path / "ck"), tr.cfg)
+    mgr.maybe_save(1, state.params, state.ema_params, opt_state=state.opt_state)
+
+    fresh_tr = _tiny_trainer(**cfg_kw)
+    fresh = fresh_tr.init_state(jax.random.key(9), batch)
+    target = {"step": 0, "params": fresh.params,
+              "ema_params": fresh.ema_params, "opt_state": fresh.opt_state}
+    restored = mgr.restore(target=target)
+    for a, b in zip(jax.tree_util.tree_leaves(restored["opt_state"]),
+                    jax.tree_util.tree_leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the resumed trainer finishes the accumulation window: params move now
+    resumed = TrainState(step=jnp.asarray(restored["step"]),
+                         params=restored["params"],
+                         opt_state=restored["opt_state"],
+                         ema_params=restored["ema_params"])
+    p1 = np.concatenate([np.asarray(l).ravel() for l in
+                         jax.tree_util.tree_leaves(resumed.params["dit"])])
+    resumed, _ = fresh_tr.train_step(resumed, batch, jax.random.key(2),
+                                     random.Random(1))
+    p2 = np.concatenate([np.asarray(l).ravel() for l in
+                         jax.tree_util.tree_leaves(resumed.params["dit"])])
+    assert not np.array_equal(p1, p2), "boundary update must apply on resume"
+
+
+@pytest.mark.slow
 def test_checkpoint_policy_and_resume(tmp_path):
     import random
 

@@ -11,6 +11,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from lemas_tts_tpu.cfm.train import Trainer
 from lemas_tts_tpu.config import DiTArch, TrainConfig
@@ -133,6 +134,58 @@ def test_pipelined_training_on_data_pipe_mesh():
     leaf = jax.tree_util.tree_leaves(blk)[0]
     assert "pipe" in str(leaf.sharding.spec)
     assert state.ema_params is not None
+
+
+def test_psum_transpose_contract():
+    """Pins the jax behavior the pipelined gradient combination relies on:
+    under shard_map (replication checks off), psum transposes to psum — the
+    cotangent of a pre-psum value is the psum of the per-device seeds, so a
+    device's local grad of a psum-built global scalar carries an extra
+    axis-size factor, and pmean (not psum) over the axis reconstructs the
+    true global gradient."""
+    from jax.sharding import Mesh
+    from lemas_tts_tpu.parallel.mesh import compat_shard_map
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("data",))
+    x = jnp.arange(8.0).reshape(2, 4)
+    w = jnp.ones((4,))
+
+    def local(w, x):
+        def loss(w):
+            return jax.lax.psum(jnp.sum(x * w), "data")
+
+        l, g = jax.value_and_grad(loss)(w)
+        return l, jax.lax.pmean(g, "data")
+
+    f = jax.jit(compat_shard_map()(
+        local, mesh=mesh, in_specs=(P(), P("data", None)),
+        out_specs=(P(), P())))
+    l, g = f(w, x)
+    assert float(l) == 28.0
+    np.testing.assert_allclose(np.asarray(g), [4.0, 6.0, 8.0, 10.0])
+
+
+@pytest.mark.slow
+def test_ctc_gate_is_global_across_data_shards():
+    """At data=4 the per-shard batch is 2 ≤ the reference's `n_sel > 2` CTC
+    activation gate (cfm.py:679) — the gate must evaluate over the GLOBAL
+    batch (loss_psum_axis) or CTC would silently never train under
+    pipeline+data parallelism."""
+    dit = DiT(arch=ARCH, mel_dim=12, text_num_embeds=30)
+    cfg = TrainConfig(num_warmup_updates=0, learning_rate=1e-3)
+    mesh = make_pipe_mesh(8, pipe_parallel=2)  # data=4 → 2 samples/shard
+    trainer = PipelinedTrainer(dit, vocab_size=30, mel_dim=12, cfg=cfg,
+                               use_ctc=True, mesh=mesh, num_microbatches=2)
+    batch = make_batch(B=8)
+    state = trainer.init_state(jax.random.key(0), batch)
+    ctc_vals = []
+    for i in range(4):
+        state, metrics = trainer.train_step(
+            state, batch, jax.random.key(i), FixedDrops())
+        ctc_vals.append(float(metrics["ctc_loss"]))
+    # with 8 global samples and t ~ U(0,1), some step draws > 2 high-t
+    # samples; a per-shard gate (2 samples) could never fire
+    assert any(v > 0 for v in ctc_vals), ctc_vals
 
 
 @pytest.mark.slow

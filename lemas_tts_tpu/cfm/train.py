@@ -23,6 +23,7 @@ from lemas_tts_tpu.config import TrainConfig
 from lemas_tts_tpu.parallel.mesh import (
     batch_pspecs,
     dit_param_pspecs,
+    fsdp_param_pspecs,
     shard_opt_state,
     shard_pytree,
 )
@@ -65,12 +66,19 @@ class Trainer:
         use_ctc: bool = True,
         mesh: Optional[Mesh] = None,
         use_prosody: bool = False,
+        fsdp: bool = False,
+        fsdp_min_size: int = 1 << 16,
     ):
         self.dit_model = dit_model
         self.cfg = cfg
         self.vocab_size = vocab_size
         self.mesh = mesh
         self.use_prosody = use_prosody
+        # ZeRO-3-style param/moment/EMA sharding over 'data' (fsdp_param_
+        # pspecs): a pure PartitionSpec change — GSPMD all-gathers params at
+        # use sites and reduce-scatters grads, same numerics as plain DP
+        self.fsdp = fsdp and mesh is not None
+        self.fsdp_min_size = fsdp_min_size
         self.aux_models = {"accent": AccentClassifier(hidden_dim=dit_model.arch.dim)}
         if use_ctc:
             self.aux_models["ctc"] = CTCHead(
@@ -127,17 +135,22 @@ class Trainer:
         for k in params:
             if k != "dit":
                 specs[k] = jax.tree_util.tree_map(lambda _: P(), params[k])
+        if self.fsdp:
+            specs["dit"] = fsdp_param_pspecs(
+                params["dit"], self.mesh.shape["data"],
+                base=specs["dit"], min_elems=self.fsdp_min_size,
+            )
         return specs
 
     def shard_state(self, state: TrainState) -> TrainState:
         pspecs = self.param_pspecs(state.params)
         params = shard_pytree(state.params, self.mesh, pspecs)
         opt_state = shard_opt_state(state.opt_state, self.mesh, pspecs)
+        # EMA mirrors params["dit"]'s tree → same specs (incl. fsdp sharding)
         ema = (
             None
             if state.ema_params is None
-            else shard_pytree(state.ema_params, self.mesh,
-                              dit_param_pspecs(state.ema_params))
+            else shard_pytree(state.ema_params, self.mesh, pspecs["dit"])
         )
         return TrainState(step=state.step, params=params, opt_state=opt_state,
                           ema_params=ema)
@@ -183,6 +196,21 @@ class Trainer:
                         lambda e, n: jnp.where(did, n, e), new_ema, cand)
                 else:
                     new_ema = cand
+            if self.fsdp:
+                # pin the sharded layout on everything param-shaped so the
+                # 1/data footprint survives the step (GSPMD would otherwise
+                # be free to emit replicated outputs, breaking donation and
+                # the memory budget on the next iteration)
+                from lemas_tts_tpu.parallel.mesh import opt_state_pspecs
+
+                pspecs = self.param_pspecs(new_params)
+                pin = lambda t, s: jax.tree_util.tree_map(
+                    lambda x, sp: jax.lax.with_sharding_constraint(
+                        x, NamedSharding(self.mesh, sp)), t, s)
+                new_params = pin(new_params, pspecs)
+                new_opt = pin(new_opt, opt_state_pspecs(new_opt, pspecs))
+                if new_ema is not None:
+                    new_ema = pin(new_ema, pspecs["dit"])
             new_state = TrainState(
                 step=state.step + 1, params=new_params, opt_state=new_opt,
                 ema_params=new_ema,

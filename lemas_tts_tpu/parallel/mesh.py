@@ -89,6 +89,45 @@ def dit_param_pspecs(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def fsdp_param_pspecs(
+    params: Any,
+    axis_size: int,
+    axis: str = "data",
+    base: Any = None,
+    min_elems: int = 1 << 16,
+) -> Any:
+    """ZeRO-3-style fully-sharded parameter PartitionSpecs (the reference has
+    no trainer at all — SURVEY.md §2.3; this is the TPU-native way to train
+    models whose params + adam moments exceed one chip's HBM).
+
+    Each leaf with ≥ ``min_elems`` elements shards ONE additional dimension
+    over the ``axis`` ('data') mesh axis — the largest dim that is divisible
+    by the axis size and not already sharded by the ``base`` (tensor-parallel)
+    spec. Expressed purely as PartitionSpecs: under jit, XLA GSPMD all-gathers
+    each param at its use site and reduce-scatters its gradient, so the
+    resident footprint of params, grads, adam moments, and EMA is 1/axis_size
+    per device while the train step stays numerically identical to plain DP.
+    Small leaves (norm scales, biases) stay on the base spec — gathering them
+    costs more latency than the bytes saved."""
+    if base is None:
+        base = jax.tree_util.tree_map(lambda _: P(), params)
+
+    def rule(leaf, spec):
+        if getattr(leaf, "size", 0) < min_elems:
+            return spec
+        parts = list(spec) + [None] * (leaf.ndim - len(spec))
+        cands = [d for d in range(leaf.ndim)
+                 if parts[d] is None and leaf.shape[d] % axis_size == 0
+                 and leaf.shape[d] >= axis_size]
+        if not cands:
+            return spec
+        d = max(cands, key=lambda i: leaf.shape[i])
+        parts[d] = axis
+        return P(*parts)
+
+    return jax.tree_util.tree_map(rule, params, base)
+
+
 def compat_shard_map():
     """`shard_map` with replication checking off, across jax versions
     (`check_vma` on jax ≥ 0.8, `check_rep` before). One shim shared by every

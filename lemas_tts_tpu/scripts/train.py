@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "--model_parallel > 1.")
     p.add_argument("--microbatches", type=int, default=0,
                    help="pipeline microbatches per step (0 → pipe degree)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3-style param/moment/EMA sharding over the "
+                        "'data' axis (fully-sharded data parallelism; "
+                        "composes with --model_parallel).")
     p.add_argument("--grad_accum", type=int, default=0,
                    help="gradient accumulation mini-steps per optimizer "
                         "update (0 → config value)")
@@ -114,6 +118,11 @@ def main(argv=None) -> int:
 
     if args.microbatches and args.pipe_parallel <= 1:
         print("--microbatches only applies with --pipe_parallel > 1",
+              file=sys.stderr)
+        return 2
+    if args.fsdp and args.pipe_parallel > 1:
+        print("--fsdp composes with --model_parallel, not --pipe_parallel "
+              "(pipeline stages already shard the block stack)",
               file=sys.stderr)
         return 2
 
@@ -178,7 +187,8 @@ def main(argv=None) -> int:
         )
         trainer = Trainer(dit, vocab_size=vocab.size, mel_dim=mel_dim,
                           cfg=tcfg, use_ctc=cfg.use_ctc_loss, mesh=mesh,
-                          use_prosody=cfg.use_prosody_encoder)
+                          use_prosody=cfg.use_prosody_encoder,
+                          fsdp=args.fsdp)
         batch_multiple = mesh.shape["data"] if mesh is not None else 1
     loader = DataLoader(
         dataset, tcfg, seed=args.seed,

@@ -389,3 +389,24 @@ def test_trainer_overfits_single_batch():
     # measured 3.18 -> 1.85 at these seeds; generous margin for backends
     assert last < 0.75 * first, (first, last)
     assert np.isfinite(losses).all()
+
+
+@pytest.mark.slow
+def test_train_cli_fsdp(tmp_path):
+    """--fsdp trains end-to-end on the 8-device mesh and the checkpoint it
+    saves restores into a plain (unsharded) trainer — fsdp is a runtime
+    layout, not a checkpoint format."""
+    from lemas_tts_tpu.scripts.train import main
+
+    ck = str(tmp_path / "ck")
+    rc = main(["--synthetic", "16", "--tiny", "--ckpt_dir", ck,
+               "--steps", "2", "--fsdp", "--log_every", "1",
+               "--log_file", str(tmp_path / "log.jsonl")])
+    assert rc == 0
+    rc2 = main(["--synthetic", "16", "--tiny", "--ckpt_dir", ck,
+                "--steps", "3", "--resume", "--log_every", "1",
+                "--log_file", str(tmp_path / "log.jsonl")])
+    assert rc2 == 0
+    # flag validation: fsdp does not compose with pipeline parallelism
+    assert main(["--synthetic", "16", "--tiny", "--ckpt_dir", ck,
+                 "--steps", "1", "--fsdp", "--pipe_parallel", "2"]) == 2

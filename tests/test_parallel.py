@@ -196,3 +196,78 @@ def test_two_process_dcn_initialize():
         assert v["ok"] and v["devices"] == 8
     # both processes computed the same global loss from their local shards
     assert verdicts[0]["loss0"] == verdicts[1]["loss0"]
+
+
+def test_fsdp_pspec_rules():
+    """fsdp_param_pspecs shards one extra dim of each large leaf over 'data',
+    composing with the tensor-parallel base specs; small leaves stay put."""
+    from lemas_tts_tpu.parallel.mesh import fsdp_param_pspecs
+
+    dit = DiT(arch=ARCH, mel_dim=12, text_num_embeds=30)
+    params = dit.init(jax.random.key(0), jnp.zeros((1, 16, 12)),
+                      jnp.zeros((1, 16, 12)), jnp.zeros((1, 4), jnp.int32),
+                      jnp.zeros((1,)))
+    base = dit_param_pspecs(params)
+    specs = fsdp_param_pspecs(params, 4, base=base, min_elems=128)
+    P = jax.sharding.PartitionSpec
+    blk = specs["params"]["blocks"]["block"]
+    # stacked to_q kernel [depth, dim, heads*dh]: TP on last dim, fsdp adds
+    # 'data' on the largest remaining divisible dim (dim=64)
+    assert blk["attn"]["to_q"]["kernel"] == P(None, "data", "model")
+    # row-parallel out kernel keeps 'model' on the contraction dim
+    assert blk["attn"]["to_out"]["kernel"] == P(None, "model", "data")
+    # biases/norm scales are below min_elems → replicated
+    for leaf, spec in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(specs, is_leaf=lambda x: isinstance(x, P)),
+    ):
+        if leaf.size < 128:
+            assert "data" not in tuple(spec)
+
+
+@pytest.mark.slow
+def test_fsdp_train_step_matches_plain_dp():
+    """ZeRO-3 sharding is a layout choice, not a numerics choice: one fsdp
+    train step == one plain-trainer step at the same rngs, and the params
+    and adam moments actually live sharded over 'data'."""
+    import random
+
+    dit = DiT(arch=ARCH, mel_dim=12, text_num_embeds=30)
+    cfg = TrainConfig(num_warmup_updates=0, learning_rate=1e-3)
+    batch = make_batch()
+    mesh = make_mesh(8, model_parallel=2)
+
+    # baseline: same mesh, plain DP+TP layout — isolates fsdp as the only
+    # difference (Adam's g/(|g|+ε) amplifies reduction-reassociation noise
+    # on near-zero grads, so a single-device baseline is the wrong control)
+    plain = Trainer(dit, vocab_size=30, mel_dim=12, cfg=cfg, use_ctc=True,
+                    mesh=mesh)
+    s0 = plain.init_state(jax.random.key(0), batch)
+    s0, _ = plain.train_step(s0, batch, jax.random.key(1), random.Random(3))
+    fsdp = Trainer(dit, vocab_size=30, mel_dim=12, cfg=cfg, use_ctc=True,
+                   mesh=mesh, fsdp=True, fsdp_min_size=128)
+    s1 = fsdp.init_state(jax.random.key(0), batch)
+    sharded_before = [
+        x for x in jax.tree_util.tree_leaves(s1.params["dit"])
+        if "data" in str(x.sharding.spec)
+    ]
+    assert sharded_before, "no param leaf actually sharded over 'data'"
+    s1, m1 = fsdp.train_step(s1, batch, jax.random.key(1), random.Random(3))
+
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params["dit"]),
+                    jax.tree_util.tree_leaves(s1.params["dit"])):
+        # sharded-reduction fp reassociation feeds Adam's v̂+ε on near-zero
+        # grads; observed max |Δ| ≈ 6e-6 against ~1e-3 update magnitudes
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    # the step's outputs keep the sharded layout (with_sharding_constraint)
+    n_sharded = sum("data" in str(x.sharding.spec)
+                    for x in jax.tree_util.tree_leaves(s1.params["dit"]))
+    assert n_sharded == len(sharded_before)
+    # adam moments follow the param specs
+    assert any("data" in str(x.sharding.spec)
+               for x in jax.tree_util.tree_leaves(s1.opt_state))
+    # EMA stays sharded too
+    assert any("data" in str(x.sharding.spec)
+               for x in jax.tree_util.tree_leaves(s1.ema_params))
+    assert np.isfinite(float(m1["loss"]))

@@ -8,7 +8,8 @@ transformer blocks per step, fused Pallas VMEM attention) + batched masked
 Vocos decode — on randomly initialized flagship weights (RTF is
 weight-independent). Default batch is 8, the serving engine's measured
 sweet spot (serve/engine.py max_batch; on v5e at the serving defaults incl.
-cfg_cutoff=0.5: B=1 → 33.1, B=8 → 43.4, B=16 → 44.7 audio-s/s per chip;
+cfg_cutoff=0.5 AND block_cache="2-20:2": B=1 → 47.8, B=8 → 67.4, B=16 →
+69.8 audio-s/s per chip; 33.1/43.4/44.7 without the block cache;
 29.7/37.7/38.9 at exact full CFG), so the headline is per-chip serving
 throughput. The host has one
 CPU: run the bench strictly alone or dispatch contention skews it.
@@ -51,6 +52,15 @@ _cut = float(os.environ.get("LEMAS_BENCH_CFG_CUTOFF") or "-1")
 if _cut < 0:
     from lemas_tts_tpu.config import SERVING_CFG_CUTOFF as _cut
 CFG_CUTOFF = _cut or None  # 0 → exact full CFG
+# Block-range residual cache (SamplerSettings.block_cache_range): the bench
+# runs the measured serving default (config.SERVING_BLOCK_CACHE="2-20:2":
+# 1.56× sampler speedup at 1.7e-4 mel MSE vs the uncached trajectory — 6×
+# inside the 1e-3 parity bar; scripts/blockcache_probe.py).
+# LEMAS_BENCH_BLOCK_CACHE overrides ("0" → exact per-step sampling).
+_bc = os.environ.get("LEMAS_BENCH_BLOCK_CACHE")
+if _bc is None:
+    from lemas_tts_tpu.config import SERVING_BLOCK_CACHE as _bc
+BLOCK_CACHE = _bc if _bc not in ("0", "", "none") else None
 # mel frames ≈ 10.9 s audio at the default; LEMAS_BENCH_N probes the long
 # buckets (2048/4096) for the docs/performance.md long-bucket table
 N_BUCKET = int(os.environ.get("LEMAS_BENCH_N", "1024"))
@@ -130,9 +140,12 @@ def main():
     duration = np.full(B, N, np.int32)
     y0 = rng.standard_normal((B, N, 100)).astype(np.float32)
 
+    from lemas_tts_tpu.cfm.sampler import block_cache_fields
+
     settings = SamplerSettings(steps=NFE, cfg_strength=CFG,
                                sway_sampling_coef=SWAY,
-                               cfg_cutoff=CFG_CUTOFF)
+                               cfg_cutoff=CFG_CUTOFF,
+                               **block_cache_fields(BLOCK_CACHE))
     run = make_sampler(model, settings)
     gen_frames = N - REF_FRAMES
     frame_mask = jnp.asarray((np.arange(N)[None, :] < gen_frames).repeat(B, axis=0))
@@ -171,6 +184,7 @@ def main():
         "vs_baseline": round(rtf / 20.0, 3),
         "batch": BATCH,
         "cfg_cutoff": CFG_CUTOFF,
+        "block_cache": BLOCK_CACHE,
         "kernel_check": kernel_check,
     }))
 

@@ -468,6 +468,7 @@ class TTS:
         speed: float = 1.0,
         sway_sampling_coef: Optional[float] = 5,
         cfg_cutoff: Optional[float] = None,
+        block_cache: Optional[str] = None,  # "lo-hi:every" residual cache
         separate_langs: bool = False,
         fix_duration: Optional[float] = None,
         use_prosody_encoder: bool = True,
@@ -529,6 +530,7 @@ class TTS:
             cfg_strength=cfg_strength,
             sway_sampling_coef=sway_sampling_coef,
             cfg_cutoff=cfg_cutoff,
+            block_cache=block_cache,
             ode_method=self.ode_method,
             speed=speed,
             target_rms=target_rms,

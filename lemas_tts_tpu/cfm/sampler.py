@@ -119,10 +119,30 @@ class SamplerSettings:
     # only (still ±clamped). The split is static — the time grid is a
     # compile-time constant — so it costs zero dynamic branching.
     cfg_cutoff: Optional[float] = None
+    # Block-range residual cache (opt-in, training-free — DeepCache/Δ-DiT
+    # family; no reference equivalent): adjacent ODE steps produce similar
+    # mid-stack activations, so on "refresh" steps the full stack runs and
+    # the aggregate residual of blocks [lo, hi) is stored; on the other steps
+    # that range is replaced by ONE cached add (skipped blocks' sequential
+    # deltas telescope: x_hi = x_lo + Σ Δ_i = x_lo + cache). The schedule is
+    # a compile-time flag array driving a `lax.cond` inside the NFE scan —
+    # both branches compile once, the skip branch actually skips the FLOPs.
+    # DiT-only, euler-only; measure the speed/quality trade with
+    # ``scripts/blockcache_probe.py``.
+    block_cache_range: Optional[tuple] = None  # (lo, hi) block indices
+    block_cache_every: int = 2  # refresh period (1 ≡ exact, no skipping)
 
     def __post_init__(self):
         if self.method not in ("euler", "midpoint"):
             raise ValueError(f"unknown ODE method: {self.method!r}")
+        if self.block_cache_range is not None:
+            lo, hi = self.block_cache_range
+            if not (0 <= lo < hi):
+                raise ValueError(f"bad block_cache_range: {(lo, hi)}")
+            if self.method != "euler":
+                raise ValueError("block_cache_range requires method='euler'")
+            if self.block_cache_every < 1:
+                raise ValueError("block_cache_every must be >= 1")
 
     @property
     def use_cfg(self) -> bool:
@@ -149,6 +169,104 @@ class SamplerSettings:
         ts = np.asarray(time_grid)[:-1]
         cfg_t = self.cfg_strength * np.square(1.0 - ts)
         return int(np.sum(cfg_t >= self.cfg_cutoff))
+
+
+def parse_block_cache(spec: Optional[str]):
+    """Parse a block-cache spec string ``"lo-hi:every"`` (e.g. ``"2-20:2"``)
+    into ``((lo, hi), every)``; ``None``/empty/"0"/"none" → None. The string
+    form is what configs, CLIs, env knobs, and per-request serving overrides
+    carry (compact, hashable, validates in one place)."""
+    if not spec or str(spec).strip().lower() in ("0", "none", "off"):
+        return None
+    s = str(spec).strip()
+    try:
+        rng, _, every = s.partition(":")
+        lo, hi = (int(x) for x in rng.split("-"))
+        every = int(every) if every else 2
+    except ValueError:
+        raise ValueError(f"bad block_cache spec {spec!r} (want 'lo-hi:every')")
+    if not (0 <= lo < hi) or every < 1:
+        raise ValueError(f"bad block_cache spec {spec!r}")
+    return (lo, hi), every
+
+
+def block_cache_fields(spec: Optional[str], depth: Optional[int] = None) -> dict:
+    """``SamplerSettings`` kwargs for a block-cache spec string (empty dict
+    when disabled) — the one-liner every settings-construction site uses.
+    ``depth`` (the model's block count) clamps ``hi`` so a flagship-tuned
+    spec like the serving default "2-20:2" degrades gracefully on smaller
+    architectures (empty range → cache disabled) instead of raising."""
+    parsed = parse_block_cache(spec)
+    if parsed is None:
+        return {}
+    (lo, hi), every = parsed
+    if depth is not None:
+        hi = min(hi, int(depth))
+        if lo >= hi:
+            return {}
+    return {"block_cache_range": (lo, hi), "block_cache_every": every}
+
+
+def make_cached_forward(model: Any, params: Any, lo: int, hi: int):
+    """Block-range-cached DiT forward for the sampler's residual cache
+    (``SamplerSettings.block_cache_range``).
+
+    Returns ``fwd(x, cond_x, mask_x, te_x, pt_x, t, cache, refresh) ->
+    (pred, new_cache)``: the stacked block params split (at trace time) into
+    [0,lo) / [lo,hi) / [hi,depth) ranges; ``refresh`` (a traced bool driving
+    ``lax.cond``) picks between running the mid range and replacing it with
+    one add of the cached aggregate residual — skipped blocks' sequential
+    deltas telescope, so ``x_hi = x_lo + (x_hi − x_lo)_cached`` is the exact
+    reuse of the last refresh step's mid-stack work."""
+    from lemas_tts_tpu.models.dit import make_block_stack
+
+    depth = model.arch.depth
+    if not (0 <= lo < hi <= depth):
+        raise ValueError(f"block_cache_range {(lo, hi)} outside depth {depth}")
+    if getattr(model, "seq_axis", None) is not None:
+        raise ValueError("block cache does not compose with sequence "
+                         "parallelism (collectives inside lax.cond)")
+    embed = getattr(type(model), "embed_inputs", None)
+    head = getattr(type(model), "head", None)
+    if embed is None or head is None:
+        raise ValueError("block cache supports the DiT backbone only")
+
+    stack_pre = make_block_stack(model, lo) if lo else None
+    stack_mid = make_block_stack(model, hi - lo)
+    stack_post = make_block_stack(model, depth - hi) if depth > hi else None
+    blocks = params["params"]["blocks"]
+
+    def sl(a, b):
+        return {"params": jax.tree_util.tree_map(lambda x: x[a:b], blocks)}
+
+    pre_p, mid_p, post_p = sl(0, lo), sl(lo, hi), sl(hi, depth)
+
+    def fwd(x, cond_x, mask_x, te_x, pt_x, t, cache, refresh):
+        Bx = x.shape[0]
+        h, t_emb, rope = model.apply(
+            params, x, cond_x, None, jnp.broadcast_to(t, (Bx,)), mask_x,
+            text_embed=te_x, prosody_text=pt_x, method=embed,
+        )
+        residual = h if model.arch.long_skip_connection else None
+        if stack_pre is not None:
+            h, _ = stack_pre.apply(pre_p, h, t_emb, mask_x, rope, True)
+
+        def full_fn(op):
+            h_in, _ = op
+            h_mid, _ = stack_mid.apply(mid_p, h_in, t_emb, mask_x, rope, True)
+            return h_mid, h_mid - h_in
+
+        def skip_fn(op):
+            h_in, c = op
+            return h_in + c, c
+
+        h, new_cache = jax.lax.cond(refresh, full_fn, skip_fn, (h, cache))
+        if stack_post is not None:
+            h, _ = stack_post.apply(post_p, h, t_emb, mask_x, rope, True)
+        pred = model.apply(params, h, residual, t_emb, method=head)
+        return pred, new_cache
+
+    return fwd
 
 
 def sample_mel(
@@ -264,7 +382,14 @@ def sample_mel(
 
     k = settings.cfg_active_steps(time_grid)
     steps = t_pairs.shape[0]
-    if settings.use_cfg and k < steps:
+    if settings.block_cache_range is not None:
+        y_final, traj = _scan_block_cached(
+            model, params, settings, t_pairs, k, y0,
+            step_cond=step_cond, attn_mask=attn_mask, te_cond=te_cond,
+            te_uncond=te_uncond if settings.use_cfg else None,
+            prosody_text=prosody_text,
+        )
+    elif settings.use_cfg and k < steps:
         # static CFG truncation: prefix scan with the 2-pass CFG velocity,
         # tail scan with the (clamped) cond-only velocity
         y_mid_state, traj_a = jax.lax.scan(
@@ -284,6 +409,80 @@ def sample_mel(
     if settings.return_trajectory:
         return out, traj
     return out
+
+
+def _scan_block_cached(model, params, settings, t_pairs, k, y0, *,
+                       step_cond, attn_mask, te_cond, te_uncond,
+                       prosody_text):
+    """NFE scan with the block-range residual cache: carry = (y, cache),
+    xs = (t/dt pairs, static refresh flags). Mirrors the CFG-truncation
+    prefix/tail split of the plain path; the tail forces a refresh at its
+    first step because the batch width halves (2B → B) at the boundary."""
+    lo, hi = settings.block_cache_range
+    fwd = make_cached_forward(model, params, lo, hi)
+    B, N, _ = step_cond.shape
+    dim = model.arch.dim
+    cdtype = getattr(model, "compute_dtype", jnp.float32)
+    steps = t_pairs.shape[0]
+    clamp = settings.velocity_clamp
+    flags = np.arange(steps) % settings.block_cache_every == 0
+
+    def cond_only_vel(t, x, cache, refresh, do_clamp):
+        pred, cache = fwd(x, step_cond, attn_mask, te_cond, prosody_text,
+                          t, cache, refresh)
+        if do_clamp:  # same clamp semantics as the plain path
+            pred = jnp.clip(pred, -clamp, clamp)
+        return pred, cache
+
+    if settings.use_cfg:
+        te2 = jnp.concatenate([te_cond, te_uncond], axis=0)
+        cond2 = jnp.concatenate([step_cond, jnp.zeros_like(step_cond)], axis=0)
+        mask2 = jnp.concatenate([attn_mask, attn_mask], axis=0)
+        pt2 = (None if prosody_text is None
+               else jnp.concatenate([prosody_text, prosody_text], axis=0))
+
+        def cfg_vel(t, x, cache, refresh):
+            x2 = jnp.concatenate([x, x], axis=0)
+            pred2, cache = fwd(x2, cond2, mask2, te2, pt2, t, cache, refresh)
+            pred, null_pred = pred2[:B], pred2[B:]
+            cfg_t = settings.cfg_strength * jnp.square(1.0 - t)
+            v = pred + (pred - null_pred) * cfg_t
+            return jnp.clip(v, -clamp, clamp), cache
+
+    def body(vel):
+        def ode_step(carry, xs):
+            y, cache = carry
+            t_dt, refresh = xs
+            v, cache = vel(t_dt[0], y, cache, refresh)
+            y_next = y + t_dt[1] * v
+            return ((y_next, cache),
+                    (y_next if settings.return_trajectory else None))
+        return ode_step
+
+    y = y0.astype(jnp.float32)
+    if settings.use_cfg and k < steps:
+        fa = jnp.asarray(flags[:k])
+        fb_np = flags[k:].copy()
+        if fb_np.size:
+            fb_np[0] = True
+        (y, _), traj_a = jax.lax.scan(
+            body(cfg_vel), (y, jnp.zeros((2 * B, N, dim), cdtype)),
+            (t_pairs[:k], fa))
+        (y, _), traj_b = jax.lax.scan(
+            body(lambda t, x, c, r: cond_only_vel(t, x, c, r, True)),
+            (y, jnp.zeros((B, N, dim), cdtype)),
+            (t_pairs[k:], jnp.asarray(fb_np)))
+        traj = (None if not settings.return_trajectory
+                else jnp.concatenate([traj_a, traj_b], axis=0))
+        return y, traj
+
+    vel = (cfg_vel if settings.use_cfg
+           else lambda t, x, c, r: cond_only_vel(t, x, c, r, False))
+    width = 2 * B if settings.use_cfg else B
+    (y, _), traj = jax.lax.scan(
+        body(vel), (y, jnp.zeros((width, N, dim), cdtype)),
+        (t_pairs, jnp.asarray(flags)))
+    return y, traj
 
 
 def make_sampler(model: Any, settings: SamplerSettings):

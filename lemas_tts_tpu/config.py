@@ -94,6 +94,15 @@ class ModelConfig:
 # cfm.py:393-424); the serving entry points opt in with this value.
 SERVING_CFG_CUTOFF = 0.5
 
+# Measured serving default for the block-range residual cache
+# (SamplerSettings.block_cache_range, scripts/blockcache_probe.py): refresh
+# blocks [2,20)'s aggregate residual every 2nd ODE step and reuse it in
+# between. On-chip at the serving settings (NFE=32, CFG 2, cutoff 0.5, B=8):
+# 1.56× sampler speedup at 1.7e-4 mel MSE vs the uncached trajectory — 6×
+# inside the 1e-3 parity bar. Library SamplerConfig default stays None
+# (exact reference semantics); serving entry points opt in with this value.
+SERVING_BLOCK_CACHE = "2-20:2"
+
 
 @dataclass(frozen=True)
 class SamplerConfig:
@@ -113,6 +122,10 @@ class SamplerConfig:
     # opt-in CFG truncation: skip the uncond forward once
     # cfg_strength·(1−t)² < cfg_cutoff (see SamplerSettings.cfg_cutoff)
     cfg_cutoff: Optional[float] = None
+    # opt-in block-range residual cache, spec "lo-hi:every" (see
+    # SamplerSettings.block_cache_range / sampler.parse_block_cache);
+    # serving defaults to SERVING_BLOCK_CACHE
+    block_cache: Optional[str] = None
     max_duration: int = 4096
     speed: float = 1.0
     target_rms: float = 0.1

@@ -24,6 +24,7 @@ import numpy as np
 from lemas_tts_tpu.cfm.sampler import (
     DURATION_BUCKETS,
     SamplerSettings,
+    block_cache_fields,
     make_sampler,
     pick_bucket,
 )
@@ -332,6 +333,8 @@ class Synthesizer:
             sway_sampling_coef=cfg.sway_sampling_coef,
             method=cfg.ode_method,
             cfg_cutoff=cfg.cfg_cutoff,
+            **block_cache_fields(cfg.block_cache,
+                                 self.dit_model.arch.depth),
         )
         run = self._sampler(settings)
         n = 0
@@ -573,6 +576,8 @@ class Synthesizer:
             method=cfg.ode_method,
             cfg_cutoff=cfg.cfg_cutoff,
             t_start=t_start,
+            **block_cache_fields(cfg.block_cache,
+                                 self.dit_model.arch.depth),
         )
         run = self._sampler(settings)
         out = run(
@@ -767,6 +772,8 @@ class Synthesizer:
             sway_sampling_coef=cfg.sway_sampling_coef,
             method=cfg.ode_method,
             cfg_cutoff=cfg.cfg_cutoff,
+            **block_cache_fields(cfg.block_cache,
+                                 self.dit_model.arch.depth),
         )
         # mel stays device-resident through slicing and vocoding: through a
         # narrow host link (e.g. the benchmarking tunnel) the old

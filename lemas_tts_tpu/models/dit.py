@@ -131,6 +131,28 @@ class _ScanBlock(nn.Module):
         return x, None
 
 
+def make_block_stack(model: "DiT", length: int):
+    """A standalone nn.scan block stack matching ``model``'s own scan config,
+    for applying a *slice* of the stacked block params outside the module —
+    used by the pipeline-parallel executor (``parallel/pipeline.py``, one
+    stage's blocks) and the sampler's block-range cache
+    (``cfm/sampler.py:make_cached_forward``). Apply with
+    ``{"params": sliced_stacked_blocks}``."""
+    block_cls = _ScanBlock
+    if model.arch.checkpoint_activations:
+        block_cls = nn.remat(block_cls, static_argnums=())
+    return nn.scan(
+        block_cls,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+        length=length,
+        unroll=model.scan_unroll,
+    )(arch=model.arch, attn_backend=model.attn_backend,
+      compute_dtype=model.compute_dtype, quant=model.quant,
+      seq_axis=model.seq_axis)
+
+
 class DiT(nn.Module):
     """CFM velocity transformer: v = DiT(x_t, cond, text, t)."""
 

@@ -41,13 +41,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax import linen as nn
 from jax.sharding import Mesh, PartitionSpec as P
 
 from lemas_tts_tpu.cfm.loss import cfm_training_loss
 from lemas_tts_tpu.cfm.train import TrainState, Trainer, make_schedule
 from lemas_tts_tpu.config import TrainConfig
-from lemas_tts_tpu.models.dit import DiT, _ScanBlock
+from lemas_tts_tpu.models.dit import DiT, make_block_stack
 from lemas_tts_tpu.parallel.mesh import (
     batch_pspecs_axis,
     compat_shard_map,
@@ -75,22 +74,7 @@ def make_pipe_mesh(
 _shard_map = compat_shard_map
 
 
-def _block_stack(model: DiT, length: int):
-    """A standalone nn.scan block stack matching the DiT's own scan config,
-    applied to a per-stage slice of the stacked block params."""
-    block_cls = _ScanBlock
-    if model.arch.checkpoint_activations:
-        block_cls = nn.remat(block_cls, static_argnums=())
-    return nn.scan(
-        block_cls,
-        variable_axes={"params": 0},
-        split_rngs={"params": True, "dropout": True},
-        in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
-        length=length,
-        unroll=model.scan_unroll,
-    )(arch=model.arch, attn_backend=model.attn_backend,
-      compute_dtype=model.compute_dtype, quant=model.quant,
-      seq_axis=model.seq_axis)
+_block_stack = make_block_stack
 
 
 def pipe_param_pspecs(params: Any, pipe_axis: str = "pipe") -> Any:

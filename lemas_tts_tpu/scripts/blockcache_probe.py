@@ -1,0 +1,150 @@
+"""Measure the block-range residual cache's speed/quality trade.
+
+``SamplerSettings.block_cache_range`` (``cfm/sampler.py``) is the
+training-free DiT acceleration of the DeepCache/Δ-DiT family: on refresh
+steps the full 22-block stack runs and the aggregate residual of blocks
+``[lo, hi)`` is stored; on the other steps that range collapses to one cached
+add (sequential deltas telescope). The reference has no equivalent — its
+sampler (``lemas_tts/model/cfm.py:382-425``) pays every block on every
+``odeint`` step.
+
+This probe makes both sides measurable on one command, for a grid of
+(range, refresh period):
+
+- speed: the analytic block-cost ratio (exact host-side math) AND measured
+  wall-clock speedup vs the uncached sampler on the same shapes;
+- quality: mel MSE / relative L2 vs the uncached trajectory from the SAME
+  noise, reference frames, and text (random init by default — a
+  trajectory-divergence scale, not a perceptual score; ``--ckpt`` runs a
+  converted reference checkpoint).
+
+    python -m lemas_tts_tpu.scripts.blockcache_probe \
+        --nfe 32 --cfg 2.0 --sway 1.0 --ranges 2-14,6-18 --periods 2,3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--nfe", type=int, default=32)
+    p.add_argument("--cfg", type=float, default=2.0)
+    p.add_argument("--sway", type=float, default=1.0)
+    p.add_argument("--cfg_cutoff", type=float, default=None,
+                   help="compose with CFG truncation (serving default 0.5)")
+    p.add_argument("--ranges", type=str, default="2-14,6-18,4-20",
+                   help="comma-separated lo-hi block ranges to probe")
+    p.add_argument("--periods", type=str, default="2,3",
+                   help="comma-separated refresh periods")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--n", type=int, default=1024, help="mel-frame bucket")
+    p.add_argument("--reps", type=int, default=3,
+                   help="timing repetitions (best-of after warmup)")
+    p.add_argument("--no_time", action="store_true",
+                   help="skip wall-clock timing (quality only)")
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--dim", type=int, default=1024)
+    p.add_argument("--depth", type=int, default=22)
+    p.add_argument("--heads", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def run_probe(args) -> list[dict]:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lemas_tts_tpu.cfm.sampler import SamplerSettings, make_sampler
+    from lemas_tts_tpu.config import DiTArch
+    from lemas_tts_tpu.eval.metrics import mel_mse
+    from lemas_tts_tpu.models.dit import DiT
+    from lemas_tts_tpu.ops.attention import default_backend
+    from lemas_tts_tpu.utils.misc import fast_random_params
+
+    arch = DiTArch(dim=args.dim, depth=args.depth, heads=args.heads,
+                   dim_head=args.dim // args.heads if args.dim < 1024 else 64)
+    model = DiT(arch=arch, mel_dim=100, text_num_embeds=898,
+                compute_dtype=jnp.bfloat16, attn_backend=default_backend())
+    if args.ckpt:
+        from lemas_tts_tpu.infer.checkpoints import load_cfm_checkpoint
+        params = {"params": load_cfm_checkpoint(args.ckpt)["dit"]}
+    else:
+        params = fast_random_params(
+            lambda k: model.init(k, jnp.zeros((1, 8, 100)),
+                                 jnp.zeros((1, 8, 100)),
+                                 jnp.zeros((1, 4), jnp.int32),
+                                 jnp.zeros((1,))),
+            jax.random.key(1), dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(args.seed)
+    B, N = args.batch, args.n
+    ref = min(188, N // 4)
+    text = jnp.asarray(rng.integers(1, 800, (B, 256)).astype(np.int32))
+    cond = np.zeros((B, N, 100), np.float32)
+    cond[:, :ref] = rng.standard_normal((B, ref, 100)) * 0.5 - 5.0
+    cond_mask = np.zeros((B, N), bool)
+    cond_mask[:, :ref] = True
+    inputs = (jnp.asarray(cond), jnp.asarray(cond_mask), text,
+              jnp.full((B,), N, jnp.int32),
+              jnp.asarray(rng.standard_normal((B, N, 100)), jnp.float32))
+
+    def build(range_, every):
+        s = SamplerSettings(steps=args.nfe, cfg_strength=args.cfg,
+                            sway_sampling_coef=args.sway,
+                            cfg_cutoff=args.cfg_cutoff,
+                            block_cache_range=range_,
+                            block_cache_every=every)
+        return make_sampler(model, s)
+
+    def measure(fn):
+        mel = np.asarray(jax.block_until_ready(fn(params, *inputs)))
+        if args.no_time:
+            return mel, float("nan")
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(params, *inputs))
+            best = min(best, time.perf_counter() - t0)
+        return mel, best
+
+    full, t_full = measure(build(None, 1))
+    scale = float(np.mean(np.square(full)))
+    ranges = [tuple(int(x) for x in r.split("-"))
+              for r in args.ranges.split(",") if r]
+    periods = [int(x) for x in args.periods.split(",") if x]
+    records = []
+    for lo, hi in ranges:
+        for every in periods:
+            mel, t = measure(build((lo, hi), every))
+            mse = float(mel_mse(jnp.asarray(mel), jnp.asarray(full)))
+            skipped = (hi - lo) * (1 - 1 / every)
+            rec = {
+                "range": f"{lo}-{hi}",
+                "every": every,
+                # exact average block count per velocity call
+                "block_cost_ratio": round(
+                    (args.depth - skipped) / args.depth, 4),
+                "mel_mse": mse,
+                "rel_l2": round(float(np.sqrt(mse / max(scale, 1e-20))), 6),
+                "time_s": round(t, 4),
+                "speedup": (round(t_full / t, 4)
+                            if not args.no_time else None),
+            }
+            records.append(rec)
+            print(json.dumps(rec))
+    print(json.dumps({"range": "none", "every": 1, "time_s": round(t_full, 4),
+                      "speedup": 1.0, "mel_mse": 0.0}))
+    return records
+
+
+def main(argv=None):
+    run_probe(build_argparser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -12,6 +12,7 @@ Endpoints:
                 (or {"ref_path": server-local path} instead of ref_b64).
                 Optional per-request sampler overrides: "nfe_step",
                 "cfg_strength", "sway_sampling_coef", "speed", "cfg_cutoff",
+                "block_cache" ("lo-hi:every" or "0"),
                 "ode_method" (the reference's Gradio app exposes NFE/CFG per
                 request, ``inference_gradio.py``; the engine batches
                 same-settings requests together).
@@ -109,6 +110,11 @@ _CFG_FIELDS = {
     "speed": ("speed", float, (0.1, 10.0)),
     "cfg_cutoff": ("cfg_cutoff", float, (0.0, 100.0)),
     "ode_method": ("ode_method", str, ("euler", "midpoint")),
+    # block-range residual cache spec "lo-hi:every" ("0" disables); validated
+    # by parse_block_cache below plus a depth bound (a hostile hi can't
+    # exceed the 22-block stack, and lo/hi/every are ints so the program
+    # space stays tiny)
+    "block_cache": ("block_cache", str, None),
 }
 
 
@@ -129,7 +135,14 @@ def _request_cfg(base, payload: dict):
                 v = cast(payload[key])
             except (TypeError, ValueError):
                 raise ValueError(f"{key!r} must be {cast.__name__}")
-            if cast is str:
+            if key == "block_cache":
+                from lemas_tts_tpu.cfm.sampler import parse_block_cache
+
+                parsed = parse_block_cache(v)  # raises on malformed specs
+                if parsed is not None and parsed[0][1] > 64:
+                    raise ValueError("block_cache hi out of range")
+                v = v if parsed is not None else None
+            elif cast is str:
                 if v not in rng:
                     raise ValueError(f"{key!r} must be one of {rng}")
             else:
@@ -327,6 +340,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CFG truncation threshold; <0 uses the measured "
                         "serving default (0.5 — docs/performance.md), 0 "
                         "disables (exact full-CFG reference semantics).")
+    p.add_argument("--block_cache", type=str, default="default",
+                   help="Block-range residual cache spec 'lo-hi:every'; "
+                        "'default' uses the measured serving default "
+                        "(config.SERVING_BLOCK_CACHE — docs/performance.md), "
+                        "'0' disables (exact per-step semantics).")
     p.add_argument("--max_batch", type=int, default=4)
     p.add_argument("--max_streams", type=int, default=2,
                    help="Concurrent /tts_stream requests (excess → 503).")
@@ -339,13 +357,20 @@ def sampler_config_from_args(args):
     (the flag default) resolves to the measured serving default
     ``config.SERVING_CFG_CUTOFF``; 0 disables truncation entirely (exact
     full-CFG reference semantics)."""
-    from lemas_tts_tpu.config import SERVING_CFG_CUTOFF, SamplerConfig
+    from lemas_tts_tpu.cfm.sampler import parse_block_cache
+    from lemas_tts_tpu.config import (SERVING_BLOCK_CACHE, SERVING_CFG_CUTOFF,
+                                      SamplerConfig)
 
     cutoff = getattr(args, "cfg_cutoff", -1.0)
+    bc = getattr(args, "block_cache", "default")
+    if bc == "default":
+        bc = SERVING_BLOCK_CACHE
+    bc = bc if parse_block_cache(bc) is not None else None  # validate / off
     return SamplerConfig(
         nfe_steps=args.nfe_step, cfg_strength=args.cfg_strength,
         sway_sampling_coef=args.sway_sampling_coef,
         cfg_cutoff=SERVING_CFG_CUTOFF if cutoff < 0 else (cutoff or None),
+        block_cache=bc,
     )
 
 

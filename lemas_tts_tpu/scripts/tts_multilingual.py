@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Skip the uncond CFG forward once "
                         "cfg_strength*(1-t)^2 < cutoff (speed/quality knob; "
                         "docs/performance.md).")
+    p.add_argument("--block_cache", type=str, default=None,
+                   help="Block-range residual cache 'lo-hi:every' (e.g. "
+                        "'2-20:2'): skip recomputing those DiT blocks "
+                        "between refresh steps (speed/quality knob; "
+                        "docs/performance.md).")
     p.add_argument("--ode_method", type=str, default="euler",
                    choices=["euler", "midpoint"],
                    help="ODE solver: euler (reference parity) | midpoint "
@@ -135,6 +140,7 @@ def main(argv=None) -> int:
         cfg_strength=args.cfg_strength,
         sway_sampling_coef=args.sway_sampling_coef,
         cfg_cutoff=args.cfg_cutoff,
+        block_cache=args.block_cache,
         speed=args.speed,
         separate_langs=args.separate_langs,
         use_acc_grl=args.use_acc_grl,

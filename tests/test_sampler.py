@@ -287,3 +287,130 @@ def test_cfg_cutoff_requires_concrete_time_grid():
 
     with pytest.raises(TypeError, match="concrete"):
         jax.jit(f)(grid)
+
+
+# ---------------------------------------------------------- block-range cache
+def test_block_cache_refresh_matches_full_forward():
+    """make_cached_forward with refresh=True must equal the plain DiT forward
+    exactly (validates the pre/mid/post param split + head path), and a skip
+    step fed the cache from the same input must reproduce it (the telescoped
+    residual is exact when x is unchanged)."""
+    from lemas_tts_tpu.cfm.sampler import make_cached_forward
+
+    _, jmodel, jparams = build_pair()
+    cond, cond_mask, text, duration, y0 = make_inputs()
+    B, N, D = cond.shape
+    fwd = make_cached_forward(jmodel, jparams, 1, 2)  # depth=2: pre=1, mid=1
+    mask = np.arange(N)[None, :] < duration[:, None]
+    te = jmodel.apply(jparams, jnp.asarray(text.astype(np.int32)), N, False,
+                      method=jmodel.embed_text)
+    x = jnp.asarray(y0)
+    c = jnp.asarray(np.where(cond_mask[..., None], cond, 0.0))
+    t = jnp.float32(0.3)
+    cache0 = jnp.zeros((B, N, jmodel.arch.dim), jnp.float32)
+
+    full = jmodel.apply(jparams, x, c, None, jnp.broadcast_to(t, (B,)),
+                        jnp.asarray(mask), text_embed=te)
+    pred_r, cache = jax.jit(fwd)(x, c, jnp.asarray(mask), te, None, t,
+                                 cache0, jnp.bool_(True))
+    np.testing.assert_allclose(np.asarray(pred_r), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+    assert float(jnp.max(jnp.abs(cache))) > 0
+    pred_s, cache2 = jax.jit(fwd)(x, c, jnp.asarray(mask), te, None, t,
+                                  cache, jnp.bool_(False))
+    np.testing.assert_allclose(np.asarray(pred_s), np.asarray(pred_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(cache2), np.asarray(cache))
+
+
+def test_block_cache_every1_is_exact():
+    """refresh-every-step ≡ the plain sampler (only the scan is restructured;
+    every mid-range is recomputed)."""
+    _, jmodel, jparams = build_pair()
+    cond, cond_mask, text, duration, y0 = make_inputs()
+    args = (jparams, jnp.asarray(cond), jnp.asarray(cond_mask),
+            jnp.asarray(text.astype(np.int32)), jnp.asarray(duration),
+            jnp.asarray(y0))
+    base = np.asarray(make_sampler(jmodel, SamplerSettings(
+        steps=6, cfg_strength=2.0, sway_sampling_coef=1.0))(*args))
+    cached = np.asarray(make_sampler(jmodel, SamplerSettings(
+        steps=6, cfg_strength=2.0, sway_sampling_coef=1.0,
+        block_cache_range=(1, 2), block_cache_every=1))(*args))
+    np.testing.assert_allclose(cached, base, rtol=1e-5, atol=1e-5)
+
+
+def test_block_cache_skipping_close_and_keeps_frames():
+    """every=2 actually diverges from the exact trajectory (the skip branch
+    ran) but stays close, and the editing keep-mask paste is untouched."""
+    _, jmodel, jparams = build_pair()
+    cond, cond_mask, text, duration, y0 = make_inputs()
+    args = (jparams, jnp.asarray(cond), jnp.asarray(cond_mask),
+            jnp.asarray(text.astype(np.int32)), jnp.asarray(duration),
+            jnp.asarray(y0))
+    base = np.asarray(make_sampler(jmodel, SamplerSettings(
+        steps=6, cfg_strength=2.0, sway_sampling_coef=1.0))(*args))
+    cached = np.asarray(make_sampler(jmodel, SamplerSettings(
+        steps=6, cfg_strength=2.0, sway_sampling_coef=1.0,
+        block_cache_range=(1, 2), block_cache_every=2))(*args))
+    gen = ~np.asarray(cond_mask)
+    assert np.max(np.abs(cached[gen] - base[gen])) > 0  # skip branch engaged
+    assert np.mean((cached - base) ** 2) < 1e-2  # same trajectory family
+    kept = np.asarray(cond_mask)
+    np.testing.assert_array_equal(cached[kept], cond[kept])
+    assert np.isfinite(cached).all()
+
+
+def test_block_cache_with_cfg_cutoff_and_no_cfg():
+    """The cache composes with CFG truncation (tail refresh at the 2B→B
+    boundary) and with the no-CFG path."""
+    _, jmodel, jparams = build_pair()
+    cond, cond_mask, text, duration, y0 = make_inputs()
+    args = (jparams, jnp.asarray(cond), jnp.asarray(cond_mask),
+            jnp.asarray(text.astype(np.int32)), jnp.asarray(duration),
+            jnp.asarray(y0))
+    out = np.asarray(make_sampler(jmodel, SamplerSettings(
+        steps=8, cfg_strength=2.0, sway_sampling_coef=1.0, cfg_cutoff=0.5,
+        block_cache_range=(0, 1), block_cache_every=3))(*args))
+    assert np.isfinite(out).all()
+    out2 = np.asarray(make_sampler(jmodel, SamplerSettings(
+        steps=4, cfg_strength=0.0, block_cache_range=(1, 2),
+        block_cache_every=2))(*args))
+    assert np.isfinite(out2).all()
+
+
+def test_block_cache_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        SamplerSettings(block_cache_range=(3, 2))
+    with pytest.raises(ValueError):
+        SamplerSettings(block_cache_range=(1, 2), method="midpoint")
+    with pytest.raises(ValueError):
+        SamplerSettings(block_cache_range=(1, 2), block_cache_every=0)
+    from lemas_tts_tpu.cfm.sampler import make_cached_forward
+
+    _, jmodel, jparams = build_pair()
+    with pytest.raises(ValueError):
+        make_cached_forward(jmodel, jparams, 0, 99)  # beyond depth
+
+
+def test_parse_block_cache():
+    from lemas_tts_tpu.cfm.sampler import block_cache_fields, parse_block_cache
+
+    assert parse_block_cache("2-20:2") == ((2, 20), 2)
+    assert parse_block_cache("4-18") == ((4, 18), 2)  # default period
+    assert parse_block_cache(None) is None
+    assert parse_block_cache("0") is None
+    assert parse_block_cache("none") is None
+    assert block_cache_fields("2-20:3") == {
+        "block_cache_range": (2, 20), "block_cache_every": 3}
+    assert block_cache_fields("") == {}
+    # flagship-tuned specs degrade gracefully on smaller models
+    assert block_cache_fields("2-20:2", depth=4) == {
+        "block_cache_range": (2, 4), "block_cache_every": 2}
+    assert block_cache_fields("2-20:2", depth=2) == {}
+    import pytest
+
+    for bad in ("20-2:2", "2-20:0", "x-y:z", "2:3"):
+        with pytest.raises(ValueError):
+            parse_block_cache(bad)

@@ -241,3 +241,46 @@ def test_tts_rejects_out_of_range_overrides(server):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(server + "/tts", {**base, **bad})
         assert e.value.code == 400, bad
+
+
+def test_block_cache_flag_resolution_and_override():
+    """--block_cache 'default' → SERVING_BLOCK_CACHE; '0' → off; explicit
+    spec → itself. Per-request 'block_cache' overrides validate."""
+    import dataclasses
+
+    from lemas_tts_tpu.config import SERVING_BLOCK_CACHE, SamplerConfig
+
+    parse = serve_http.build_parser().parse_args
+    resolve = serve_http.sampler_config_from_args
+    assert resolve(parse([])).block_cache == SERVING_BLOCK_CACHE
+    assert resolve(parse(["--block_cache", "0"])).block_cache is None
+    assert resolve(parse(["--block_cache", "4-18:3"])).block_cache == "4-18:3"
+
+    base = SamplerConfig()
+    cfg = serve_http._request_cfg(base, {"block_cache": "2-14:2"})
+    assert cfg.block_cache == "2-14:2"
+    cfg = serve_http._request_cfg(
+        dataclasses.replace(base, block_cache="2-20:2"), {"block_cache": "0"})
+    assert cfg.block_cache is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        serve_http._request_cfg(base, {"block_cache": "14-2:2"})
+    with pytest.raises(ValueError):
+        serve_http._request_cfg(base, {"block_cache": "0-65:2"})
+    with pytest.raises(ValueError):
+        serve_http._request_cfg(base, {"block_cache": "junk"})
+
+
+def test_tts_block_cache_request_roundtrip(server):
+    """A per-request block_cache spec valid at the tiny model's depth runs
+    the cached sampler through the whole engine path and returns audio;
+    cache on/off produce different (finite) waveforms at the same seed."""
+    base = {"ref_b64": _ref_b64(), "ref_text": "hello there",
+            "text": "general kenobi", "seed": 11, "nfe_step": 4}
+    code, ctype, w_exact = _post(server + "/tts", {**base, "block_cache": "0"})
+    assert code == 200 and ctype == "audio/wav"
+    code, ctype, w_cached = _post(server + "/tts",
+                                  {**base, "block_cache": "0-1:2"})
+    assert code == 200 and ctype == "audio/wav"
+    assert w_cached != w_exact  # the skip branch actually engaged

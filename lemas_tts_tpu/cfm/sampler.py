@@ -131,6 +131,12 @@ class SamplerSettings:
     # ``scripts/blockcache_probe.py``.
     block_cache_range: Optional[tuple] = None  # (lo, hi) block indices
     block_cache_every: int = 2  # refresh period (1 ≡ exact, no skipping)
+    # always-refresh windows at the trajectory's head/tail (steps, not
+    # fractions): under the sway warp, dt grows along the trajectory, so the
+    # cache is stalest late — a dense tail buys a longer base period at
+    # equal error (measured in scripts/blockcache_probe.py)
+    block_cache_warm_head: int = 0
+    block_cache_warm_tail: int = 0
 
     def __post_init__(self):
         if self.method not in ("euler", "midpoint"):
@@ -172,22 +178,34 @@ class SamplerSettings:
 
 
 def parse_block_cache(spec: Optional[str]):
-    """Parse a block-cache spec string ``"lo-hi:every"`` (e.g. ``"2-20:2"``)
-    into ``((lo, hi), every)``; ``None``/empty/"0"/"none" → None. The string
-    form is what configs, CLIs, env knobs, and per-request serving overrides
-    carry (compact, hashable, validates in one place)."""
+    """Parse a block-cache spec string ``"lo-hi:every[+hN][+tN]"`` (e.g.
+    ``"2-20:2"``, ``"2-20:3+t6"``) into ``((lo, hi), every, head, tail)``;
+    ``None``/empty/"0"/"none" → None. ``+hN``/``+tN`` are always-refresh
+    windows of N steps at the trajectory head/tail. The string form is what
+    configs, CLIs, env knobs, and per-request serving overrides carry
+    (compact, hashable, validates in one place)."""
     if not spec or str(spec).strip().lower() in ("0", "none", "off"):
         return None
     s = str(spec).strip()
     try:
-        rng, _, every = s.partition(":")
+        rng, _, rest = s.partition(":")
         lo, hi = (int(x) for x in rng.split("-"))
-        every = int(every) if every else 2
+        parts = rest.split("+") if rest else [""]
+        every = int(parts[0]) if parts[0] else 2
+        head = tail = 0
+        for p in parts[1:]:
+            if p[:1] == "h":
+                head = int(p[1:])
+            elif p[:1] == "t":
+                tail = int(p[1:])
+            else:
+                raise ValueError(p)
     except ValueError:
-        raise ValueError(f"bad block_cache spec {spec!r} (want 'lo-hi:every')")
-    if not (0 <= lo < hi) or every < 1:
+        raise ValueError(
+            f"bad block_cache spec {spec!r} (want 'lo-hi:every[+hN][+tN]')")
+    if not (0 <= lo < hi) or every < 1 or head < 0 or tail < 0:
         raise ValueError(f"bad block_cache spec {spec!r}")
-    return (lo, hi), every
+    return (lo, hi), every, head, tail
 
 
 def block_cache_fields(spec: Optional[str], depth: Optional[int] = None) -> dict:
@@ -199,12 +217,17 @@ def block_cache_fields(spec: Optional[str], depth: Optional[int] = None) -> dict
     parsed = parse_block_cache(spec)
     if parsed is None:
         return {}
-    (lo, hi), every = parsed
+    (lo, hi), every, head, tail = parsed
     if depth is not None:
         hi = min(hi, int(depth))
         if lo >= hi:
             return {}
-    return {"block_cache_range": (lo, hi), "block_cache_every": every}
+    out = {"block_cache_range": (lo, hi), "block_cache_every": every}
+    if head:
+        out["block_cache_warm_head"] = head
+    if tail:
+        out["block_cache_warm_tail"] = tail
+    return out
 
 
 def make_cached_forward(model: Any, params: Any, lo: int, hi: int):
@@ -426,6 +449,10 @@ def _scan_block_cached(model, params, settings, t_pairs, k, y0, *,
     steps = t_pairs.shape[0]
     clamp = settings.velocity_clamp
     flags = np.arange(steps) % settings.block_cache_every == 0
+    if settings.block_cache_warm_head:
+        flags[:settings.block_cache_warm_head] = True
+    if settings.block_cache_warm_tail:
+        flags[max(0, steps - settings.block_cache_warm_tail):] = True
 
     def cond_only_vel(t, x, cache, refresh, do_clamp):
         pred, cache = fwd(x, step_cond, attn_mask, te_cond, prosody_text,

@@ -19,7 +19,7 @@ This probe makes both sides measurable on one command, for a grid of
   converted reference checkpoint).
 
     python -m lemas_tts_tpu.scripts.blockcache_probe \
-        --nfe 32 --cfg 2.0 --sway 1.0 --ranges 2-14,6-18 --periods 2,3
+        --nfe 32 --cfg 2.0 --sway 1.0 --specs 2-14:2,2-20:3+t6
 """
 
 from __future__ import annotations
@@ -36,10 +36,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--sway", type=float, default=1.0)
     p.add_argument("--cfg_cutoff", type=float, default=None,
                    help="compose with CFG truncation (serving default 0.5)")
-    p.add_argument("--ranges", type=str, default="2-14,6-18,4-20",
-                   help="comma-separated lo-hi block ranges to probe")
-    p.add_argument("--periods", type=str, default="2,3",
-                   help="comma-separated refresh periods")
+    p.add_argument("--specs", type=str, default="2-14:2,6-18:2,4-20:2,4-20:3",
+                   help="comma-separated block-cache specs "
+                        "('lo-hi:every[+hN][+tN]', parse_block_cache)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--n", type=int, default=1024, help="mel-frame bucket")
     p.add_argument("--reps", type=int, default=3,
@@ -93,13 +92,14 @@ def run_probe(args) -> list[dict]:
               jnp.full((B,), N, jnp.int32),
               jnp.asarray(rng.standard_normal((B, N, 100)), jnp.float32))
 
-    def build(range_, every):
+    def build(spec):
+        from lemas_tts_tpu.cfm.sampler import block_cache_fields
+
         s = SamplerSettings(steps=args.nfe, cfg_strength=args.cfg,
                             sway_sampling_coef=args.sway,
                             cfg_cutoff=args.cfg_cutoff,
-                            block_cache_range=range_,
-                            block_cache_every=every)
-        return make_sampler(model, s)
+                            **block_cache_fields(spec, args.depth))
+        return s, make_sampler(model, s)
 
     def measure(fn):
         mel = np.asarray(jax.block_until_ready(fn(params, *inputs)))
@@ -112,32 +112,32 @@ def run_probe(args) -> list[dict]:
             best = min(best, time.perf_counter() - t0)
         return mel, best
 
-    full, t_full = measure(build(None, 1))
+    full, t_full = measure(build(None)[1])
     scale = float(np.mean(np.square(full)))
-    ranges = [tuple(int(x) for x in r.split("-"))
-              for r in args.ranges.split(",") if r]
-    periods = [int(x) for x in args.periods.split(",") if x]
     records = []
-    for lo, hi in ranges:
-        for every in periods:
-            mel, t = measure(build((lo, hi), every))
-            mse = float(mel_mse(jnp.asarray(mel), jnp.asarray(full)))
-            skipped = (hi - lo) * (1 - 1 / every)
-            rec = {
-                "range": f"{lo}-{hi}",
-                "every": every,
-                # exact average block count per velocity call
-                "block_cost_ratio": round(
-                    (args.depth - skipped) / args.depth, 4),
-                "mel_mse": mse,
-                "rel_l2": round(float(np.sqrt(mse / max(scale, 1e-20))), 6),
-                "time_s": round(t, 4),
-                "speedup": (round(t_full / t, 4)
-                            if not args.no_time else None),
-            }
-            records.append(rec)
-            print(json.dumps(rec))
-    print(json.dumps({"range": "none", "every": 1, "time_s": round(t_full, 4),
+    for spec in (s for s in args.specs.split(",") if s):
+        settings, fn = build(spec)
+        mel, t = measure(fn)
+        mse = float(mel_mse(jnp.asarray(mel), jnp.asarray(full)))
+        # exact average block count per velocity call from the real flag
+        # schedule (incl. warm head/tail windows)
+        flags = np.arange(args.nfe) % settings.block_cache_every == 0
+        flags[:settings.block_cache_warm_head] = True
+        if settings.block_cache_warm_tail:
+            flags[max(0, args.nfe - settings.block_cache_warm_tail):] = True
+        lo, hi = settings.block_cache_range
+        skipped = (hi - lo) * float(np.mean(~flags))
+        rec = {
+            "spec": spec,
+            "block_cost_ratio": round((args.depth - skipped) / args.depth, 4),
+            "mel_mse": mse,
+            "rel_l2": round(float(np.sqrt(mse / max(scale, 1e-20))), 6),
+            "time_s": round(t, 4),
+            "speedup": (round(t_full / t, 4) if not args.no_time else None),
+        }
+        records.append(rec)
+        print(json.dumps(rec))
+    print(json.dumps({"spec": "none", "time_s": round(t_full, 4),
                       "speedup": 1.0, "mel_mse": 0.0}))
     return records
 

@@ -397,8 +397,13 @@ def test_block_cache_validation():
 def test_parse_block_cache():
     from lemas_tts_tpu.cfm.sampler import block_cache_fields, parse_block_cache
 
-    assert parse_block_cache("2-20:2") == ((2, 20), 2)
-    assert parse_block_cache("4-18") == ((4, 18), 2)  # default period
+    assert parse_block_cache("2-20:2") == ((2, 20), 2, 0, 0)
+    assert parse_block_cache("4-18") == ((4, 18), 2, 0, 0)  # default period
+    assert parse_block_cache("2-20:3+t6") == ((2, 20), 3, 0, 6)
+    assert parse_block_cache("2-20:3+h2+t6") == ((2, 20), 3, 2, 6)
+    assert block_cache_fields("2-20:3+t6") == {
+        "block_cache_range": (2, 20), "block_cache_every": 3,
+        "block_cache_warm_tail": 6}
     assert parse_block_cache(None) is None
     assert parse_block_cache("0") is None
     assert parse_block_cache("none") is None

@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cfg_cutoff", type=float, default=-1.0,
                    help="CFG truncation; <0 = serving default "
                         "(config.SERVING_CFG_CUTOFF), 0 = exact full CFG")
+    p.add_argument("--block_cache", type=str, default="default",
+                   help="block-cache spec 'lo-hi:every[+hN][+tN]'; 'default' "
+                        "= config.SERVING_BLOCK_CACHE, '0' = off")
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--qps", type=float, default=0.0,
                    help="open-loop arrival rate; 0 = closed loop (B=1 floor)")
@@ -74,12 +77,15 @@ def main() -> int:
     ]
     gen_units = [tts.prepare_units(s) for s in texts]
 
-    from lemas_tts_tpu.config import SERVING_CFG_CUTOFF
+    from lemas_tts_tpu.cfm.sampler import parse_block_cache
+    from lemas_tts_tpu.config import SERVING_BLOCK_CACHE, SERVING_CFG_CUTOFF
 
     cutoff = SERVING_CFG_CUTOFF if args.cfg_cutoff < 0 else (args.cfg_cutoff
                                                              or None)
+    bc = SERVING_BLOCK_CACHE if args.block_cache == "default" else args.block_cache
+    bc = bc if parse_block_cache(bc) is not None else None
     cfg = SamplerConfig(nfe_steps=args.nfe, cfg_strength=args.cfg_strength,
-                        cfg_cutoff=cutoff)
+                        cfg_cutoff=cutoff, block_cache=bc)
     eng = ServingEngine(tts.synth, cfg=cfg, max_batch=args.max_batch)
 
     def make_req(i):

@@ -105,6 +105,8 @@ def build_app(args):
     import gradio as gr
     import numpy as np
 
+    from lemas_tts_tpu.config import SERVING_BLOCK_CACHE
+
     uvr_holder: dict = {}
 
     def denoise_fn(audio: Optional[Tuple[int, np.ndarray]]):
@@ -130,7 +132,7 @@ def build_app(args):
 
     def infer_fn(ref_audio, ref_text, gen_text, nfe_step, cfg_strength,
                  sway, ref_ratio, speed, separate_langs, remove_silence,
-                 seed_text):
+                 fast_mode, seed_text):
         if ref_audio is None or not gen_text:
             raise gr.Error("reference audio and generation text are required")
         sr, wav = ref_audio
@@ -155,6 +157,11 @@ def build_app(args):
                 use_acc_grl=ref_ratio < 1,  # the GRL shuffle path gates ref_ratio
                 ref_ratio=float(ref_ratio) if ref_ratio < 1 else None,
                 speed=float(speed), separate_langs=bool(separate_langs),
+                # measured presets (docs/performance.md): CFG truncation at
+                # 1.0 + the block-range residual cache — ~1.6x at canonical
+                # settings, inside the 1e-3 mel-MSE parity bar
+                cfg_cutoff=1.0 if fast_mode else None,
+                block_cache=SERVING_BLOCK_CACHE if fast_mode else None,
                 seed=seed, show_info=lambda *a, **k: None,
             )
         finally:
@@ -184,6 +191,10 @@ def build_app(args):
                     ref_ratio = gr.Slider(0.0, 1.0, value=1.0, step=0.05, label="Ref ratio (GRL)")
                     speed = gr.Slider(0.3, 2.0, value=1.0, step=0.1, label="Speed")
                     separate = gr.Checkbox(value=True, label="Separate langs")
+                    fast = gr.Checkbox(
+                        value=False,
+                        label="Fast mode (CFG truncation + block cache — "
+                              "measured ~1.6x, docs/performance.md)")
                     rm_sil = gr.Checkbox(value=False, label="Remove silences")
                     seed_in = gr.Textbox(label="Seed (blank → random)")
                 go = gr.Button("Generate Audio", variant="primary")
@@ -196,7 +207,7 @@ def build_app(args):
         go.click(
             infer_fn,
             inputs=[ref_audio, ref_text, gen_text, nfe, cfgs, sway, ref_ratio,
-                    speed, separate, rm_sil, seed_in],
+                    speed, separate, rm_sil, fast, seed_in],
             outputs=[out_audio, seed_out],
         )
         stats_btn.click(lambda: system_stats(), outputs=[stats])

@@ -208,12 +208,18 @@ def parse_block_cache(spec: Optional[str]):
     return (lo, hi), every, head, tail
 
 
-def block_cache_fields(spec: Optional[str], depth: Optional[int] = None) -> dict:
+def block_cache_fields(spec: Optional[str], depth: Optional[int] = None,
+                       method: str = "euler") -> dict:
     """``SamplerSettings`` kwargs for a block-cache spec string (empty dict
     when disabled) — the one-liner every settings-construction site uses.
     ``depth`` (the model's block count) clamps ``hi`` so a flagship-tuned
     spec like the serving default "2-20:2" degrades gracefully on smaller
-    architectures (empty range → cache disabled) instead of raising."""
+    architectures (empty range → cache disabled) instead of raising, and a
+    non-euler ``method`` likewise disables the cache (midpoint's two evals
+    per step break the one-cache-per-step schedule) so a serving default
+    never turns a legal per-request ``ode_method`` override into a 500."""
+    if method != "euler":
+        return {}
     parsed = parse_block_cache(spec)
     if parsed is None:
         return {}
@@ -372,10 +378,7 @@ def sample_mel(
                 params, x2, cond2, None, jnp.broadcast_to(t, (2 * B,)), mask2,
                 text_embed=te2, prosody_text=pt2,
             )
-            pred, null_pred = pred2[:B], pred2[B:]
-            cfg_t = settings.cfg_strength * jnp.square(1.0 - t)
-            v = pred + (pred - null_pred) * cfg_t
-            return jnp.clip(v, -settings.velocity_clamp, settings.velocity_clamp)
+            return _cfg_velocity_combine(pred2, B, t, settings)
 
     else:
 
@@ -409,8 +412,10 @@ def sample_mel(
         y_final, traj = _scan_block_cached(
             model, params, settings, t_pairs, k, y0,
             step_cond=step_cond, attn_mask=attn_mask, te_cond=te_cond,
-            te_uncond=te_uncond if settings.use_cfg else None,
             prosody_text=prosody_text,
+            # reuse the exact path's prebuilt 2B CFG operands — one
+            # construction site, the two paths cannot drift
+            cfg_pack=((te2, cond2, mask2, pt2) if settings.use_cfg else None),
         )
     elif settings.use_cfg and k < steps:
         # static CFG truncation: prefix scan with the 2-pass CFG velocity,
@@ -434,13 +439,25 @@ def sample_mel(
     return out
 
 
+def _cfg_velocity_combine(pred2, B, t, settings):
+    """CFG combine + clamp shared by the exact and block-cached velocity
+    paths (reference ``cfm.py:420-424`` order: scale by ``cfg·(1−t)²``,
+    then clamp)."""
+    pred, null_pred = pred2[:B], pred2[B:]
+    cfg_t = settings.cfg_strength * jnp.square(1.0 - t)
+    v = pred + (pred - null_pred) * cfg_t
+    return jnp.clip(v, -settings.velocity_clamp, settings.velocity_clamp)
+
+
 def _scan_block_cached(model, params, settings, t_pairs, k, y0, *,
-                       step_cond, attn_mask, te_cond, te_uncond,
-                       prosody_text):
+                       step_cond, attn_mask, te_cond, prosody_text,
+                       cfg_pack):
     """NFE scan with the block-range residual cache: carry = (y, cache),
     xs = (t/dt pairs, static refresh flags). Mirrors the CFG-truncation
     prefix/tail split of the plain path; the tail forces a refresh at its
-    first step because the batch width halves (2B → B) at the boundary."""
+    first step because the batch width halves (2B → B) at the boundary.
+    ``cfg_pack`` carries the exact path's prebuilt (te2, cond2, mask2, pt2)
+    CFG operands."""
     lo, hi = settings.block_cache_range
     fwd = make_cached_forward(model, params, lo, hi)
     B, N, _ = step_cond.shape
@@ -462,19 +479,12 @@ def _scan_block_cached(model, params, settings, t_pairs, k, y0, *,
         return pred, cache
 
     if settings.use_cfg:
-        te2 = jnp.concatenate([te_cond, te_uncond], axis=0)
-        cond2 = jnp.concatenate([step_cond, jnp.zeros_like(step_cond)], axis=0)
-        mask2 = jnp.concatenate([attn_mask, attn_mask], axis=0)
-        pt2 = (None if prosody_text is None
-               else jnp.concatenate([prosody_text, prosody_text], axis=0))
+        te2, cond2, mask2, pt2 = cfg_pack
 
         def cfg_vel(t, x, cache, refresh):
             x2 = jnp.concatenate([x, x], axis=0)
             pred2, cache = fwd(x2, cond2, mask2, te2, pt2, t, cache, refresh)
-            pred, null_pred = pred2[:B], pred2[B:]
-            cfg_t = settings.cfg_strength * jnp.square(1.0 - t)
-            v = pred + (pred - null_pred) * cfg_t
-            return jnp.clip(v, -clamp, clamp), cache
+            return _cfg_velocity_combine(pred2, B, t, settings), cache
 
     def body(vel):
         def ode_step(carry, xs):

@@ -334,7 +334,8 @@ class Synthesizer:
             method=cfg.ode_method,
             cfg_cutoff=cfg.cfg_cutoff,
             **block_cache_fields(cfg.block_cache,
-                                 self.dit_model.arch.depth),
+                                 self.dit_model.arch.depth,
+                                 cfg.ode_method),
         )
         run = self._sampler(settings)
         n = 0
@@ -577,7 +578,8 @@ class Synthesizer:
             cfg_cutoff=cfg.cfg_cutoff,
             t_start=t_start,
             **block_cache_fields(cfg.block_cache,
-                                 self.dit_model.arch.depth),
+                                 self.dit_model.arch.depth,
+                                 cfg.ode_method),
         )
         run = self._sampler(settings)
         out = run(
@@ -773,7 +775,8 @@ class Synthesizer:
             method=cfg.ode_method,
             cfg_cutoff=cfg.cfg_cutoff,
             **block_cache_fields(cfg.block_cache,
-                                 self.dit_model.arch.depth),
+                                 self.dit_model.arch.depth,
+                                 cfg.ode_method),
         )
         # mel stays device-resident through slicing and vocoding: through a
         # narrow host link (e.g. the benchmarking tunnel) the old

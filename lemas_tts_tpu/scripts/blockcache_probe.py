@@ -115,16 +115,27 @@ def run_probe(args) -> list[dict]:
     full, t_full = measure(build(None)[1])
     scale = float(np.mean(np.square(full)))
     records = []
+    from lemas_tts_tpu.cfm.sampler import sway_time_grid
+
+    grid = sway_time_grid(args.nfe, args.sway)
     for spec in (s for s in args.specs.split(",") if s):
         settings, fn = build(spec)
+        if settings.block_cache_range is None:
+            # spec clamped to disabled at this depth/method — a no-op run
+            print(json.dumps({"spec": spec, "disabled": True}))
+            continue
         mel, t = measure(fn)
         mse = float(mel_mse(jnp.asarray(mel), jnp.asarray(full)))
         # exact average block count per velocity call from the real flag
-        # schedule (incl. warm head/tail windows)
+        # schedule (warm head/tail windows AND the forced refresh at the
+        # CFG-truncation 2B→B boundary, mirroring _scan_block_cached)
         flags = np.arange(args.nfe) % settings.block_cache_every == 0
         flags[:settings.block_cache_warm_head] = True
         if settings.block_cache_warm_tail:
             flags[max(0, args.nfe - settings.block_cache_warm_tail):] = True
+        k = settings.cfg_active_steps(grid)
+        if settings.use_cfg and k < args.nfe:
+            flags[k] = True
         lo, hi = settings.block_cache_range
         skipped = (hi - lo) * float(np.mean(~flags))
         rec = {

@@ -139,8 +139,14 @@ def _request_cfg(base, payload: dict):
                 from lemas_tts_tpu.cfm.sampler import parse_block_cache
 
                 parsed = parse_block_cache(v)  # raises on malformed specs
-                if parsed is not None and parsed[0][1] > 64:
-                    raise ValueError("block_cache hi out of range")
+                if parsed is not None:
+                    (_, hi), every, head, tail = parsed
+                    # bound EVERY dimension of the spec: each distinct value
+                    # is a distinct frozen SamplerSettings → a fresh XLA
+                    # compile on the single engine worker (same compile-DoS
+                    # reasoning as the nfe_step cap above)
+                    if hi > 64 or every > 8 or head > 64 or tail > 64:
+                        raise ValueError("block_cache spec out of range")
                 v = v if parsed is not None else None
             elif cast is str:
                 if v not in rng:

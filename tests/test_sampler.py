@@ -414,6 +414,10 @@ def test_parse_block_cache():
     assert block_cache_fields("2-20:2", depth=4) == {
         "block_cache_range": (2, 4), "block_cache_every": 2}
     assert block_cache_fields("2-20:2", depth=2) == {}
+    # non-euler methods disable the cache instead of raising at settings
+    # construction (a serving default must not 500 a legal per-request
+    # ode_method override)
+    assert block_cache_fields("2-20:2", depth=22, method="midpoint") == {}
     import pytest
 
     for bad in ("20-2:2", "2-20:0", "x-y:z", "2:3"):

@@ -270,6 +270,11 @@ def test_block_cache_flag_resolution_and_override():
         serve_http._request_cfg(base, {"block_cache": "0-65:2"})
     with pytest.raises(ValueError):
         serve_http._request_cfg(base, {"block_cache": "junk"})
+    # every/head/tail are program-space dimensions too — bounded against
+    # compile-DoS like nfe_step
+    for bad in ("2-20:9", "2-20:2+t65", "2-20:2+h65"):
+        with pytest.raises(ValueError):
+            serve_http._request_cfg(base, {"block_cache": bad})
 
 
 def test_tts_block_cache_request_roundtrip(server):

@@ -50,6 +50,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--depth", type=int, default=22)
     p.add_argument("--heads", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pick_mse", type=float, default=None,
+                   help="also print the fastest probed spec whose mel MSE "
+                        "is within this budget (one-command calibration "
+                        "for a new checkpoint/settings combo)")
     return p
 
 
@@ -126,6 +130,11 @@ def run_probe(args) -> list[dict]:
             continue
         mel, t = measure(fn)
         mse = float(mel_mse(jnp.asarray(mel), jnp.asarray(full)))
+        # MCD (dB) on the generated region — a cepstral (more perceptual)
+        # view of the same deviation; <0.3 dB is inaudible by convention
+        from lemas_tts_tpu.eval.metrics import mcd
+        mcd_db = float(np.mean([
+            mcd(mel[i, ref:], full[i, ref:]) for i in range(B)]))
         # exact average block count per velocity call from the real flag
         # schedule (warm head/tail windows AND the forced refresh at the
         # CFG-truncation 2B→B boundary, mirroring _scan_block_cached)
@@ -142,6 +151,7 @@ def run_probe(args) -> list[dict]:
             "spec": spec,
             "block_cost_ratio": round((args.depth - skipped) / args.depth, 4),
             "mel_mse": mse,
+            "mcd_db": round(mcd_db, 4),
             "rel_l2": round(float(np.sqrt(mse / max(scale, 1e-20))), 6),
             "time_s": round(t, 4),
             "speedup": (round(t_full / t, 4) if not args.no_time else None),
@@ -150,6 +160,14 @@ def run_probe(args) -> list[dict]:
         print(json.dumps(rec))
     print(json.dumps({"spec": "none", "time_s": round(t_full, 4),
                       "speedup": 1.0, "mel_mse": 0.0}))
+    if args.pick_mse is not None:
+        ok = [r for r in records
+              if not r.get("disabled") and r["mel_mse"] <= args.pick_mse]
+        key = ((lambda r: r["speedup"]) if not args.no_time
+               else (lambda r: -r["block_cost_ratio"]))
+        pick = max(ok, key=key) if ok else None
+        print(json.dumps({"picked": pick["spec"] if pick else None,
+                          "budget_mse": args.pick_mse}))
     return records
 
 

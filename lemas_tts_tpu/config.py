@@ -96,12 +96,14 @@ SERVING_CFG_CUTOFF = 0.5
 
 # Measured serving default for the block-range residual cache
 # (SamplerSettings.block_cache_range, scripts/blockcache_probe.py): refresh
-# blocks [2,20)'s aggregate residual every 2nd ODE step and reuse it in
-# between. On-chip at the serving settings (NFE=32, CFG 2, cutoff 0.5, B=8):
-# 1.56× sampler speedup at 1.7e-4 mel MSE vs the uncached trajectory — 6×
-# inside the 1e-3 parity bar. Library SamplerConfig default stays None
-# (exact reference semantics); serving entry points opt in with this value.
-SERVING_BLOCK_CACHE = "2-20:2"
+# the FULL block stack's aggregate residual every 2nd ODE step (dense final
+# 2 steps), one cached add in between. On-chip at the serving settings
+# (NFE=32, CFG 2, cutoff 0.5, B=8): 1.74× sampler speedup at 1.68e-4 mel
+# MSE / 0.35 dB MCD vs the uncached trajectory — 6× inside the 1e-3 parity
+# bar, and Pareto-dominant over the round-2 default "2-20:2" (1.56× at the
+# same error). Library SamplerConfig default stays None (exact reference
+# semantics); serving entry points opt in with this value.
+SERVING_BLOCK_CACHE = "0-22:2+t2"
 
 
 @dataclass(frozen=True)

@@ -212,6 +212,10 @@ def edit_speech(
         sway_sampling_coef=cfg.sway_sampling_coef,
         method=cfg.ode_method,
         cfg_cutoff=cfg.cfg_cutoff,
+        # same gated opt-in as the synthesis paths (library default None);
+        # the bit-exact paste of kept frames is unaffected — the cache only
+        # approximates the generated region's trajectory
+        **synth._block_cache_kwargs(cfg),
     )
     run = synth._sampler(settings)
     out = run(

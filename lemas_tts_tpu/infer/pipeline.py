@@ -241,6 +241,20 @@ class Synthesizer:
                     self._samplers[settings] = fn
         return fn
 
+    def _block_cache_kwargs(self, cfg: SamplerConfig) -> dict:
+        """Gated block-cache ``SamplerSettings`` kwargs for THIS synthesizer.
+        On top of :func:`block_cache_fields`' depth/method clamps, the cache
+        is DiT-only (needs ``arch``/``embed_inputs``/``head``) and does not
+        compose with sequence-parallel sampling (collectives inside
+        ``lax.cond``) — those topologies fall back to the exact path instead
+        of turning the serving default into a trace-time error."""
+        depth = getattr(getattr(self.dit_model, "arch", None), "depth", None)
+        if depth is None or not hasattr(type(self.dit_model), "embed_inputs"):
+            return {}
+        if self.mesh is not None and dict(self.mesh.shape).get("seq", 1) > 1:
+            return {}
+        return block_cache_fields(cfg.block_cache, depth, cfg.ode_method)
+
     def _seq_sampler(self, settings: SamplerSettings):
         """Sequence-parallel sampling on a ('data','seq') mesh
         (parallel/sequence.py): the sequence axis of every utterance shards
@@ -333,9 +347,7 @@ class Synthesizer:
             sway_sampling_coef=cfg.sway_sampling_coef,
             method=cfg.ode_method,
             cfg_cutoff=cfg.cfg_cutoff,
-            **block_cache_fields(cfg.block_cache,
-                                 self.dit_model.arch.depth,
-                                 cfg.ode_method),
+            **self._block_cache_kwargs(cfg),
         )
         run = self._sampler(settings)
         n = 0
@@ -577,9 +589,7 @@ class Synthesizer:
             method=cfg.ode_method,
             cfg_cutoff=cfg.cfg_cutoff,
             t_start=t_start,
-            **block_cache_fields(cfg.block_cache,
-                                 self.dit_model.arch.depth,
-                                 cfg.ode_method),
+            **self._block_cache_kwargs(cfg),
         )
         run = self._sampler(settings)
         out = run(
@@ -774,9 +784,7 @@ class Synthesizer:
             sway_sampling_coef=cfg.sway_sampling_coef,
             method=cfg.ode_method,
             cfg_cutoff=cfg.cfg_cutoff,
-            **block_cache_fields(cfg.block_cache,
-                                 self.dit_model.arch.depth,
-                                 cfg.ode_method),
+            **self._block_cache_kwargs(cfg),
         )
         # mel stays device-resident through slicing and vocoding: through a
         # narrow host link (e.g. the benchmarking tunnel) the old

@@ -71,12 +71,6 @@ def make_pipe_mesh(
     return Mesh(grid, axis_names=("data", "pipe"))
 
 
-_shard_map = compat_shard_map
-
-
-_block_stack = make_block_stack
-
-
 def pipe_param_pspecs(params: Any, pipe_axis: str = "pipe") -> Any:
     """Blocks (stacked depth axis) shard over 'pipe'; everything else
     replicates."""
@@ -184,8 +178,8 @@ def pipeline_dit_forward(
     Pp = mesh.shape[pipe_axis]
     assert model.arch.depth % Pp == 0, (model.arch.depth, Pp)
     M = num_microbatches or Pp
-    stack = _block_stack(model, model.arch.depth // Pp)
-    shard_map = _shard_map()
+    stack = make_block_stack(model, model.arch.depth // Pp)
+    shard_map = compat_shard_map()
 
     def local(variables, x, cond, text_ids, time, mask):
         pred = pipeline_forward_local(
@@ -255,7 +249,7 @@ class PipelinedTrainer(Trainer):
             dit_model.arch.depth, self.pipe_size)
         self.num_microbatches = num_microbatches or self.pipe_size
         self.remat = remat
-        self._stack = _block_stack(dit_model, dit_model.arch.depth // self.pipe_size)
+        self._stack = make_block_stack(dit_model, dit_model.arch.depth // self.pipe_size)
         assert cfg.grad_accumulation_steps <= 1, (
             "gradient accumulation is not supported with pipeline "
             "parallelism — raise num_microbatches instead (same effect: "
@@ -305,7 +299,7 @@ class PipelinedTrainer(Trainer):
         model, stack = self.dit_model, self._stack
         remat = self.remat
         max_norm = self.cfg.max_grad_norm
-        shard_map = _shard_map()
+        shard_map = compat_shard_map()
 
         def apply_fn(dit_params, phi, cond, text, time, mask,
                      drop_audio_cond=False, drop_text=False,

@@ -39,6 +39,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lemas_tts_tpu.cfm.sampler import SamplerSettings, sample_mel, sway_time_grid
+from lemas_tts_tpu.parallel.mesh import compat_shard_map
 from lemas_tts_tpu.utils.masks import lens_to_mask
 
 
@@ -56,9 +57,6 @@ def make_seq_mesh(
         n_devices // seq_parallel, seq_parallel
     )
     return Mesh(grid, axis_names=("data", "seq"))
-
-
-from lemas_tts_tpu.parallel.mesh import compat_shard_map as _shard_map
 
 
 def sequence_parallel_sampler(
@@ -83,7 +81,7 @@ def sequence_parallel_sampler(
                        settings.t_start)
     )
     s = mesh.shape[seq_axis]
-    shard_map = _shard_map()
+    shard_map = compat_shard_map()
 
     def local(params, cond, cond_mask, attn_mask, duration, y0, *te):
         te_pair = (te[0], te[1] if settings.use_cfg else None)

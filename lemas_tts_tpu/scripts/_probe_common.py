@@ -1,0 +1,53 @@
+"""Shared setup for the sampler speed/quality probes
+(``cutoff_probe`` / ``blockcache_probe``): one construction site for the
+flagship-geometry model, params, and synthetic probe inputs so the two
+probes measure the exact same workload."""
+
+from __future__ import annotations
+
+
+def probe_model_and_inputs(args):
+    """(model, params, inputs) for a probe CLI namespace with
+    ``ckpt/dim/depth/heads/seed/batch/n`` args.
+
+    inputs = (cond, cond_mask, text_ids, duration, y0) at [batch, n] probe
+    geometry: ~2 s of synthetic reference mel (``ref = min(188, n // 4)``
+    frames) conditioning the rest of the bucket.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lemas_tts_tpu.config import DiTArch
+    from lemas_tts_tpu.models.dit import DiT
+    from lemas_tts_tpu.ops.attention import default_backend
+    from lemas_tts_tpu.utils.misc import fast_random_params
+
+    arch = DiTArch(dim=args.dim, depth=args.depth, heads=args.heads,
+                   dim_head=args.dim // args.heads if args.dim < 1024 else 64)
+    model = DiT(arch=arch, mel_dim=100, text_num_embeds=898,
+                compute_dtype=jnp.bfloat16, attn_backend=default_backend())
+    if args.ckpt:
+        from lemas_tts_tpu.infer.checkpoints import load_cfm_checkpoint
+
+        params = {"params": load_cfm_checkpoint(args.ckpt)["dit"]}
+    else:
+        params = fast_random_params(
+            lambda k: model.init(k, jnp.zeros((1, 8, 100)),
+                                 jnp.zeros((1, 8, 100)),
+                                 jnp.zeros((1, 4), jnp.int32),
+                                 jnp.zeros((1,))),
+            jax.random.key(1), dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(args.seed)
+    B, N = args.batch, args.n
+    ref = min(188, N // 4)  # ≈ 2 s reference audio at flagship buckets
+    text = jnp.asarray(rng.integers(1, 800, (B, 256)).astype(np.int32))
+    cond = np.zeros((B, N, 100), np.float32)
+    cond[:, :ref] = rng.standard_normal((B, ref, 100)) * 0.5 - 5.0
+    cond_mask = np.zeros((B, N), bool)
+    cond_mask[:, :ref] = True
+    inputs = (jnp.asarray(cond), jnp.asarray(cond_mask), text,
+              jnp.full((B,), N, jnp.int32),
+              jnp.asarray(rng.standard_normal((B, N, 100)), jnp.float32))
+    return model, params, inputs

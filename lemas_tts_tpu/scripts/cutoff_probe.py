@@ -57,38 +57,10 @@ def run_probe(args) -> list[dict]:
 
     from lemas_tts_tpu.cfm.sampler import (SamplerSettings, make_sampler,
                                            sway_time_grid)
-    from lemas_tts_tpu.config import DiTArch
     from lemas_tts_tpu.eval.metrics import mel_mse
-    from lemas_tts_tpu.models.dit import DiT
-    from lemas_tts_tpu.ops.attention import default_backend
-    from lemas_tts_tpu.utils.misc import fast_random_params
+    from lemas_tts_tpu.scripts._probe_common import probe_model_and_inputs
 
-    arch = DiTArch(dim=args.dim, depth=args.depth, heads=args.heads,
-                   dim_head=args.dim // args.heads if args.dim < 1024 else 64)
-    model = DiT(arch=arch, mel_dim=100, text_num_embeds=898,
-                compute_dtype=jnp.bfloat16, attn_backend=default_backend())
-    if args.ckpt:
-        from lemas_tts_tpu.infer.checkpoints import load_cfm_checkpoint
-        params = {"params": load_cfm_checkpoint(args.ckpt)["dit"]}
-    else:
-        params = fast_random_params(
-            lambda k: model.init(k, jnp.zeros((1, 8, 100)),
-                                 jnp.zeros((1, 8, 100)),
-                                 jnp.zeros((1, 4), jnp.int32),
-                                 jnp.zeros((1,))),
-            jax.random.key(1), dtype=jnp.bfloat16)
-
-    rng = np.random.default_rng(args.seed)
-    B, N = args.batch, args.n
-    ref = min(188, N // 4)  # ≈ 2 s reference audio at flagship buckets
-    text = jnp.asarray(rng.integers(1, 800, (B, 256)).astype(np.int32))
-    cond = np.zeros((B, N, 100), np.float32)
-    cond[:, :ref] = rng.standard_normal((B, ref, 100)) * 0.5 - 5.0
-    cond_mask = np.zeros((B, N), bool)
-    cond_mask[:, :ref] = True
-    inputs = (jnp.asarray(cond), jnp.asarray(cond_mask), text,
-              jnp.full((B,), N, jnp.int32),
-              jnp.asarray(rng.standard_normal((B, N, 100)), jnp.float32))
+    model, params, inputs = probe_model_and_inputs(args)
 
     grid = sway_time_grid(args.nfe, args.sway)
 

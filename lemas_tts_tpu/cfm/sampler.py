@@ -125,8 +125,10 @@ class SamplerSettings:
     # the aggregate residual of blocks [lo, hi) is stored; on the other steps
     # that range is replaced by ONE cached add (skipped blocks' sequential
     # deltas telescope: x_hi = x_lo + Σ Δ_i = x_lo + cache). The schedule is
-    # a compile-time flag array driving a `lax.cond` inside the NFE scan —
-    # both branches compile once, the skip branch actually skips the FLOPs.
+    # compile-time, so the NFE scan is segmented STATICALLY into periodic
+    # regions (one scan iteration = refresh + (period−1) skip steps) — no
+    # `lax.cond` anywhere, which also lets the cache compose with
+    # sequence-parallel sampling (collectives are legal inside a scan body).
     # DiT-only, euler-only; measure the speed/quality trade with
     # ``scripts/blockcache_probe.py``.
     block_cache_range: Optional[tuple] = None  # (lo, hi) block indices
@@ -242,19 +244,21 @@ def make_cached_forward(model: Any, params: Any, lo: int, hi: int):
 
     Returns ``fwd(x, cond_x, mask_x, te_x, pt_x, t, cache, refresh) ->
     (pred, new_cache)``: the stacked block params split (at trace time) into
-    [0,lo) / [lo,hi) / [hi,depth) ranges; ``refresh`` (a traced bool driving
-    ``lax.cond``) picks between running the mid range and replacing it with
-    one add of the cached aggregate residual — skipped blocks' sequential
-    deltas telescope, so ``x_hi = x_lo + (x_hi − x_lo)_cached`` is the exact
-    reuse of the last refresh step's mid-stack work."""
+    [0,lo) / [lo,hi) / [hi,depth) ranges; ``refresh`` is a STATIC Python
+    bool — True traces the full mid range and returns its aggregate residual
+    as the new cache, False replaces the range with one add of the cached
+    residual (skipped blocks' sequential deltas telescope, so
+    ``x_hi = x_lo + (x_hi − x_lo)_cached`` is the exact reuse of the last
+    refresh step's mid-stack work). The two variants are separate traced
+    programs (no ``lax.cond``), so the skip variant contains no collectives
+    or dead branches and the cache composes with sequence-parallel sampling
+    (``parallel/sequence.py`` — all collectives sit in straight-line scan
+    bodies)."""
     from lemas_tts_tpu.models.dit import make_block_stack
 
     depth = model.arch.depth
     if not (0 <= lo < hi <= depth):
         raise ValueError(f"block_cache_range {(lo, hi)} outside depth {depth}")
-    if getattr(model, "seq_axis", None) is not None:
-        raise ValueError("block cache does not compose with sequence "
-                         "parallelism (collectives inside lax.cond)")
     embed = getattr(type(model), "embed_inputs", None)
     head = getattr(type(model), "head", None)
     if embed is None or head is None:
@@ -270,7 +274,7 @@ def make_cached_forward(model: Any, params: Any, lo: int, hi: int):
 
     pre_p, mid_p, post_p = sl(0, lo), sl(lo, hi), sl(hi, depth)
 
-    def fwd(x, cond_x, mask_x, te_x, pt_x, t, cache, refresh):
+    def fwd(x, cond_x, mask_x, te_x, pt_x, t, cache, refresh: bool):
         Bx = x.shape[0]
         h, t_emb, rope = model.apply(
             params, x, cond_x, None, jnp.broadcast_to(t, (Bx,)), mask_x,
@@ -279,23 +283,53 @@ def make_cached_forward(model: Any, params: Any, lo: int, hi: int):
         residual = h if model.arch.long_skip_connection else None
         if stack_pre is not None:
             h, _ = stack_pre.apply(pre_p, h, t_emb, mask_x, rope, True)
-
-        def full_fn(op):
-            h_in, _ = op
-            h_mid, _ = stack_mid.apply(mid_p, h_in, t_emb, mask_x, rope, True)
-            return h_mid, h_mid - h_in
-
-        def skip_fn(op):
-            h_in, c = op
-            return h_in + c, c
-
-        h, new_cache = jax.lax.cond(refresh, full_fn, skip_fn, (h, cache))
+        if refresh:
+            h_mid, _ = stack_mid.apply(mid_p, h, t_emb, mask_x, rope, True)
+            h, new_cache = h_mid, h_mid - h
+        else:
+            h, new_cache = h + cache, cache
         if stack_post is not None:
             h, _ = stack_post.apply(post_p, h, t_emb, mask_x, rope, True)
         pred = model.apply(params, h, residual, t_emb, method=head)
         return pred, new_cache
 
     return fwd
+
+
+def block_cache_flags(settings: SamplerSettings, steps: int) -> np.ndarray:
+    """Static refresh-flag schedule [steps] for the block-range cache:
+    every ``block_cache_every``-th step refreshes, plus the warm head/tail
+    always-refresh windows. ``flags[0]`` is always True (the cache must be
+    filled before the first skip). Shared by the sampler's static scan
+    segmentation and ``scripts/blockcache_probe.py``'s analytic cost."""
+    flags = np.arange(steps) % settings.block_cache_every == 0
+    if settings.block_cache_warm_head:
+        flags[: settings.block_cache_warm_head] = True
+    if settings.block_cache_warm_tail:
+        flags[max(0, steps - settings.block_cache_warm_tail):] = True
+    return flags
+
+
+def _segment_flags(flags: np.ndarray):
+    """Decompose a static refresh schedule into periodic regions
+    ``[(period, count), ...]`` where each region is ``count`` repetitions of
+    [refresh, skip × (period−1)] — the shape the statically-segmented scan
+    consumes (one ``lax.scan`` per region, period unrolled inside the body).
+    The default schedules produce 2–5 regions (e.g. every=2 with a dense
+    2-step tail → [(2, k), (1, 2)])."""
+    steps = len(flags)
+    if steps == 0:
+        return []
+    assert flags[0], "block-cache schedule must start with a refresh"
+    refresh_idx = np.flatnonzero(flags)
+    periods = np.diff(np.append(refresh_idx, steps))
+    regions: list[list[int]] = []
+    for p in periods:
+        if regions and regions[-1][0] == int(p):
+            regions[-1][1] += 1
+        else:
+            regions.append([int(p), 1])
+    return [(p, c) for p, c in regions]
 
 
 def sample_mel(
@@ -452,12 +486,17 @@ def _cfg_velocity_combine(pred2, B, t, settings):
 def _scan_block_cached(model, params, settings, t_pairs, k, y0, *,
                        step_cond, attn_mask, te_cond, prosody_text,
                        cfg_pack):
-    """NFE scan with the block-range residual cache: carry = (y, cache),
-    xs = (t/dt pairs, static refresh flags). Mirrors the CFG-truncation
-    prefix/tail split of the plain path; the tail forces a refresh at its
-    first step because the batch width halves (2B → B) at the boundary.
-    ``cfg_pack`` carries the exact path's prebuilt (te2, cond2, mask2, pt2)
-    CFG operands."""
+    """NFE loop with the block-range residual cache, segmented STATICALLY:
+    the refresh schedule is a compile-time constant
+    (:func:`block_cache_flags`), so it decomposes into periodic regions
+    (:func:`_segment_flags`) and each region runs as one ``lax.scan`` whose
+    body is [refresh step, (period−1) unrolled skip steps] — refresh/skip
+    are separate traced programs (static bool into
+    :func:`make_cached_forward`), no ``lax.cond``. Mirrors the
+    CFG-truncation prefix/tail split of the plain path; the tail forces a
+    refresh at its first step because the batch width halves (2B → B) at
+    the boundary. ``cfg_pack`` carries the exact path's prebuilt
+    (te2, cond2, mask2, pt2) CFG operands."""
     lo, hi = settings.block_cache_range
     fwd = make_cached_forward(model, params, lo, hi)
     B, N, _ = step_cond.shape
@@ -465,11 +504,8 @@ def _scan_block_cached(model, params, settings, t_pairs, k, y0, *,
     cdtype = getattr(model, "compute_dtype", jnp.float32)
     steps = t_pairs.shape[0]
     clamp = settings.velocity_clamp
-    flags = np.arange(steps) % settings.block_cache_every == 0
-    if settings.block_cache_warm_head:
-        flags[:settings.block_cache_warm_head] = True
-    if settings.block_cache_warm_tail:
-        flags[max(0, steps - settings.block_cache_warm_tail):] = True
+    flags = block_cache_flags(settings, steps)
+    want_traj = settings.return_trajectory
 
     def cond_only_vel(t, x, cache, refresh, do_clamp):
         pred, cache = fwd(x, step_cond, attn_mask, te_cond, prosody_text,
@@ -486,40 +522,53 @@ def _scan_block_cached(model, params, settings, t_pairs, k, y0, *,
             pred2, cache = fwd(x2, cond2, mask2, te2, pt2, t, cache, refresh)
             return _cfg_velocity_combine(pred2, B, t, settings), cache
 
-    def body(vel):
-        def ode_step(carry, xs):
-            y, cache = carry
-            t_dt, refresh = xs
-            v, cache = vel(t_dt[0], y, cache, refresh)
-            y_next = y + t_dt[1] * v
-            return ((y_next, cache),
-                    (y_next if settings.return_trajectory else None))
-        return ode_step
+    def run_segments(vel, part_pairs, part_flags, y, width):
+        """All regions of one CFG phase: carry = (y, cache), xs = the
+        region's t/dt pairs reshaped [count, period, 2]."""
+        cache = jnp.zeros((width, N, dim), cdtype)
+        pos = 0
+        trajs = []
+        for period, count in _segment_flags(part_flags):
+            xs = part_pairs[pos:pos + period * count].reshape(
+                count, period, 2)
+
+            def body(carry, ts, period=period):
+                y, cache = carry
+                outs = []
+                v, cache = vel(ts[0, 0], y, cache, True)
+                y = y + ts[0, 1] * v
+                if want_traj:
+                    outs.append(y)
+                for j in range(1, period):
+                    v, cache = vel(ts[j, 0], y, cache, False)
+                    y = y + ts[j, 1] * v
+                    if want_traj:
+                        outs.append(y)
+                return (y, cache), (jnp.stack(outs) if want_traj else None)
+
+            (y, cache), tr = jax.lax.scan(body, (y, cache), xs)
+            if want_traj:
+                trajs.append(tr.reshape((count * period,) + tr.shape[2:]))
+            pos += period * count
+        return y, trajs
 
     y = y0.astype(jnp.float32)
     if settings.use_cfg and k < steps:
-        fa = jnp.asarray(flags[:k])
-        fb_np = flags[k:].copy()
-        if fb_np.size:
-            fb_np[0] = True
-        (y, _), traj_a = jax.lax.scan(
-            body(cfg_vel), (y, jnp.zeros((2 * B, N, dim), cdtype)),
-            (t_pairs[:k], fa))
-        (y, _), traj_b = jax.lax.scan(
-            body(lambda t, x, c, r: cond_only_vel(t, x, c, r, True)),
-            (y, jnp.zeros((B, N, dim), cdtype)),
-            (t_pairs[k:], jnp.asarray(fb_np)))
-        traj = (None if not settings.return_trajectory
-                else jnp.concatenate([traj_a, traj_b], axis=0))
+        fb = flags[k:].copy()
+        if fb.size:
+            fb[0] = True  # batch width halves at the boundary
+        y, tr_a = run_segments(cfg_vel, t_pairs[:k], flags[:k], y, 2 * B)
+        y, tr_b = run_segments(
+            lambda t, x, c, r: cond_only_vel(t, x, c, r, True),
+            t_pairs[k:], fb, y, B)
+        traj = jnp.concatenate(tr_a + tr_b, axis=0) if want_traj else None
         return y, traj
 
     vel = (cfg_vel if settings.use_cfg
            else lambda t, x, c, r: cond_only_vel(t, x, c, r, False))
     width = 2 * B if settings.use_cfg else B
-    (y, _), traj = jax.lax.scan(
-        body(vel), (y, jnp.zeros((width, N, dim), cdtype)),
-        (t_pairs, jnp.asarray(flags)))
-    return y, traj
+    y, trs = run_segments(vel, t_pairs, flags, y, width)
+    return y, (jnp.concatenate(trs, axis=0) if want_traj else None)
 
 
 def make_sampler(model: Any, settings: SamplerSettings):

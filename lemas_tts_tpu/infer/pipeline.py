@@ -12,6 +12,7 @@ prefix (mirroring the reference's per-sample re-seeding, ``cfm.py:430-435``).
 
 from __future__ import annotations
 
+import logging
 import re
 import threading
 from functools import partial
@@ -26,6 +27,7 @@ from lemas_tts_tpu.cfm.sampler import (
     SamplerSettings,
     block_cache_fields,
     make_sampler,
+    parse_block_cache,
     pick_bucket,
 )
 from lemas_tts_tpu.config import MelSpecConfig, SamplerConfig
@@ -33,6 +35,8 @@ from lemas_tts_tpu.models.vocos import Vocos
 from lemas_tts_tpu.ops.mel import MelFrontend
 from lemas_tts_tpu.ops.resample import resample
 from lemas_tts_tpu.utils.vocab import Vocab, pad_text_batch, text_to_ids
+
+logger = logging.getLogger(__name__)
 
 TEXT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
 BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
@@ -207,6 +211,7 @@ class Synthesizer:
         )
         self._samplers: Dict[SamplerSettings, Any] = {}
         self._sampler_lock = threading.Lock()
+        self._warned_cache_drop = False
         self.vocoder_kind = type(vocoder_model).__name__.lower() if vocoder_model else ""
         self._decode = (
             None
@@ -244,16 +249,30 @@ class Synthesizer:
     def _block_cache_kwargs(self, cfg: SamplerConfig) -> dict:
         """Gated block-cache ``SamplerSettings`` kwargs for THIS synthesizer.
         On top of :func:`block_cache_fields`' depth/method clamps, the cache
-        is DiT-only (needs ``arch``/``embed_inputs``/``head``) and does not
-        compose with sequence-parallel sampling (collectives inside
-        ``lax.cond``) — those topologies fall back to the exact path instead
-        of turning the serving default into a trace-time error."""
+        is DiT-only (needs ``arch``/``embed_inputs``/``head``) — other
+        backbones fall back to the exact path instead of turning the serving
+        default into a trace-time error. (Sequence-parallel meshes compose
+        since the schedule became statically segmented — no collectives
+        under ``lax.cond``; pinned by ``tests/test_sequence_parallel.py``.)
+        A user-set spec that the gates drop logs a one-time warning so the
+        speed knob never silently does nothing."""
         depth = getattr(getattr(self.dit_model, "arch", None), "depth", None)
         if depth is None or not hasattr(type(self.dit_model), "embed_inputs"):
-            return {}
-        if self.mesh is not None and dict(self.mesh.shape).get("seq", 1) > 1:
-            return {}
-        return block_cache_fields(cfg.block_cache, depth, cfg.ode_method)
+            fields = {}
+        else:
+            fields = block_cache_fields(cfg.block_cache, depth, cfg.ode_method)
+        if cfg.block_cache and parse_block_cache(cfg.block_cache) and \
+                not fields and not self._warned_cache_drop:
+            self._warned_cache_drop = True
+            logger.warning(
+                "block_cache=%r disabled: %s — sampling on the exact path",
+                cfg.block_cache,
+                "DiT-only feature" if depth is None
+                or not hasattr(type(self.dit_model), "embed_inputs")
+                else f"ode_method={cfg.ode_method!r} or range empty at "
+                     f"depth {depth}",
+            )
+        return fields
 
     def _seq_sampler(self, settings: SamplerSettings):
         """Sequence-parallel sampling on a ('data','seq') mesh

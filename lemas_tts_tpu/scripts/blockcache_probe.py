@@ -112,10 +112,9 @@ def run_probe(args) -> list[dict]:
         # exact average block count per velocity call from the real flag
         # schedule (warm head/tail windows AND the forced refresh at the
         # CFG-truncation 2B→B boundary, mirroring _scan_block_cached)
-        flags = np.arange(args.nfe) % settings.block_cache_every == 0
-        flags[:settings.block_cache_warm_head] = True
-        if settings.block_cache_warm_tail:
-            flags[max(0, args.nfe - settings.block_cache_warm_tail):] = True
+        from lemas_tts_tpu.cfm.sampler import block_cache_flags
+
+        flags = block_cache_flags(settings, args.nfe)
         k = settings.cfg_active_steps(grid)
         if settings.use_cfg and k < args.nfe:
             flags[k] = True

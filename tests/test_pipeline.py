@@ -213,30 +213,38 @@ def test_request_ref_longer_than_duration_cap(engine):
     assert mel.shape[1] >= 1
 
 
-def test_block_cache_kwargs_gating(engine):
+def test_block_cache_kwargs_gating(engine, caplog):
     """The serving block-cache default must degrade to the exact path (not
-    crash) on non-DiT backbones and sequence-parallel meshes — regression
-    test for the MMDiT AttributeError on `dit_model.arch.depth`."""
+    crash) on non-DiT backbones — regression test for the MMDiT
+    AttributeError on `dit_model.arch.depth` — and a dropped user-set spec
+    must warn once (the speed knob never silently does nothing).
+    Sequence-parallel meshes now compose (test_sequence_parallel)."""
+    import logging
+
     from lemas_tts_tpu.models.mmdit import MMDiT
 
     cfg = SamplerConfig(nfe_steps=2, block_cache="1-2:2")
     # DiT: cache engages (depth-clamped spec)
     kw = engine._block_cache_kwargs(cfg)
     assert kw == {"block_cache_range": (1, 2), "block_cache_every": 2}
-    # non-DiT backbone (no .arch / embed_inputs): silently disabled
-    mmdit = MMDiT(dim=32, depth=2, heads=4, dim_head=8, mel_dim=20,
-                  text_num_embeds=11)
-    synth2 = Synthesizer(mmdit, engine.dit_params, None, None, engine.vocab,
-                         engine.mel_cfg, max_duration=512)
-    assert synth2._block_cache_kwargs(cfg) == {}
-    # sequence-parallel mesh: disabled (collectives inside lax.cond)
+    # sequence-parallel mesh: cache flows through (static segmentation —
+    # no collectives under lax.cond)
     from lemas_tts_tpu.parallel.sequence import make_seq_mesh
 
     smesh = make_seq_mesh(len(jax.devices()), seq_parallel=2)
     synth3 = Synthesizer(engine.dit_model, engine.dit_params, None, None,
                          engine.vocab, engine.mel_cfg, max_duration=512,
                          mesh=smesh)
-    assert synth3._block_cache_kwargs(cfg) == {}
+    assert synth3._block_cache_kwargs(cfg) == kw
+    # non-DiT backbone (no .arch / embed_inputs): disabled with ONE warning
+    mmdit = MMDiT(dim=32, depth=2, heads=4, dim_head=8, mel_dim=20,
+                  text_num_embeds=11)
+    synth2 = Synthesizer(mmdit, engine.dit_params, None, None, engine.vocab,
+                         engine.mel_cfg, max_duration=512)
+    with caplog.at_level(logging.WARNING, "lemas_tts_tpu.infer.pipeline"):
+        assert synth2._block_cache_kwargs(cfg) == {}
+        assert synth2._block_cache_kwargs(cfg) == {}  # warns only once
+    assert sum("block_cache" in r.message for r in caplog.records) == 1
     # non-euler method override: disabled via block_cache_fields
     assert engine._block_cache_kwargs(
         SamplerConfig(nfe_steps=2, block_cache="1-2:2",

@@ -311,13 +311,13 @@ def test_block_cache_refresh_matches_full_forward():
 
     full = jmodel.apply(jparams, x, c, None, jnp.broadcast_to(t, (B,)),
                         jnp.asarray(mask), text_embed=te)
-    pred_r, cache = jax.jit(fwd)(x, c, jnp.asarray(mask), te, None, t,
-                                 cache0, jnp.bool_(True))
+    # refresh is a STATIC bool: the two variants are separate traced programs
+    jfwd = jax.jit(fwd, static_argnums=(7,))
+    pred_r, cache = jfwd(x, c, jnp.asarray(mask), te, None, t, cache0, True)
     np.testing.assert_allclose(np.asarray(pred_r), np.asarray(full),
                                rtol=1e-5, atol=1e-5)
     assert float(jnp.max(jnp.abs(cache))) > 0
-    pred_s, cache2 = jax.jit(fwd)(x, c, jnp.asarray(mask), te, None, t,
-                                  cache, jnp.bool_(False))
+    pred_s, cache2 = jfwd(x, c, jnp.asarray(mask), te, None, t, cache, False)
     np.testing.assert_allclose(np.asarray(pred_s), np.asarray(pred_r),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(cache2), np.asarray(cache))

@@ -186,6 +186,45 @@ def test_synthesizer_seq_mesh_matches_unmeshed():
     np.testing.assert_allclose(mel1, mel0, rtol=1e-3, atol=1e-3)
 
 
+def test_sequence_parallel_block_cache_matches_single():
+    """The block-range residual cache composes with sequence parallelism:
+    the schedule is statically segmented (no collectives under lax.cond —
+    cfm/sampler._scan_block_cached), so the SP sampler with a cache spec
+    must match the single-device cached sampler to float tolerance."""
+    from lemas_tts_tpu.cfm.sampler import SamplerSettings, make_sampler
+
+    single, seq_model = _tiny_models()
+    rng = np.random.default_rng(5)
+    B, N, D = 2, 256, 12
+    params = single.init(
+        jax.random.key(0),
+        jnp.zeros((1, 8, D)), jnp.zeros((1, 8, D)),
+        jnp.zeros((1, 4), jnp.int32), jnp.zeros((1,)),
+    )
+    text = jnp.asarray(rng.integers(0, 30, (B, 6)).astype(np.int32))
+    cond = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    cond_mask = jnp.asarray(np.arange(N)[None, :] < 64).repeat(B, axis=0)
+    duration = jnp.full((B,), N, jnp.int32)
+    y0 = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+
+    settings = SamplerSettings(steps=6, cfg_strength=2.0,
+                               sway_sampling_coef=1.0, cfg_cutoff=0.8,
+                               block_cache_range=(1, 2), block_cache_every=2,
+                               block_cache_warm_tail=1)
+    ref = make_sampler(single, settings)(
+        params, cond, cond_mask, text, duration, y0)
+    mesh = make_seq_mesh(8, seq_parallel=4)
+    out = sequence_parallel_sampler(seq_model, settings, mesh)(
+        params, cond, cond_mask, text, duration, y0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # the cache actually engaged (skip branch diverges from the exact path)
+    exact = make_sampler(single, SamplerSettings(
+        steps=6, cfg_strength=2.0, sway_sampling_coef=1.0, cfg_cutoff=0.8))(
+        params, cond, cond_mask, text, duration, y0)
+    assert float(np.max(np.abs(np.asarray(ref) - np.asarray(exact)))) > 0
+
+
 def test_sequence_parallel_data_axis_combo():
     """2 data × 4 seq: batch rows AND their sequences shard simultaneously."""
     from lemas_tts_tpu.cfm.sampler import SamplerSettings, make_sampler

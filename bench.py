@@ -175,6 +175,41 @@ def main():
         times.append(time.perf_counter() - t0)
     wall = float(np.median(times))
 
+    # --- self-certifying approximation gate: the serving-default
+    # approximations (cfg_cutoff, block_cache) must carry their own on-chip
+    # error measurement in every bench JSON — a future default flip can
+    # never ship a headline without its measurement attached. One B=2
+    # exact-semantics run vs the default-config run from IDENTICAL noise;
+    # fails the bench if the mel MSE exceeds the 1e-3 parity bar
+    # (BASELINE.md). LEMAS_BENCH_APPROX_GATE=0 skips (probe runs).
+    approx_mse: float | None = 0.0
+    if os.environ.get("LEMAS_BENCH_APPROX_GATE", "1") == "0":
+        approx_mse = None
+    elif CFG_CUTOFF or BLOCK_CACHE:
+        from lemas_tts_tpu.eval.metrics import mel_mse
+
+        gb = 2
+        gargs = (params, cond_j[:gb], mask_j[:gb], text[:gb], dur_j[:gb],
+                 ys[0][:gb])
+        exact = make_sampler(model, SamplerSettings(
+            steps=NFE, cfg_strength=CFG, sway_sampling_coef=SWAY))(*gargs)
+        approx_mse = float(mel_mse(run(*gargs), exact))
+        if approx_mse > 1e-3:
+            raise RuntimeError(
+                f"approximation gate FAILED: default-config sampler diverges "
+                f"{approx_mse:.2e} mel MSE from exact semantics (> 1e-3 bar) "
+                f"— cfg_cutoff={CFG_CUTOFF} block_cache={BLOCK_CACHE}")
+
+    # --- MFU: analytic sampler FLOPs over the real step schedule (CFG
+    # widths, cache skips) / wall / chip bf16 peak (utils/flops.py). The
+    # wall includes the vocoder decode (~2%), so reported MFU is slightly
+    # conservative. None when the chip's peak is unknown.
+    from lemas_tts_tpu.utils.flops import device_peak_flops, sampler_call_flops
+
+    peak = device_peak_flops()
+    sampler_flops = sampler_call_flops(arch, settings, B, N, mel_dim=100)
+    mfu = round(sampler_flops / wall / peak, 4) if peak else None
+
     audio_sec = B * (gen_frames - 1) * HOP / SR
     rtf = audio_sec / wall
     print(json.dumps({
@@ -185,6 +220,8 @@ def main():
         "batch": BATCH,
         "cfg_cutoff": CFG_CUTOFF,
         "block_cache": BLOCK_CACHE,
+        "approx_mel_mse": approx_mse,
+        "mfu": mfu,
         "kernel_check": kernel_check,
     }))
 

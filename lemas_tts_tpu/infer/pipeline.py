@@ -454,9 +454,29 @@ class Synthesizer:
             final = cross_fade_concat(waves, sr_out, cfg.cross_fade_duration)
             final = np.clip(final, -0.999, 0.999)
             return final, sr_out, np.concatenate([g.T for g in slices], axis=1)
+
+        if not gen_chunks:  # nothing to synthesize (e.g. whitespace-only text)
+            sr = self.mel_cfg.target_sample_rate
+            empty_mel = np.zeros((self.mel_cfg.n_mel_channels, 0), np.float32)
+            if return_parts:
+                return [], sr, []
+            return np.zeros(0, np.float32), sr, empty_mel
+
+        pending = self._dispatch_chunks(
+            ref_wav, ref_sr, ref_text_units, gen_chunks, cfg=cfg, seed=seed,
+            noise_override=noise_override,
+            duration_override=duration_override,
+        )
+        return self._finalize_chunks(pending, cfg, return_parts=return_parts)
+
+    def _prepare_ref(self, ref_wav: np.ndarray, ref_sr: int,
+                     cfg: SamplerConfig) -> dict:
+        """Reference-audio prep shared by every mini-batch of one request:
+        RMS normalize, resample to the model rate, reference mel, optional
+        prosody embedding (the only per-dispatch steps that BLOCK on a device
+        fetch). Computed once per stream/batch so dispatches stay async."""
         sr = self.mel_cfg.target_sample_rate
         hop = self.mel_cfg.hop_length
-
         audio = np.asarray(ref_wav, dtype=np.float32)
         if audio.ndim == 2:
             audio = audio.mean(axis=0)
@@ -465,16 +485,51 @@ class Synthesizer:
             audio = audio * (cfg.target_rms / rms)
         if ref_sr != sr:
             audio = np.asarray(resample(jnp.asarray(audio), ref_sr, sr))
-
         ref_audio_len = audio.shape[-1] // hop  # reference utils_infer.py:520
         cond_mel = self.ref_mel(audio)  # [ref_frames, D] (= ref_audio_len + 1)
-        ref_frames = cond_mel.shape[0]
+        prosody_emb = None
+        if (
+            cfg.use_prosody_encoder
+            and self.prosody_encoder is not None
+            and self.prosody_to_mel is not None
+        ):
+            wav16 = np.asarray(resample(jnp.asarray(audio), sr, 16000))
+            prosody_emb = np.asarray(self.prosody_encoder.embed(wav16))  # [512]
+        return dict(audio=audio, rms=rms, ref_audio_len=ref_audio_len,
+                    cond_mel=cond_mel, prosody_emb=prosody_emb)
 
-        if not gen_chunks:  # nothing to synthesize (e.g. whitespace-only text)
-            empty_mel = np.zeros((self.mel_cfg.n_mel_channels, 0), np.float32)
-            if return_parts:
-                return [], sr, []
-            return np.zeros(0, np.float32), sr, empty_mel
+    def _dispatch_chunks(
+        self,
+        ref_wav: np.ndarray,
+        ref_sr: int,
+        ref_text_units: Sequence[str] | str,
+        gen_chunks: Sequence[Sequence[str] | str],
+        cfg: SamplerConfig = SamplerConfig(),
+        seed: Optional[int] = None,
+        noise_override: Optional[np.ndarray] = None,
+        duration_override: Optional[Sequence[int]] = None,
+        ref_prep: Optional[dict] = None,
+    ) -> dict:
+        """Device-dispatch half of :meth:`synthesize_chunks` (≤ max batch
+        bucket, ≥1 chunk): all host prep + the sampler and vocoder calls
+        ENQUEUED (JAX async dispatch), no blocking fetch. Returns a pending
+        dict for :meth:`_finalize_chunks`. Split out so
+        :meth:`synthesize_stream` can double-buffer — dispatch mini-batch
+        i+1 while batch i's fetch/yield drains — and so the streaming and
+        batched paths can never drift (batched = dispatch → finalize).
+        ``ref_prep`` (from :meth:`_prepare_ref`) supplies the reference-audio
+        prep precomputed — the stream path passes it so no per-batch device
+        fetch (ref mel, prosody embed) stalls behind the previous batch in
+        the device queue."""
+        sr = self.mel_cfg.target_sample_rate
+        hop = self.mel_cfg.hop_length
+
+        if ref_prep is None:
+            ref_prep = self._prepare_ref(ref_wav, ref_sr, cfg)
+        rms = ref_prep["rms"]
+        ref_audio_len = ref_prep["ref_audio_len"]
+        cond_mel = ref_prep["cond_mel"]
+        ref_frames = cond_mel.shape[0]
 
         # --- durations & texts per chunk (utils_infer.py:506-527)
         if duration_override is not None and len(duration_override) != len(gen_chunks):
@@ -543,17 +598,12 @@ class Synthesizer:
         rng = np.random.default_rng(seed if seed is not None else None)
 
         # --- optional global prosody conditioning (cfm.py:245-265,451-455):
-        # one embedding from the 16 kHz ref audio; mel-side injection over the
-        # ref frames (before masking, so the final paste keeps it) and
-        # text-side broadcast through both CFG passes.
+        # one embedding from the 16 kHz ref audio (_prepare_ref); mel-side
+        # injection over the ref frames (before masking, so the final paste
+        # keeps it) and text-side broadcast through both CFG passes.
         prosody_text = None
-        if (
-            cfg.use_prosody_encoder
-            and self.prosody_encoder is not None
-            and self.prosody_to_mel is not None
-        ):
-            wav16 = np.asarray(resample(jnp.asarray(audio), sr, 16000))
-            emb = np.asarray(self.prosody_encoder.embed(wav16))  # [512]
+        emb = ref_prep.get("prosody_emb")
+        if emb is not None:
             w, b = (
                 np.asarray(self.prosody_to_mel["kernel"]),
                 np.asarray(self.prosody_to_mel["bias"]),
@@ -621,19 +671,12 @@ class Synthesizer:
             None if step_cond is None else jnp.asarray(step_cond),
             None if prosody_text is None else jnp.asarray(prosody_text),
         )
+        pending = dict(B=B, sr=sr, rms=rms, durations=durations,
+                       ref_frames=ref_frames, ref_audio_len=ref_audio_len)
         if cfg.no_ref_audio:
-            # mean re-alignment of the generated region (cfm.py:464-467) —
-            # niche path, host-side mutation then batched re-upload
-            out_np = np.array(out, dtype=np.float32)  # [Bp, N, D]
-            gen_region = out_np[:, ref_frames:, :]
-            out_np[:, ref_frames:, :] = gen_region - (
-                gen_region.mean(axis=1, keepdims=True) - cond_mean[None]
-            )
-            gen_slices = [
-                out_np[i, min(ref_audio_len, durations[i] - 1) : durations[i], :]
-                for i in range(B)
-            ]
-            waves = self.vocode_batch(gen_slices)
+            # mean re-alignment (cfm.py:464-467) needs host-side mutation of
+            # the mel — the fetch/vocode both happen at finalize time
+            pending.update(kind="no_ref", out=out, cond_mean=cond_mean)
         else:
             # mel stays device-resident through slicing and vocoding (see
             # synthesize_requests — same two-transfer saving per call);
@@ -647,10 +690,39 @@ class Synthesizer:
             sliced, vmask = _slice_for_vocoder(out, starts_j, lens_j, n_out)
             if self._decode is None:
                 raise RuntimeError("no vocoder configured")
+            pending.update(
+                kind="decode", lens_l=lens_l, sliced=sliced,
+                waves_dev=self._decode(self.vocoder_params, sliced, vmask))
+        return pending
+
+    def _finalize_chunks(self, pending: dict, cfg: SamplerConfig,
+                         return_parts: bool = False):
+        """Blocking half of :meth:`synthesize_chunks`: fetch the dispatched
+        device results, trim/RMS-restore/clip, stitch (or return parts)."""
+        B, sr, rms = pending["B"], pending["sr"], pending["rms"]
+        durations = pending["durations"]
+        hop = self.mel_cfg.hop_length
+        if pending["kind"] == "no_ref":
+            # mean re-alignment of the generated region (cfm.py:464-467) —
+            # niche path, host-side mutation then batched re-upload
+            ref_frames = pending["ref_frames"]
+            ref_audio_len = pending["ref_audio_len"]
+            out_np = np.array(pending["out"], dtype=np.float32)  # [Bp, N, D]
+            gen_region = out_np[:, ref_frames:, :]
+            out_np[:, ref_frames:, :] = gen_region - (
+                gen_region.mean(axis=1, keepdims=True) - pending["cond_mean"][None]
+            )
+            gen_slices = [
+                out_np[i, min(ref_audio_len, durations[i] - 1) : durations[i], :]
+                for i in range(B)
+            ]
+            waves = self.vocode_batch(gen_slices)
+        else:
+            lens_l = pending["lens_l"]
             # one batched device_get: waves plus the returned mels (part of
             # the result contract) in a single host transfer
             waves_np, mels_np = jax.device_get(
-                (self._decode(self.vocoder_params, sliced, vmask), sliced))
+                (pending["waves_dev"], pending["sliced"]))
             if self.vocoder_kind == "bigvgan":
                 up = self.vocoder_model.cfg.total_upsample
                 trims = [ln * up for ln in lens_l]
@@ -684,17 +756,34 @@ class Synthesizer:
         ``utils_infer.py:559-570`` — chunks yielded in order, no cross-fade).
 
         Device utilization comes from ``chunk_batch`` chunks per sampler call;
-        latency-to-first-audio from keeping that small.
-        """
+        latency-to-first-audio from keeping that small. The loop is
+        DOUBLE-BUFFERED: mini-batch i+1's sampler+vocoder programs are
+        enqueued (JAX async dispatch) BEFORE batch i's results are fetched
+        and yielded, so the device rolls straight from batch to batch while
+        the host fetches/writes — steady-state throughput matches the
+        batched path instead of serializing compute with host I/O. Reference
+        prep (ref mel, prosody embed) is hoisted out of the loop
+        (:meth:`_prepare_ref`); per-batch dispatch is fetch-free."""
         chunk_batch = max(1, chunk_batch)  # slice and step must agree
+        if not gen_chunks:
+            return
+        ref_prep = self._prepare_ref(ref_wav, ref_sr, cfg)
+        pending = None
         for i in range(0, len(gen_chunks), chunk_batch):
             batch = list(gen_chunks[i : i + chunk_batch])
-            waves, sr, _ = self.synthesize_chunks(
+            nxt = self._dispatch_chunks(
                 ref_wav, ref_sr, ref_text_units, batch, cfg=cfg, seed=seed,
-                return_parts=True,
+                ref_prep=ref_prep,
             )
-            for w in waves:
-                yield w, sr
+            if pending is not None:
+                waves, sr, _ = self._finalize_chunks(pending, cfg,
+                                                     return_parts=True)
+                for w in waves:
+                    yield w, sr
+            pending = nxt
+        waves, sr, _ = self._finalize_chunks(pending, cfg, return_parts=True)
+        for w in waves:
+            yield w, sr
 
     # -------------------------------------------------- cross-request batching
     def synthesize_requests(

@@ -125,6 +125,16 @@ def test_streaming_synthesis(tmp_path):
     # only if batch bucketing matches; check count + finiteness instead and
     # bit-equality for the final chunk (same bucket: batch pad to 2 vs 4)
     assert len(parts) == 3
+    # chunk_batch == len(chunks): the stream's single (double-buffered)
+    # mini-batch IS the batched call — outputs must be bit-equal
+    one_batch = list(synth.synthesize_stream(ref, sr, list("ab"), chunks,
+                                             cfg=cfg, seed=5, chunk_batch=3))
+    for (w, out_sr), p in zip(one_batch, parts):
+        assert out_sr == sr and np.array_equal(w, p)
+    # empty input: no yields, and the batched path returns empty wave/mel
+    assert list(synth.synthesize_stream(ref, sr, list("ab"), [], cfg=cfg)) == []
+    w0, _, m0 = synth.synthesize_chunks(ref, sr, list("ab"), [], cfg=cfg)
+    assert w0.size == 0 and m0.shape == (20, 0)
 
 
 def test_misc_utils():

@@ -56,3 +56,45 @@ def test_mask_from_frac_lengths_span_size():
     for row in np.asarray(m):
         idx = np.flatnonzero(row)
         assert (np.diff(idx) == 1).all()
+
+
+def test_sampler_call_flops_schedule():
+    """utils/flops: the analytic FLOPs model must track the sampler's real
+    step schedule — CFG truncation and block-cache skips reduce counted
+    work, no-CFG halves it, and the magnitude matches the closed-form
+    NFE × 2B × depth × (16·N·D² + 4·N²·D) block estimate."""
+    import os
+
+    from lemas_tts_tpu.cfm.sampler import SamplerSettings
+    from lemas_tts_tpu.config import DiTArch
+    from lemas_tts_tpu.utils.flops import device_peak_flops, sampler_call_flops
+
+    arch = DiTArch()
+    B, N = 8, 1024
+    f0 = sampler_call_flops(arch, SamplerSettings(
+        steps=32, cfg_strength=2.0, sway_sampling_coef=1.0), B, N)
+    f_cut = sampler_call_flops(arch, SamplerSettings(
+        steps=32, cfg_strength=2.0, sway_sampling_coef=1.0,
+        cfg_cutoff=0.5), B, N)
+    f_cache = sampler_call_flops(arch, SamplerSettings(
+        steps=32, cfg_strength=2.0, sway_sampling_coef=1.0, cfg_cutoff=0.5,
+        block_cache_range=(0, 22), block_cache_every=2,
+        block_cache_warm_tail=2), B, N)
+    assert f_cache < f_cut < f0
+    f_nocfg = sampler_call_flops(arch, SamplerSettings(
+        steps=32, cfg_strength=0.0, sway_sampling_coef=1.0), B, N)
+    assert f_nocfg < 0.6 * f0
+    D = arch.dim
+    est = 32 * 2 * B * arch.depth * (16 * N * D**2 + 4 * N**2 * D)
+    assert 0.95 * est < f0 < 1.15 * est
+    # midpoint costs two evals per step
+    f_mid = sampler_call_flops(arch, SamplerSettings(
+        steps=16, cfg_strength=2.0, sway_sampling_coef=1.0,
+        method="midpoint"), B, N)
+    assert abs(f_mid - f0) / f0 < 0.02
+    # peak override knob
+    os.environ["LEMAS_BENCH_PEAK_TFLOPS"] = "100"
+    try:
+        assert device_peak_flops() == 100e12
+    finally:
+        del os.environ["LEMAS_BENCH_PEAK_TFLOPS"]

@@ -8,10 +8,11 @@ transformer blocks per step, fused Pallas VMEM attention) + batched masked
 Vocos decode — on randomly initialized flagship weights (RTF is
 weight-independent). Default batch is 8, the serving engine's measured
 sweet spot (serve/engine.py max_batch; on v5e at the serving defaults incl.
-cfg_cutoff=0.5 AND block_cache="2-20:2": B=1 → 47.8, B=8 → 67.4, B=16 →
-69.8 audio-s/s per chip; 33.1/43.4/44.7 without the block cache;
+cfg_cutoff=0.5 AND block_cache="0-22:2+t2": B=8 → 75.1 audio-s/s per chip
+(BENCH_r02); 33.1/43.4/44.7 at B=1/8/16 without the block cache;
 29.7/37.7/38.9 at exact full CFG), so the headline is per-chip serving
-throughput. The host has one
+throughput. The emitted approx_mel_mse self-certifies the approximation
+defaults (see below). The host has one
 CPU: run the bench strictly alone or dispatch contention skews it.
 Set LEMAS_BENCH_BATCH=1 for single-stream RTF. Timing forces device
 completion by fetching a scalar reduction of the waveform; fetching the
@@ -53,9 +54,10 @@ if _cut < 0:
     from lemas_tts_tpu.config import SERVING_CFG_CUTOFF as _cut
 CFG_CUTOFF = _cut or None  # 0 → exact full CFG
 # Block-range residual cache (SamplerSettings.block_cache_range): the bench
-# runs the measured serving default (config.SERVING_BLOCK_CACHE="2-20:2":
-# 1.56× sampler speedup at 1.7e-4 mel MSE vs the uncached trajectory — 6×
-# inside the 1e-3 parity bar; scripts/blockcache_probe.py).
+# runs the measured serving default (config.SERVING_BLOCK_CACHE="0-22:2+t2":
+# 1.77× sampler speedup at 1.7e-4 mel MSE vs the uncached trajectory — 6×
+# inside the 1e-3 parity bar and Pareto-dominant over the round-2 "2-20:2"
+# on the on-chip edge-inclusive grid; docs/performance.md probe table).
 # LEMAS_BENCH_BLOCK_CACHE overrides ("0" → exact per-step sampling).
 _bc = os.environ.get("LEMAS_BENCH_BLOCK_CACHE")
 if _bc is None:

@@ -94,6 +94,25 @@ class Distiller:
         mesh: Optional[Mesh] = None,
     ):
         assert student_steps >= 1 and substeps >= 1
+        # The gradient step must run a differentiable forward: the fused
+        # Pallas inference kernels (attn_backend="vmem") define no VJP, so a
+        # serving-configured model is cloned to the XLA path here — exactly
+        # the backend scripts/train.py trains with. Callers keep sampling
+        # students/teachers with the fast kernels (make_sampler on their own
+        # model); only the distill-loss forwards take the XLA path. The clone
+        # also turns on activation checkpointing: a serving arch is
+        # inference-tuned, and the un-remat'd flagship backward (22 saved
+        # block activations) exceeds a single chip's HBM at useful batch
+        # sizes (measured: 16.4 G needed vs 15.75 G at 4000 frames).
+        if getattr(dit_model, "attn_backend", "xla") != "xla" and hasattr(
+            dit_model, "clone"
+        ):
+            import dataclasses
+
+            arch = dataclasses.replace(
+                dit_model.arch, checkpoint_activations=True
+            )
+            dit_model = dit_model.clone(attn_backend="xla", arch=arch)
         self.dit_model = dit_model
         self.student_steps = student_steps
         self.cfg = cfg

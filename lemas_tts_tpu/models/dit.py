@@ -140,7 +140,9 @@ def make_block_stack(model: "DiT", length: int):
     ``{"params": sliced_stacked_blocks}``."""
     block_cls = _ScanBlock
     if model.arch.checkpoint_activations:
-        block_cls = nn.remat(block_cls, static_argnums=())
+        # arg 5 of flax's core_fn (scope, x, t_emb, mask, rope, deterministic)
+        # is the Python-bool dropout switch — must stay static under remat
+        block_cls = nn.remat(block_cls, static_argnums=(5,))
     return nn.scan(
         block_cls,
         variable_axes={"params": 0},
@@ -192,7 +194,8 @@ class DiT(nn.Module):
 
         block_cls = _ScanBlock
         if a.checkpoint_activations:
-            block_cls = nn.remat(block_cls, static_argnums=())
+            # see make_block_stack: deterministic (core_fn arg 5) is static
+            block_cls = nn.remat(block_cls, static_argnums=(5,))
         self.blocks = nn.scan(
             block_cls,
             variable_axes={"params": 0},

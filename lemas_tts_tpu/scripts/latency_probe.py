@@ -46,12 +46,89 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--qps", type=float, default=0.0,
                    help="open-loop arrival rate; 0 = closed loop (B=1 floor)")
+    p.add_argument("--stream", type=int, default=0,
+                   help="stream-mode probe: synthesize this many text chunks "
+                        "via Synthesizer.synthesize_stream and report TTFB + "
+                        "steady-state RTF vs the serial and fully-batched "
+                        "paths (0 = off; ignores --qps/--requests)")
+    p.add_argument("--chunk_batch", type=int, default=2,
+                   help="stream-mode mini-batch size (chunks per sampler "
+                        "call)")
     p.add_argument("--secs", type=float, default=30.0,
                    help="measurement window (open loop)")
     p.add_argument("--requests", type=int, default=16,
                    help="request count (closed loop)")
     p.add_argument("--seed", type=int, default=0)
     return p
+
+
+def _stream_probe(tts, ref, sr, ref_units, gen_units, cfg, args) -> int:
+    """Stream-mode probe: TTFB + steady-state RTF of the double-buffered
+    ``Synthesizer.synthesize_stream`` vs (a) a serial per-mini-batch loop
+    (the round-2 behavior: fetch batch i fully before dispatching i+1) and
+    (b) one fully-batched ``synthesize_chunks`` call over all chunks.
+
+    The claim under test (docs/serving.md): TTFB ≈ one mini-batch sampler
+    call, steady-state ≈ the batched path. Reference streaming mode:
+    ``utils_infer.py:559-570`` (which is serial and unbatched)."""
+    import time as _time
+
+    chunks = [gen_units[i % len(gen_units)] for i in range(args.stream)]
+    synth, cb = tts.synth, max(1, args.chunk_batch)
+
+    def run_stream():
+        marks, audio = [], []
+        t0 = _time.perf_counter()
+        for wave, wsr in synth.synthesize_stream(
+                ref, sr, ref_units, chunks, cfg=cfg, seed=args.seed,
+                chunk_batch=cb):
+            marks.append(_time.perf_counter() - t0)
+            audio.append(wave.shape[-1] / wsr)
+        return marks, audio
+
+    def run_serial():
+        # round-2 semantics: one blocking synthesize_chunks per mini-batch
+        marks, audio = [], []
+        t0 = _time.perf_counter()
+        for i in range(0, len(chunks), cb):
+            waves, wsr, _ = synth.synthesize_chunks(
+                ref, sr, ref_units, chunks[i:i + cb], cfg=cfg,
+                seed=args.seed, return_parts=True)
+            for w in waves:
+                marks.append(_time.perf_counter() - t0)
+                audio.append(w.shape[-1] / wsr)
+        return marks, audio
+
+    def run_batched():
+        t0 = _time.perf_counter()
+        waves, wsr, _ = synth.synthesize_chunks(
+            ref, sr, ref_units, chunks, cfg=cfg, seed=args.seed,
+            return_parts=True)
+        wall = _time.perf_counter() - t0
+        return wall, sum(w.shape[-1] / wsr for w in waves)
+
+    def report(tag, marks, audio):
+        total, wall = sum(audio), marks[-1]
+        # steady-state excludes the first mini-batch (pipeline fill)
+        k = min(cb, len(audio))
+        steady = (sum(audio[k:]) / (wall - marks[k - 1])
+                  if len(audio) > k else float("nan"))
+        print(f"[stream] {tag}: ttfb={marks[0]:.3f}s total={total:.1f}s "
+              f"audio in {wall:.2f}s = {total / wall:.1f}x RT "
+              f"(steady-state {steady:.1f}x)")
+        return total / wall
+
+    print(f"[stream] {len(chunks)} chunks, chunk_batch={cb}, "
+          f"nfe={args.nfe}, block_cache={cfg.block_cache!r}, "
+          f"cfg_cutoff={cfg.cfg_cutoff!r}")
+    print("[stream] warming buckets ...", flush=True)
+    run_stream()  # compile every (duration-bucket, batch) program
+    report("stream (double-buffered)", *run_stream())
+    report("serial  (round-2 loop)  ", *run_serial())
+    wall, total = run_batched()
+    print(f"[stream] batched (one call)  : total={total:.1f}s audio in "
+          f"{wall:.2f}s = {total / wall:.1f}x RT")
+    return 0
 
 
 def main() -> int:
@@ -86,6 +163,8 @@ def main() -> int:
     bc = bc if parse_block_cache(bc) is not None else None
     cfg = SamplerConfig(nfe_steps=args.nfe, cfg_strength=args.cfg_strength,
                         cfg_cutoff=cutoff, block_cache=bc)
+    if args.stream > 0:
+        return _stream_probe(tts, ref, sr, ref_units, gen_units, cfg, args)
     eng = ServingEngine(tts.synth, cfg=cfg, max_batch=args.max_batch)
 
     def make_req(i):

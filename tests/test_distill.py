@@ -76,6 +76,34 @@ def test_distill_step_runs_and_descends(tiny):
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
 
 
+def test_serving_model_autoclone_remat(tiny):
+    """A serving-configured model (fused Pallas attention, no remat) must be
+    auto-cloned to the differentiable XLA path WITH activation checkpointing
+    before gradients flow (cfm/distill.py): the vmem kernels define no VJP,
+    and the un-remat'd flagship backward exceeds one chip's HBM. The step
+    also pins flax remat over the block scan with the static deterministic
+    flag (models/dit.py static_argnums) — grads through the remat'd stack
+    failed to trace before that fix."""
+    dit, teacher, batch = tiny
+    serving = dit.clone(attn_backend="vmem")
+    d = Distiller(serving, student_steps=2,
+                  cfg=TrainConfig(learning_rate=1e-3, num_warmup_updates=1),
+                  teacher_cfg_strength=2.0, sway_sampling_coef=1.0)
+    assert d.dit_model.attn_backend == "xla"
+    assert d.dit_model.arch.checkpoint_activations
+    state = d.init_state(teacher)
+    state, metrics = d.distill_step(state, batch, jax.random.key(7))
+    assert np.isfinite(float(metrics["loss"]))
+    # remat must not change the math: same step on the plain XLA model
+    d2 = Distiller(dit, student_steps=2,
+                   cfg=TrainConfig(learning_rate=1e-3, num_warmup_updates=1),
+                   teacher_cfg_strength=2.0, sway_sampling_coef=1.0)
+    state2 = d2.init_state(teacher)
+    state2, metrics2 = d2.distill_step(state2, batch, jax.random.key(7))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics2["loss"]), rtol=1e-5)
+
+
 def test_student_init_is_teacher_copy(tiny):
     dit, teacher, _ = tiny
     d = Distiller(dit, student_steps=4)

@@ -122,7 +122,8 @@ def _stream_probe(tts, ref, sr, ref_units, gen_units, cfg, args) -> int:
           f"nfe={args.nfe}, block_cache={cfg.block_cache!r}, "
           f"cfg_cutoff={cfg.cfg_cutoff!r}")
     print("[stream] warming buckets ...", flush=True)
-    run_stream()  # compile every (duration-bucket, batch) program
+    run_stream()   # compile every (duration-bucket, chunk_batch) program
+    run_batched()  # compile the full-batch bucket the one-call path uses
     report("stream (double-buffered)", *run_stream())
     report("serial  (round-2 loop)  ", *run_serial())
     wall, total = run_batched()

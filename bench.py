@@ -8,10 +8,10 @@ transformer blocks per step, fused Pallas VMEM attention) + batched masked
 Vocos decode — on randomly initialized flagship weights (RTF is
 weight-independent). Default batch is 8, the serving engine's measured
 sweet spot (serve/engine.py max_batch; on v5e at the serving defaults incl.
-cfg_cutoff=0.5 AND block_cache="0-22:2+t2": B=8 → 75.1 audio-s/s per chip
-(BENCH_r02); 33.1/43.4/44.7 at B=1/8/16 without the block cache;
-29.7/37.7/38.9 at exact full CFG), so the headline is per-chip serving
-throughput. The emitted approx_mel_mse self-certifies the approximation
+cfg_cutoff=0.5 AND block_cache="0-22:2+t2": B=8 → 76.7 audio-s/s per chip
+measured round 3 (75.1 in BENCH_r02 before the static-segment rewrite);
+33.1/43.4/44.7 at B=1/8/16 without the block cache; 29.7/37.7/38.9 at
+exact full CFG), so the headline is per-chip serving throughput. The emitted approx_mel_mse self-certifies the approximation
 defaults (see below). The host has one
 CPU: run the bench strictly alone or dispatch contention skews it.
 Set LEMAS_BENCH_BATCH=1 for single-stream RTF. Timing forces device

@@ -335,6 +335,26 @@ def _as_stereo(audio: np.ndarray) -> np.ndarray:
     return x
 
 
+def _materialize_random_variables(abs_vars, seed: int = 0):
+    """Fill an ``eval_shape``'d flax variable pytree with host-side numpy
+    values: BatchNorm running stats get their exact resting values
+    (mean 0, var 1), norm scales 1, biases 0, everything else small seeded
+    normals — finite, sigmoid-bounded outputs for any input."""
+    rng = np.random.default_rng(seed)
+
+    def fill(path, leaf):
+        name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
+        if name == "mean" or name == "bias":
+            arr = np.zeros(leaf.shape, leaf.dtype)
+        elif name == "var" or name == "scale":
+            arr = np.ones(leaf.shape, leaf.dtype)
+        else:
+            arr = rng.standard_normal(leaf.shape).astype(leaf.dtype) * 0.05
+        return jnp.asarray(arr)
+
+    return jax.tree_util.tree_map_with_path(fill, abs_vars)
+
+
 class VRSeparator:
     """Mask-based VR-arch separation.
 
@@ -398,9 +418,16 @@ class VRSeparator:
             import warnings
 
             warnings.warn("VR separator: random init (testing only)")
-            params = self.model.init(
-                jax.random.key(0), jnp.zeros((1, 2, n_fft // 2 + 1, 16))
+            # Abstract-eval the variable shapes and fill them host-side
+            # instead of running the real initializers: eager init of a
+            # 5-U-Net cascade costs ~2 min of per-op XLA compiles on one
+            # CPU core; eval_shape traces the same graph in <1 s. Weight
+            # *values* are test-only (real use always passes params).
+            abs_vars = jax.eval_shape(
+                self.model.init, jax.random.key(0),
+                jax.ShapeDtypeStruct((1, 2, n_fft // 2 + 1, 16), jnp.float32),
             )
+            params = _materialize_random_variables(abs_vars)
         self.params = params
         self._run = jax.jit(self.model.apply)
 

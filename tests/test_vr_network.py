@@ -127,13 +127,23 @@ def test_vrseparator_from_file(tmp_path):
 def test_predict_mask_chunking_invariance(vr):
     """Window batches are capped (long files would otherwise need one giant
     U-Net forward with multi-GB activations); the chunked result must be
-    identical to an effectively-unchunked run."""
+    identical to an effectively-unchunked run. The invariant is a property
+    of the windowing/stitch logic alone, so the network is replaced with a
+    cheap deterministic per-window function — compiling the real U-Net at
+    three batch shapes added ~40 s of XLA time without strengthening the
+    test (the real net runs in the e2e test above)."""
     rng = np.random.default_rng(3)
     n_bins = 256 // 2 + 1
     # enough frames for several windows at window_size=16
     mag = np.abs(rng.standard_normal((2, n_bins, 200))).astype(np.float32)
     vr.window_size, old_ws = 16, vr.window_size
     vr.offset, old_off = 4, vr.offset
+    old_run = vr._run
+    # per-window deterministic stand-in: value depends on the window content
+    # (so any stitch misalignment shows) but not on batch grouping
+    vr._run = lambda params, x: jax.nn.sigmoid(
+        x * 3.0 + jnp.cumsum(x, axis=-1) * 0.1
+    )
     try:
         vr.batch_size = 2
         chunked = vr._predict_mask(mag)
@@ -141,5 +151,6 @@ def test_predict_mask_chunking_invariance(vr):
         whole = vr._predict_mask(mag)
     finally:
         vr.window_size, vr.offset, vr.batch_size = old_ws, old_off, 4
+        vr._run = old_run
     assert chunked.shape == whole.shape == mag.shape
     np.testing.assert_allclose(chunked, whole, rtol=1e-5, atol=1e-6)

@@ -128,6 +128,23 @@ def fsdp_param_pspecs(
     return jax.tree_util.tree_map(rule, params, base)
 
 
+def spec_axis_dims(specs: Any, axis: str) -> Any:
+    """Per-leaf index of the dimension a PartitionSpec shards over ``axis``
+    (−1 if none) — the manual-collective counterpart of a pspec tree, for
+    shard_map code that must ``all_gather``/slice that axis by hand (the
+    pipelined trainer's ZeRO-3 composition)."""
+
+    def rule(spec):
+        for i, entry in enumerate(tuple(spec)):
+            names = entry if isinstance(entry, tuple) else (entry,)
+            if axis in [n for n in names if n is not None]:
+                return i
+        return -1
+
+    return jax.tree_util.tree_map(rule, specs,
+                                  is_leaf=lambda s: isinstance(s, P))
+
+
 def compat_shard_map():
     """`shard_map` with replication checking off, across jax versions
     (`check_vma` on jax ≥ 0.8, `check_rep` before). One shim shared by every

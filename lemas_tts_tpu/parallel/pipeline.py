@@ -28,9 +28,14 @@ Design (everything inside one ``shard_map`` over a ``('data','pipe')`` mesh):
    single-stage for embed/head — making ``psum('pipe')`` for replicated
    params + ``pmean('data')`` for everything the exact global gradient.
 
-Composable with data parallelism on the same mesh; the tensor-parallel
-(`model`) axis is a separate tool (GSPMD pspecs) and does not compose with
-the pipe axis in this implementation.
+Composable with data parallelism on the same mesh, and (``fsdp=True``) with
+ZeRO-3-style state sharding over the 'data' axis: persistent params, adam
+moments, and EMA additionally shard one weight dimension over 'data'; the
+step all-gathers params entering the differentiated region and slices each
+device's gradient shard back out after the (exact, replicated) global-norm
+clip — so only the transients are full-size, exactly like GSPMD FSDP in the
+plain trainer. The tensor-parallel (`model`) axis is a separate tool (GSPMD
+pspecs) and does not compose with the pipe axis in this implementation.
 """
 
 from __future__ import annotations
@@ -50,8 +55,10 @@ from lemas_tts_tpu.models.dit import DiT, make_block_stack
 from lemas_tts_tpu.parallel.mesh import (
     batch_pspecs_axis,
     compat_shard_map,
+    fsdp_param_pspecs,
     opt_state_pspecs,
     shard_pytree,
+    spec_axis_dims,
 )
 
 
@@ -236,12 +243,15 @@ class PipelinedTrainer(Trainer):
         data_axis: str = "data",
         pipe_axis: str = "pipe",
         remat: bool = True,
+        fsdp: bool = False,
+        fsdp_min_size: int = 1 << 16,
     ):
         assert mesh is not None and pipe_axis in mesh.axis_names, (
             "PipelinedTrainer needs a ('data','pipe') mesh (make_pipe_mesh)"
         )
         super().__init__(dit_model, vocab_size, mel_dim=mel_dim, cfg=cfg,
-                         use_ctc=use_ctc, mesh=mesh, use_prosody=use_prosody)
+                         use_ctc=use_ctc, mesh=mesh, use_prosody=use_prosody,
+                         fsdp=fsdp, fsdp_min_size=fsdp_min_size)
         self.pipe_axis = pipe_axis
         self.data_axis = data_axis
         self.pipe_size = mesh.shape[pipe_axis]
@@ -264,6 +274,15 @@ class PipelinedTrainer(Trainer):
         for k in params:
             if k != "dit":
                 specs[k] = jax.tree_util.tree_map(lambda _: P(), params[k])
+        if self.fsdp:
+            # ZeRO-3 composition: each large DiT leaf shards ONE more dim
+            # over 'data' on top of the pipe-stage spec — persistent state
+            # (params/moments/EMA) is 1/(data·pipe) per device
+            specs["dit"] = fsdp_param_pspecs(
+                params["dit"], self.mesh.shape[self.data_axis],
+                axis=self.data_axis, base=specs["dit"],
+                min_elems=self.fsdp_min_size,
+            )
         return specs
 
     def shard_state(self, state: TrainState) -> TrainState:
@@ -272,19 +291,17 @@ class PipelinedTrainer(Trainer):
         opt_state = shard_pytree(
             state.opt_state, self.mesh,
             opt_state_pspecs(state.opt_state, pspecs))
+        # EMA mirrors params["dit"]'s tree → same specs (incl. fsdp sharding)
         ema = (
             None if state.ema_params is None
-            else shard_pytree(state.ema_params, self.mesh,
-                              pipe_param_pspecs(state.ema_params,
-                                                self.pipe_axis))
+            else shard_pytree(state.ema_params, self.mesh, pspecs["dit"])
         )
         return TrainState(step=state.step, params=params, opt_state=opt_state,
                           ema_params=ema)
 
     def _state_specs(self, state: TrainState) -> TrainState:
         pspecs = self.param_pspecs(state.params)
-        ema_specs = (None if state.ema_params is None
-                     else pipe_param_pspecs(state.ema_params, self.pipe_axis))
+        ema_specs = None if state.ema_params is None else pspecs["dit"]
         return TrainState(
             step=P(), params=pspecs,
             opt_state=opt_state_pspecs(state.opt_state, pspecs),
@@ -340,15 +357,43 @@ class PipelinedTrainer(Trainer):
 
         # True at leaves whose spec names the pipe axis (the block shards)
         is_block = jax.tree_util.tree_map(
-            lambda s: pipe_axis in tuple(s), state_specs.params)
+            lambda s: pipe_axis in tuple(s), state_specs.params,
+            is_leaf=lambda s: isinstance(s, P))
+
+        # ZeRO-3 composition: per-leaf index of the dim sharded over 'data'
+        # (−1 = not fsdp-sharded). Params are all-gathered entering the
+        # differentiated region; gradient shards are sliced back out after
+        # the exact replicated clip — transients full-size, persistent state
+        # 1/data, numerics identical (test_pipelined_fsdp_matches_plain).
+        fsdp_dims = (spec_axis_dims(state_specs.params, data_axis)
+                     if self.fsdp else None)
+        d_size = mesh.shape[data_axis]
+
+        def gather_fsdp(tree):
+            return jax.tree_util.tree_map(
+                lambda x, dim: x if dim < 0 else jax.lax.all_gather(
+                    x, data_axis, axis=dim, tiled=True), tree, fsdp_dims)
+
+        def slice_fsdp(tree):
+            idx = jax.lax.axis_index(data_axis)
+
+            def go(g, dim):
+                if dim < 0:
+                    return g
+                k = g.shape[dim] // d_size
+                return jax.lax.dynamic_slice_in_dim(g, idx * k, k, axis=dim)
+
+            return jax.tree_util.tree_map(go, tree, fsdp_dims)
 
         def local_step(state: TrainState, batch, rng):
             # identical randomness across the pipe stages of one data shard
             # (each stage recomputes the same φ/x0/span masks); distinct per
             # data shard
             rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+            full_params = (state.params if fsdp_dims is None
+                           else gather_fsdp(state.params))
             (_, metrics), grads = jax.value_and_grad(
-                local_loss, has_aux=True)(state.params, batch, rng)
+                local_loss, has_aux=True)(full_params, batch, rng)
 
             # the loss each device computes is the GLOBAL objective
             # (loss_psum_axis inside the loss). Under shard_map, psum
@@ -378,6 +423,10 @@ class PipelinedTrainer(Trainer):
             gnorm = jnp.sqrt(jax.lax.psum(blocks_sq, pipe_axis) + rest_sq)
             scale = jnp.where(gnorm > max_norm, max_norm / (gnorm + 1e-12), 1.0)
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            if fsdp_dims is not None:
+                # grads are exact + replicated over 'data' after combine();
+                # each device keeps only its state shard's slice
+                grads = slice_fsdp(grads)
 
             updates, new_opt = self.optimizer.update(
                 grads, state.opt_state, state.params)

@@ -136,6 +136,48 @@ def test_pipelined_training_on_data_pipe_mesh():
     assert state.ema_params is not None
 
 
+@pytest.mark.slow
+def test_pipelined_fsdp_matches_plain_pipelined():
+    """ZeRO-3 composition over the ('data','pipe') mesh is a layout choice,
+    not a numerics choice: one fsdp=True step equals the fsdp=False step
+    bit-for-layout (params gathered entering the grad, grad shards sliced
+    after the exact replicated clip)."""
+    dit = DiT(arch=ARCH, mel_dim=12, text_num_embeds=30)
+    cfg = TrainConfig(num_warmup_updates=2, learning_rate=1e-3)
+    mesh = make_pipe_mesh(8, pipe_parallel=2)  # data=4 × pipe=2
+    batch = make_batch(B=8)
+
+    plain = PipelinedTrainer(dit, vocab_size=30, mel_dim=12, cfg=cfg,
+                             use_ctc=True, mesh=mesh, num_microbatches=2)
+    fsdp = PipelinedTrainer(dit, vocab_size=30, mel_dim=12, cfg=cfg,
+                            use_ctc=True, mesh=mesh, num_microbatches=2,
+                            fsdp=True, fsdp_min_size=128)
+
+    s0 = plain.init_state(jax.random.key(0), batch)
+    s1 = fsdp.init_state(jax.random.key(0), batch)
+
+    # persistent block state shards over BOTH axes
+    blk_specs = fsdp.param_pspecs(jax.device_get(s1.params))["dit"]["params"]["blocks"]
+    flat = [tuple(s) for s in jax.tree_util.tree_leaves(
+        blk_specs, is_leaf=lambda s: isinstance(s, P))]
+    assert any("pipe" in s and "data" in s for s in flat), flat
+
+    for i in range(2):
+        s0, m0 = plain.train_step(s0, batch, jax.random.key(i), FixedDrops())
+        s1, m1 = fsdp.train_step(s1, batch, jax.random.key(i), FixedDrops())
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s0.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(s1.params))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-5, atol=5e-6)
+    # EMA sharded like params, values matching too
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s0.ema_params)),
+                    jax.tree_util.tree_leaves(jax.device_get(s1.ema_params))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-5, atol=5e-6)
+
+
 def test_psum_transpose_contract():
     """Pins the jax behavior the pipelined gradient combination relies on:
     under shard_map (replication checks off), psum transposes to psum — the

@@ -87,7 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3-style param/moment/EMA sharding over the "
                         "'data' axis (fully-sharded data parallelism; "
-                        "composes with --model_parallel).")
+                        "composes with --model_parallel and with "
+                        "--pipe_parallel).")
     p.add_argument("--grad_accum", type=int, default=0,
                    help="gradient accumulation mini-steps per optimizer "
                         "update (0 → config value)")
@@ -118,11 +119,6 @@ def main(argv=None) -> int:
 
     if args.microbatches and args.pipe_parallel <= 1:
         print("--microbatches only applies with --pipe_parallel > 1",
-              file=sys.stderr)
-        return 2
-    if args.fsdp and args.pipe_parallel > 1:
-        print("--fsdp composes with --model_parallel, not --pipe_parallel "
-              "(pipeline stages already shard the block stack)",
               file=sys.stderr)
         return 2
 
@@ -177,7 +173,7 @@ def main(argv=None) -> int:
             dit, vocab_size=vocab.size, mel_dim=mel_dim, cfg=tcfg,
             use_ctc=cfg.use_ctc_loss, mesh=mesh,
             use_prosody=cfg.use_prosody_encoder,
-            num_microbatches=microbatches)
+            num_microbatches=microbatches, fsdp=args.fsdp)
         batch_multiple = mesh.shape["data"] * microbatches
     else:
         mesh = (

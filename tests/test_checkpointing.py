@@ -407,6 +407,8 @@ def test_train_cli_fsdp(tmp_path):
                 "--steps", "3", "--resume", "--log_every", "1",
                 "--log_file", str(tmp_path / "log.jsonl")])
     assert rc2 == 0
-    # flag validation: fsdp does not compose with pipeline parallelism
-    assert main(["--synthetic", "16", "--tiny", "--ckpt_dir", ck,
-                 "--steps", "1", "--fsdp", "--pipe_parallel", "2"]) == 2
+    # fsdp composes with pipeline parallelism (ZeRO-3 over 'data' on the
+    # ('data','pipe') mesh) — one CLI step end-to-end
+    ck2 = str(tmp_path / "ck_pipe")
+    assert main(["--synthetic", "16", "--tiny", "--ckpt_dir", ck2,
+                 "--steps", "1", "--fsdp", "--pipe_parallel", "2"]) == 0

@@ -132,7 +132,14 @@ class SamplerSettings:
     # DiT-only, euler-only; measure the speed/quality trade with
     # ``scripts/blockcache_probe.py``.
     block_cache_range: Optional[tuple] = None  # (lo, hi) block indices
-    block_cache_every: int = 2  # refresh period (1 ≡ exact, no skipping)
+    # refresh period (1 ≡ exact, no skipping). COMPILE-TIME NOTE: the NFE
+    # scan is segmented statically with the (period−1) skip steps UNROLLED
+    # inside each scan body (_scan_block_cached), so a period near the NFE
+    # count effectively fully unrolls the ODE loop — compile time grows
+    # ~linearly with `every` (through a slow compile link that can be
+    # minutes). The shipped specs use every ≤ 4; treat larger values as
+    # probe-only.
+    block_cache_every: int = 2
     # always-refresh windows at the trajectory's head/tail (steps, not
     # fractions): under the sway warp, dt grows along the trajectory, so the
     # cache is stalest late — a dense tail buys a longer base period at

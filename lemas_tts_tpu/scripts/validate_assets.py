@@ -107,6 +107,11 @@ class Step:
     run: Optional[Callable[[], Dict]] = None  # extra validation, ran after
     note: str = ""
     module: str = ""
+    # path that must exist at EXECUTION time (produced by an earlier step in
+    # the same invocation — e.g. the reprobes target <out>/native_model from
+    # convert_cfm); missing ⇒ skip with that reason instead of a confusing
+    # FAIL when the producing step failed or was deselected via --only/--skip
+    requires: Optional[str] = None
 
 
 def _exists(path: str) -> bool:
@@ -175,7 +180,12 @@ def build_steps(args) -> List[Step]:
         from lemas_tts_tpu.api import TTS
         from lemas_tts_tpu.utils.audio_io import write_wav
 
-        tts = TTS(model=args.model, ckpt_file=args.ckpt,
+        # prefer the orbax artifact step 1 just wrote: the persisted
+        # converted model on disk is then itself load-validated (falling
+        # back to in-process conversion of --ckpt when convert_cfm was
+        # skipped/failed)
+        ckpt = native_model if Path(native_model).is_dir() else args.ckpt
+        tts = TTS(model=args.model, ckpt_file=ckpt,
                   vocab_file=args.vocab_file, use_ema=args.use_ema,
                   vocoder_local_path=(args.vocos or args.bigvgan) or None)
         wave, sr, _ = tts.infer(args.ref_audio, args.ref_text,
@@ -188,7 +198,8 @@ def build_steps(args) -> List[Step]:
             raise RuntimeError(f"smoke infer is silent (peak {peak:.1e}) — "
                                "checkpoint/vocoder mismatch?")
         write_wav(str(out / "smoke.wav"), wave.astype(np.float32), sr)
-        return {"audio_s": round(wave.size / sr, 2), "peak": round(peak, 3)}
+        return {"audio_s": round(wave.size / sr, 2), "peak": round(peak, 3),
+                "loaded": ckpt}
 
     smoke_skip = None
     if not (_exists(args.ckpt) and _exists(args.vocab_file)):
@@ -266,7 +277,7 @@ def build_steps(args) -> List[Step]:
     steps.append(Step(
         "reprobe_cutoff", module="cutoff_probe",
         argv=["--ckpt", native_model, "--cutoffs", str(SERVING_CFG_CUTOFF)],
-        skip_reason=probe_skip, run=check_cutoff,
+        skip_reason=probe_skip, run=check_cutoff, requires=native_model,
         note="expect: serving-default cutoff mel MSE well under the bar "
              "on REAL weights (random-weight figure: 1.5e-5)"))
 
@@ -293,7 +304,7 @@ def build_steps(args) -> List[Step]:
               "--specs", ",".join(dict.fromkeys(
                   [SERVING_BLOCK_CACHE, "2-20:2", "2-14:2"])),
               "--pick_mse", str(args.pick_mse)],
-        skip_reason=probe_skip, run=check_cache,
+        skip_reason=probe_skip, run=check_cache, requires=native_model,
         note="expect: serving-default spec within the bar on REAL weights "
              "(random-weight figure: 1.7e-4); 'picked' names the fastest "
              "spec inside the --pick_mse budget"))
@@ -331,6 +342,15 @@ def main(argv=None) -> int:
         if st.skip_reason:
             _emit({"step": st.name, "status": "skip",
                    "reason": st.skip_reason})
+            summary.append((st.name, "skip"))
+            continue
+        if st.requires and not Path(st.requires).exists():
+            # execution-time dependency from an earlier step in this chain
+            # (e.g. convert_cfm failed or was deselected) — a skip with the
+            # real reason, not a confusing FAIL against a missing artifact
+            _emit({"step": st.name, "status": "skip",
+                   "reason": f"missing {st.requires} (producing step "
+                             "failed or was deselected)"})
             summary.append((st.name, "skip"))
             continue
         t0 = time.perf_counter()

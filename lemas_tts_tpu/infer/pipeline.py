@@ -278,8 +278,9 @@ class Synthesizer:
         """Sequence-parallel sampling on a ('data','seq') mesh
         (parallel/sequence.py): the sequence axis of every utterance shards
         over 'seq' — ring attention + halo convs cut long-bucket latency
-        with chip count. GRL step_cond / prosody conditioning stay on the
-        data-parallel path."""
+        with chip count. GRL step_cond shards over 'seq' like cond; prosody
+        conditioning folds into the precomputed text embeds (both handled
+        inside sequence_parallel_sampler)."""
         from lemas_tts_tpu.parallel.sequence import sequence_parallel_sampler
 
         if not hasattr(self.dit_model, "seq_axis"):
@@ -287,21 +288,9 @@ class Synthesizer:
                 f"sequence parallelism supports the DiT backbone only, "
                 f"not {type(self.dit_model).__name__}"
             )
-        sp = sequence_parallel_sampler(
+        return sequence_parallel_sampler(
             self.dit_model.clone(seq_axis="seq"), settings, self.mesh
         )
-
-        def fn(params, cond, cond_mask, text, duration, y0,
-               step_cond=None, prosody_text=None):
-            if step_cond is not None or prosody_text is not None:
-                raise NotImplementedError(
-                    "sequence-parallel sampling does not support GRL "
-                    "step_cond / prosody conditioning — use a "
-                    "('data','model') mesh for those"
-                )
-            return sp(params, cond, cond_mask, text, duration, y0)
-
-        return fn
 
     def _pick_batch(self, b: int) -> int:
         bp = pick_bucket(b, BATCH_BUCKETS)

@@ -17,15 +17,19 @@ mesh; collectives ride ICI):
  - rope → global-position rows sliced per shard (``models/dit.py``);
  - text embedding + attention mask → full-sequence math is computed once
    OUTSIDE the shard_map (it runs once per utterance, not per ODE step) and
-   enters sharded along N — the ODE scan itself is fully shard-local.
+   enters sharded along N — the ODE scan itself is fully shard-local;
+ - prosody conditioning (``prosody_text`` [B, nt, 512]) → the projection
+   ``prosody_text_proj`` adds LINEARLY to the text embedding
+   (``models/dit.py:embed_inputs``) and is constant across ODE steps, so it
+   is folded into the precomputed cond/uncond text-embed pair outside the
+   shard_map — zero per-step cost and nothing new inside the ring;
+ - GRL ``step_cond`` (the accent-shuffled conditioning mel, [B, N, D]) →
+   per-frame like ``cond``; shards over 'seq' with the same spec.
 
 Same params as the unsharded model (``DiT(seq_axis="seq")`` only changes the
 computation); outputs match the single-device sampler to float tolerance
 (online-softmax reduction order). ``tests/test_sequence_parallel.py`` pins
-this on the 8-device CPU mesh.
-
-Current scope: the plain zero-shot/edit sampling path (no GRL ``step_cond``
-shuffle or prosody conditioning — those stay on the data-parallel path).
+this on the 8-device CPU mesh, including the prosody and step_cond paths.
 """
 
 from __future__ import annotations
@@ -83,47 +87,84 @@ def sequence_parallel_sampler(
     s = mesh.shape[seq_axis]
     shard_map = compat_shard_map()
 
-    def local(params, cond, cond_mask, attn_mask, duration, y0, *te):
-        te_pair = (te[0], te[1] if settings.use_cfg else None)
-        return sample_mel(
-            model, params,
-            cond=cond, cond_mask=cond_mask, text_ids=None,
-            duration=duration, y0=y0, time_grid=time_grid, settings=settings,
-            text_embed_pair=te_pair, attn_mask_override=attn_mask,
-        )
-
     seq3 = P(data_axis, seq_axis, None)
     seq2 = P(data_axis, seq_axis)
-    in_specs = (P(), seq3, seq2, seq2, P(data_axis), seq3, seq3)
-    if settings.use_cfg:
+
+    def make_run(has_step_cond: bool):
+        def local(params, cond, cond_mask, attn_mask, duration, y0, *rest):
+            rest = list(rest)
+            sc = rest.pop(0) if has_step_cond else None
+            te_pair = (rest[0], rest[1] if settings.use_cfg else None)
+            return sample_mel(
+                model, params,
+                cond=cond, cond_mask=cond_mask, text_ids=None,
+                duration=duration, y0=y0, time_grid=time_grid,
+                settings=settings, step_cond=sc,
+                text_embed_pair=te_pair, attn_mask_override=attn_mask,
+            )
+
+        in_specs = (P(), seq3, seq2, seq2, P(data_axis), seq3)
+        if has_step_cond:
+            in_specs += (seq3,)
         in_specs += (seq3,)
-    run = jax.jit(shard_map(local, mesh=mesh, in_specs=in_specs,
-                            out_specs=seq3))
+        if settings.use_cfg:
+            in_specs += (seq3,)
+        return jax.jit(shard_map(local, mesh=mesh, in_specs=in_specs,
+                                 out_specs=seq3))
+
+    runs: dict = {}
 
     @partial(jax.jit, static_argnames=("seq_len",))
-    def embed(params, text_ids, seq_len):
+    def embed(params, text_ids, seq_len, prosody_text=None):
         te_c = model.apply(params, text_ids, seq_len, False,
                            method=model.embed_text)
+        tes = (te_c,)
         if settings.use_cfg:
             te_u = model.apply(params, text_ids, seq_len, True,
                                method=model.embed_text)
-            return te_c, te_u
-        return (te_c,)
+            tes = (te_c, te_u)
+        if prosody_text is not None:
+            # the prosody projection adds linearly to the text embedding and
+            # is step-constant (dit.py:embed_inputs) — fold it into BOTH CFG
+            # branches here, outside the shard_map, exactly as the unsharded
+            # forward adds it inside every velocity eval
+            pt = model.apply(
+                params, prosody_text,
+                method=lambda m, p: m.prosody_text_proj(
+                    p.astype(m.compute_dtype)),
+            )
+            if pt.shape[1] < seq_len:
+                pt = jnp.pad(pt, ((0, 0), (0, seq_len - pt.shape[1]), (0, 0)))
+            else:
+                pt = pt[:, :seq_len]
+            tes = tuple(te + pt for te in tes)
+        return tes
 
-    def fn(params, cond, cond_mask, text_ids, duration, y0):
+    def fn(params, cond, cond_mask, text_ids, duration, y0,
+           step_cond=None, prosody_text=None):
         B, N, _ = cond.shape
         assert N % s == 0 and N // s >= 30, (
             f"bucket {N} must split into seq shards ≥ the conv halo "
             f"(30 frames) over {s} devices"
         )
         assert B % mesh.shape[data_axis] == 0, (B, mesh.shape[data_axis])
-        # full-sequence math, once per utterance: text embeds + global mask
-        tes = embed(params, text_ids, N)
+        if prosody_text is not None and not getattr(
+                model, "use_prosody_encoder", False):
+            prosody_text = None  # unsharded forward ignores it too
+        # full-sequence math, once per utterance: text embeds (+ folded
+        # prosody projection) + global mask
+        tes = embed(params, text_ids, N, prosody_text)
         attn_mask = lens_to_mask(duration, N)
+        has_sc = step_cond is not None
+        run = runs.get(has_sc)
+        if run is None:
+            run = runs[has_sc] = make_run(has_sc)
         put = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
         args = (params,
                 put(cond, seq3), put(cond_mask, seq2), put(attn_mask, seq2),
                 put(duration, P(data_axis)), put(y0, seq3))
+        if has_sc:
+            args += (put(step_cond, seq3),)
         args += tuple(put(t, seq3) for t in tes)
         return run(*args)
 

@@ -225,6 +225,59 @@ def test_sequence_parallel_block_cache_matches_single():
     assert float(np.max(np.abs(np.asarray(ref) - np.asarray(exact)))) > 0
 
 
+def test_sequence_parallel_prosody_and_step_cond_match_single():
+    """The round-3 exclusion is lifted: prosody conditioning (folded into
+    the precomputed text embeds outside the shard_map) and GRL step_cond
+    (sharded over 'seq' like cond) both match the single-device sampler."""
+    from lemas_tts_tpu.cfm.sampler import SamplerSettings, make_sampler
+    from lemas_tts_tpu.config import DiTArch
+    from lemas_tts_tpu.models.dit import DiT
+
+    arch = DiTArch(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2,
+                   text_dim=32, conv_layers=1)
+    kw = dict(arch=arch, mel_dim=12, text_num_embeds=30,
+              use_prosody_encoder=True)
+    single = DiT(**kw)
+    seq_model = DiT(**kw, seq_axis="seq")
+
+    rng = np.random.default_rng(6)
+    B, N, D = 2, 256, 12
+    params = single.init(
+        jax.random.key(0),
+        jnp.zeros((1, 8, D)), jnp.zeros((1, 8, D)),
+        jnp.zeros((1, 4), jnp.int32), jnp.zeros((1,)),
+        prosody_text=jnp.zeros((1, 4, 512)),
+    )
+    text = jnp.asarray(rng.integers(0, 30, (B, 6)).astype(np.int32))
+    cond = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    cond_mask = jnp.asarray(np.arange(N)[None, :] < 64).repeat(B, axis=0)
+    duration = jnp.asarray(np.array([N, N - 80], np.int32))
+    y0 = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    # GRL shuffle conditioning: per-frame [B, N, D] alternative cond
+    step_cond = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    prosody_text = jnp.asarray(
+        rng.standard_normal((B, 6, 512)).astype(np.float32) * 0.1)
+
+    settings = SamplerSettings(steps=4, cfg_strength=2.0,
+                               sway_sampling_coef=1.0)
+    mesh = make_seq_mesh(8, seq_parallel=4)
+    sp = sequence_parallel_sampler(seq_model, settings, mesh)
+    ref_fn = make_sampler(single, settings)
+
+    for sc, pt in [(step_cond, None), (None, prosody_text),
+                   (step_cond, prosody_text)]:
+        ref = ref_fn(params, cond, cond_mask, text, duration, y0, sc, pt)
+        out = sp(params, cond, cond_mask, text, duration, y0,
+                 step_cond=sc, prosody_text=pt)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+    # the conditioning actually flowed (paths diverge from the plain run)
+    plain = ref_fn(params, cond, cond_mask, text, duration, y0)
+    both = sp(params, cond, cond_mask, text, duration, y0,
+              step_cond=step_cond, prosody_text=prosody_text)
+    assert float(np.max(np.abs(np.asarray(both) - np.asarray(plain)))) > 1e-3
+
+
 def test_sequence_parallel_data_axis_combo():
     """2 data × 4 seq: batch rows AND their sequences shard simultaneously."""
     from lemas_tts_tpu.cfm.sampler import SamplerSettings, make_sampler

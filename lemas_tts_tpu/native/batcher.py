@@ -91,6 +91,15 @@ class _PyBatcher:
                 cost += c
             return ids, bucket
 
+    def cancel(self, rid: int) -> bool:
+        with self.mu:
+            for q in self.queues.values():
+                for i, (r, _, _) in enumerate(q):
+                    if r == rid:
+                        del q[i]
+                        return True
+        return False
+
     def depth(self) -> int:
         with self.mu:
             return sum(len(q) for q in self.queues.values())
@@ -124,6 +133,13 @@ class Batcher:
                 vp, ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(i64), i64]
             self._lib.batcher_depth.restype = i64
             self._lib.batcher_depth.argtypes = [vp]
+            # batcher_cancel landed in scheduler 1.1; a stale prebuilt .so
+            # may lack the symbol — degrade to dispatch-time-only cancel
+            try:
+                self._lib.batcher_cancel.restype = i64
+                self._lib.batcher_cancel.argtypes = [vp, ctypes.c_uint64]
+            except AttributeError:
+                pass
             self._h = ctypes.c_void_p(
                 self._lib.batcher_create(max_batch, max_cost, wait_us)
             )
@@ -152,6 +168,16 @@ class Batcher:
                 return [], 0
             return [int(ids[i]) for i in range(n)], int(buckets[0])
         return self._py.next_batch(int(timeout_ms * 1000))
+
+    def cancel(self, rid: int) -> bool:
+        """Remove a still-queued request (frees queue depth immediately).
+        False when unknown/already collected — the engine's dispatch-time
+        Future check covers that race."""
+        if self._lib is not None:
+            if not hasattr(self._lib, "batcher_cancel"):
+                return False  # stale prebuilt library (pre-1.1)
+            return bool(self._lib.batcher_cancel(self._h, rid))
+        return self._py.cancel(rid)
 
     def depth(self) -> int:
         if self._lib is not None:

@@ -15,7 +15,10 @@ Endpoints:
                 "block_cache" ("lo-hi:every" or "0"),
                 "ode_method" (the reference's Gradio app exposes NFE/CFG per
                 request, ``inference_gradio.py``; the engine batches
-                same-settings requests together).
+                same-settings requests together). "queue_timeout_s" sets an
+                engine-side deadline: still queued past it → shed, 504.
+                Client disconnects while queued cancel the request
+                (docs/serving.md "Overload robustness").
   POST /tts_stream  same JSON (+ optional "max_chars", "chunk_batch") →
                 chunked ``audio/L16`` PCM, one HTTP chunk per synthesized
                 text chunk as it completes (reference streaming mode,
@@ -36,9 +39,13 @@ import argparse
 import base64
 import io
 import json
+import select
+import socket
 import sys
 import threading
+import time
 import wave as wave_mod
+from concurrent.futures import CancelledError
 from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Sequence
@@ -195,6 +202,34 @@ def make_handler(tts, engine, max_streams: int = 2):
         def _reply_json(self, code: int, obj):
             self._reply(code, json.dumps(obj).encode(), "application/json")
 
+        def _await_or_cancel(self, fut, timeout: float):
+            """Block on the engine future, watching the client socket: a
+            disconnect (EOF) while queued cancels the request in the engine
+            so the device never computes for a vanished client. A future
+            that itself FAILED with TimeoutError (engine queue shed) is
+            re-raised immediately — ``fut.result(timeout=...)``'s wait
+            timeout and the stored exception are the same class on 3.11+."""
+            deadline = time.monotonic() + timeout
+            while True:
+                try:
+                    return fut.result(timeout=0.25)
+                except FuturesTimeout:
+                    if fut.done():
+                        raise  # stored TimeoutError: the engine shed it
+                    if time.monotonic() > deadline:
+                        engine.cancel(fut)
+                        raise
+                readable, _, _ = select.select([self.connection], [], [], 0)
+                if readable:
+                    try:
+                        peek = self.connection.recv(1, socket.MSG_PEEK)
+                    except OSError:
+                        peek = b""
+                    if peek == b"":  # EOF: client hung up while we waited
+                        engine.cancel(fut)
+                        raise ConnectionResetError(
+                            "client disconnected while queued")
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply_json(200, {"ok": True,
@@ -308,12 +343,18 @@ def make_handler(tts, engine, max_streams: int = 2):
                 # string would be tokenized character-by-character)
                 ref_units = tts.prepare_units(ref_text)
                 gen_units = tts.prepare_units(gen_text)
+                # queue_timeout_s: engine-side deadline — a request still
+                # QUEUED past it is shed at dispatch (TimeoutError → 504
+                # here) instead of occupying a batch slot under overload
+                qt = payload.get("queue_timeout_s")
                 fut = engine.submit(TTSRequest(
                     ref_wav=ref_wav, ref_sr=ref_sr, ref_units=ref_units,
                     gen_units=gen_units, seed=payload.get("seed"),
                     cfg=_request_cfg(engine.cfg, payload),
+                    timeout=float(qt) if qt is not None else None,
                 ))
-                out = fut.result(timeout=float(payload.get("timeout_s", 300)))
+                out = self._await_or_cancel(
+                    fut, timeout=float(payload.get("timeout_s", 300)))
                 wav = out[0] if isinstance(out, tuple) else out
                 sr = out[1] if isinstance(out, tuple) and len(out) > 1 \
                     else tts.target_sample_rate
@@ -322,6 +363,10 @@ def make_handler(tts, engine, max_streams: int = 2):
             except FuturesTimeout as e:
                 # server capacity, not client fault: retryable 504
                 self._reply_json(504, {"error": f"synthesis timed out: {e}"})
+            except CancelledError:
+                self._reply_json(503, {"error": "request cancelled"})
+            except (BrokenPipeError, ConnectionResetError):
+                self.close_connection = True  # client already gone
             except RuntimeError as e:  # queue full → backpressure status
                 self._reply_json(503, {"error": str(e)})
             except Exception as e:

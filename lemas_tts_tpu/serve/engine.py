@@ -43,8 +43,14 @@ class TTSRequest:
     # batched only with same-settings peers: the program shape is keyed on
     # SamplerSettings, so mixing would force one row's settings on the batch.
     cfg: Optional[SamplerConfig] = None
+    # engine-side deadline (seconds from submit; None = no limit): a request
+    # still QUEUED past its timeout is shed at dispatch time with
+    # TimeoutError on its future instead of wasting a batch slot — under
+    # overload the device only ever runs work someone is still waiting for.
+    timeout: Optional[float] = None
     future: Future = field(default_factory=Future)
     _t_submit: float = field(default=0.0, repr=False)
+    _rid: int = field(default=0, repr=False)
 
 
 class ServingEngine:
@@ -73,6 +79,9 @@ class ServingEngine:
         self.log = logger or JsonLogger()
         self._pending: Dict[int, TTSRequest] = {}
         self._lock = threading.Lock()
+        # load-shedding counters (dispatch-time): requests that never reached
+        # the device because their client cancelled or their deadline passed
+        self._shed = {"cancelled": 0, "timed_out": 0}
         # per-settings ids for composite bucketing; id 0 = the default cfg
         self._cfg_ids: Dict[SamplerConfig, int] = {cfg: 0}
         self._latencies: Dict[str, deque] = {}
@@ -134,8 +143,30 @@ class ServingEngine:
             rid = self.batcher.submit(bucket=bucket, cost=dur_bucket)
             if rid == 0:
                 raise RuntimeError("engine is shut down")
+            req._rid = rid
             self._pending[rid] = req
         return req.future
+
+    def cancel(self, fut: Future) -> bool:
+        """Cancel a submitted request (client disconnect). Returns True if
+        the request will never produce a result. Still-queued requests are
+        removed from the batcher immediately (freeing queue depth for
+        backpressure); a request already collected into an in-flight batch
+        has its future cancelled so the device result is dropped — that
+        row's compute is spent, which is the unavoidable race window."""
+        with self._lock:
+            # pending set is bounded by max_queue — a scan is fine
+            req = next((r for r in self._pending.values()
+                        if r.future is fut), None)
+            if req is None:
+                return fut.cancel() or fut.cancelled()
+            if self.batcher.cancel(req._rid):
+                self._pending.pop(req._rid, None)
+                self._shed["cancelled"] += 1
+        cancelled = fut.cancel()
+        if cancelled:
+            self.log.log("request_cancelled", rid=req._rid)
+        return cancelled
 
     def synthesize(self, ref_wav, ref_sr, ref_units, gen_units,
                    seed=None, timeout: Optional[float] = None):
@@ -151,6 +182,29 @@ class ServingEngine:
                 continue
             with self._lock:
                 reqs = [self._pending.pop(i) for i in ids if i in self._pending]
+            # dispatch-time load shedding: under overload the device must
+            # only run work someone is still waiting for. Cancelled futures
+            # and requests past their deadline are dropped BEFORE the batch
+            # is padded/compiled/dispatched, not after.
+            now = time.perf_counter()
+            live = []
+            for r in reqs:
+                if r.future.cancelled() or not r.future.set_running_or_notify_cancel():
+                    with self._lock:
+                        self._shed["cancelled"] += 1
+                    continue
+                if (r.timeout is not None and r._t_submit
+                        and now - r._t_submit > r.timeout):
+                    r.future.set_exception(TimeoutError(
+                        f"request shed after {now - r._t_submit:.2f}s in queue"
+                        f" (timeout={r.timeout}s)"))
+                    with self._lock:
+                        self._shed["timed_out"] += 1
+                    self.log.log("request_timed_out", rid=r._rid,
+                                 queued_s=round(now - r._t_submit, 3))
+                    continue
+                live.append(r)
+            reqs = live
             if not reqs:
                 continue
             # composite bucket ⇒ every request in the batch shares settings
@@ -215,5 +269,6 @@ class ServingEngine:
             lat = {k: self._percentiles(v)
                    for k, v in self._latencies.items() if v}
             n_cfgs = len(self._cfg_ids)
+            shed = dict(self._shed)
         return {"queue_depth": self.batcher.depth(), "timers": TIMERS.snapshot(),
-                "latency": lat, "settings_variants": n_cfgs}
+                "latency": lat, "settings_variants": n_cfgs, "shed": shed}

@@ -164,4 +164,24 @@ API int64_t batcher_next_batch(void* h, uint64_t* ids, int64_t* bucket_out,
   return count;
 }
 
-API const char* batcher_version() { return "scheduler 1.0 (lemas-tts-tpu)"; }
+// Remove a still-queued request by id (client disconnect / engine-side
+// timeout). Returns 1 if found and removed, 0 if unknown or already
+// collected into a batch — the engine's dispatch-time cancellation check
+// covers that race.
+API int64_t batcher_cancel(void* h, uint64_t id) {
+  auto* b = static_cast<Batcher*>(h);
+  std::lock_guard<std::mutex> lk(b->mu);
+  for (auto& kv : b->queues) {
+    auto& q = kv.second;
+    for (auto it = q.begin(); it != q.end(); ++it) {
+      if (it->id == id) {
+        q.erase(it);
+        b->depth.fetch_sub(1);
+        return 1;
+      }
+    }
+  }
+  return 0;
+}
+
+API const char* batcher_version() { return "scheduler 1.1 (lemas-tts-tpu)"; }

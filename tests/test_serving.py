@@ -383,6 +383,114 @@ def test_cancelled_future_does_not_poison_batch(synth):
         eng.shutdown()
 
 
+@pytest.mark.parametrize("force_python", [False, True])
+def test_batcher_cancel(force_python):
+    """cancel() removes a still-queued request (both backends) and frees
+    queue depth; unknown / already-collected ids return False."""
+    from lemas_tts_tpu.native.batcher import Batcher
+
+    b = Batcher(max_batch=4, max_wait_ms=0, force_python=force_python)
+    try:
+        r1 = b.submit(bucket=1024, cost=1)
+        r2 = b.submit(bucket=1024, cost=1)
+        assert b.depth() == 2
+        assert b.cancel(r1) is True
+        assert b.depth() == 1
+        ids, bucket = b.next_batch(timeout_ms=100)
+        assert ids == [r2] and bucket == 1024
+        assert b.cancel(r2) is False  # already collected
+        assert b.cancel(999_999) is False  # unknown
+    finally:
+        b.close()
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+def test_batcher_mixed_bucket_fairness_under_overload(force_python):
+    """Open-loop overload across mixed shape buckets: dispatch follows each
+    bucket's oldest queued request (oldest-head-first), so no bucket starves.
+    Invariant: the sequence of per-batch oldest submit indices is
+    nondecreasing across consecutive batches."""
+    import time as _time
+
+    from lemas_tts_tpu.native.batcher import Batcher
+
+    b = Batcher(max_batch=2, max_wait_ms=0, force_python=force_python)
+    try:
+        rng = np.random.default_rng(0)
+        buckets = [256, 512, 1024]
+        submit_idx = {}
+        for i in range(48):  # Poisson-ish arrival mix, all queued up front
+            rid = b.submit(bucket=buckets[int(rng.integers(3))], cost=1)
+            submit_idx[rid] = i
+            _time.sleep(0.001)  # separate µs-resolution enqueue timestamps
+        heads, seen_buckets = [], set()
+        while b.depth():
+            ids, bucket = b.next_batch(timeout_ms=100)
+            assert ids
+            heads.append(min(submit_idx[r] for r in ids))
+            seen_buckets.add(bucket)
+        assert heads == sorted(heads), heads
+        assert seen_buckets == set(buckets)  # every bucket served
+    finally:
+        b.close()
+
+
+def test_engine_cancel_and_timeout_shedding(synth):
+    """Engine overload robustness: a cancelled queued request never reaches
+    the device (shed at the batcher), and a request whose engine-side
+    deadline passed in the queue is shed at dispatch with TimeoutError —
+    both visible in stats()['shed']."""
+    import time as _time
+
+    cfg = SamplerConfig(nfe_steps=2, cfg_strength=1.0)
+    eng = ServingEngine(synth, cfg=cfg, max_batch=1, max_wait_ms=1)
+    original = synth.synthesize_requests
+    gate = threading.Event()
+    ran_seeds = []
+
+    def gated(requests, cfg=cfg):
+        ran_seeds.extend(r["seed"] for r in requests)
+        gate.wait(timeout=60)
+        return original(requests, cfg=cfg)
+
+    synth.synthesize_requests = gated
+    try:
+        f1 = eng.submit(TTSRequest(**_req(81)))
+        # while the worker is blocked inside f1's batch, f2/f3 stay queued
+        f2 = eng.submit(TTSRequest(**_req(82)))
+        f3 = eng.submit(TTSRequest(**_req(83), timeout=1e-3))
+        assert eng.cancel(f2) is True
+        assert f2.cancelled()
+        _time.sleep(0.05)  # let f3's deadline lapse while queued
+        gate.set()
+        w, sr, _ = f1.result(timeout=120)
+        assert np.isfinite(w).all()
+        with pytest.raises(TimeoutError):
+            f3.result(timeout=60)
+        # the device only ever ran work someone was waiting for
+        deadline = _time.time() + 10
+        while _time.time() < deadline and eng.batcher.depth():
+            _time.sleep(0.01)
+        assert ran_seeds == [81]
+        shed = eng.stats()["shed"]
+        assert shed["cancelled"] >= 1 and shed["timed_out"] >= 1
+    finally:
+        synth.synthesize_requests = original
+        eng.shutdown()
+
+
+def test_engine_cancel_unknown_future(synth):
+    from concurrent.futures import Future
+
+    eng = ServingEngine(synth, cfg=SamplerConfig(nfe_steps=2))
+    try:
+        f = Future()
+        assert eng.cancel(f) is True  # never submitted → trivially cancelled
+        assert f.cancelled()
+    finally:
+        eng.shutdown()
+
+
 def test_estimate_bucket_stereo_matches_mono(synth):
     from lemas_tts_tpu.config import SamplerConfig
     from lemas_tts_tpu.serve.engine import ServingEngine, TTSRequest

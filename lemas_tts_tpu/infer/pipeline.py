@@ -739,6 +739,8 @@ class Synthesizer:
         cfg: SamplerConfig = SamplerConfig(),
         seed: Optional[int] = None,
         chunk_batch: int = 2,
+        first_chunk_batch: Optional[int] = None,
+        first_chunk_cfg: Optional[SamplerConfig] = None,
     ):
         """Streaming synthesis: yield ``(wave, sample_rate)`` per text chunk as
         soon as its mini-batch is done (reference streaming mode,
@@ -752,25 +754,49 @@ class Synthesizer:
         the host fetches/writes — steady-state throughput matches the
         batched path instead of serializing compute with host I/O. Reference
         prep (ref mel, prosody embed) is hoisted out of the loop
-        (:meth:`_prepare_ref`); per-batch dispatch is fetch-free."""
+        (:meth:`_prepare_ref`); per-batch dispatch is fetch-free.
+
+        TTFB controls (first-chunk prioritization, docs/serving.md):
+        ``first_chunk_batch`` sizes ONLY the first mini-batch (default:
+        ``chunk_batch``) — pass 1 so time-to-first-audio is one B=1 sampler
+        call in chunk 0's own (small) duration bucket rather than a full
+        mini-batch padded to the longest chunk; ``first_chunk_cfg``
+        optionally overrides the sampler settings for that first batch only
+        (e.g. a lower-NFE ramp), after which the stream continues at ``cfg``.
+        Both leave later batches byte-identical to the plain stream with the
+        same grouping."""
         chunk_batch = max(1, chunk_batch)  # slice and step must agree
         if not gen_chunks:
             return
         ref_prep = self._prepare_ref(ref_wav, ref_sr, cfg)
+        fb = chunk_batch if first_chunk_batch is None \
+            else max(1, int(first_chunk_batch))
+        # mini-batch plan: (start, size, cfg) — first batch may be smaller
+        # and/or run different sampler settings than the steady-state ones
+        plan = [(0, min(fb, len(gen_chunks)), first_chunk_cfg or cfg)]
+        i = plan[0][1]
+        while i < len(gen_chunks):
+            size = min(chunk_batch, len(gen_chunks) - i)
+            plan.append((i, size, cfg))
+            i += size
         pending = None
-        for i in range(0, len(gen_chunks), chunk_batch):
-            batch = list(gen_chunks[i : i + chunk_batch])
-            nxt = self._dispatch_chunks(
-                ref_wav, ref_sr, ref_text_units, batch, cfg=cfg, seed=seed,
-                ref_prep=ref_prep,
+        for start, size, bcfg in plan:
+            batch = list(gen_chunks[start : start + size])
+            nxt = (
+                self._dispatch_chunks(
+                    ref_wav, ref_sr, ref_text_units, batch, cfg=bcfg,
+                    seed=seed, ref_prep=ref_prep,
+                ),
+                bcfg,
             )
             if pending is not None:
-                waves, sr, _ = self._finalize_chunks(pending, cfg,
+                waves, sr, _ = self._finalize_chunks(pending[0], pending[1],
                                                      return_parts=True)
                 for w in waves:
                     yield w, sr
             pending = nxt
-        waves, sr, _ = self._finalize_chunks(pending, cfg, return_parts=True)
+        waves, sr, _ = self._finalize_chunks(pending[0], pending[1],
+                                             return_parts=True)
         for w in waves:
             yield w, sr
 

@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk_batch", type=int, default=2,
                    help="stream-mode mini-batch size (chunks per sampler "
                         "call)")
+    p.add_argument("--ttfb_nfe", type=int, default=0,
+                   help="stream-mode first-chunk NFE ramp for the "
+                        "ttfb-optimized row (0 = same NFE as --nfe)")
+    p.add_argument("--first_chunk_chars", type=int, default=40,
+                   help="ttfb-optimized row: re-split chunk 0 to this many "
+                        "chars (0 disables the re-split)")
     p.add_argument("--secs", type=float, default=30.0,
                    help="measurement window (open loop)")
     p.add_argument("--requests", type=int, default=16,
@@ -118,12 +124,38 @@ def _stream_probe(tts, ref, sr, ref_units, gen_units, cfg, args) -> int:
               f"(steady-state {steady:.1f}x)")
         return total / wall
 
+    def run_stream_ttfb():
+        # TTFB-optimized stream (the serve_http /tts_stream defaults):
+        # first mini-batch is ONE short chunk in its own small duration
+        # bucket, optionally at a lower NFE; steady state = the plain stream
+        import dataclasses
+
+        from lemas_tts_tpu.infer.pipeline import chunk_text
+
+        fcfg = (dataclasses.replace(cfg, nfe_steps=args.ttfb_nfe)
+                if args.ttfb_nfe else None)
+        tchunks = list(chunks)
+        if args.first_chunk_chars > 0 and isinstance(tchunks[0], str) \
+                and len(tchunks[0]) > args.first_chunk_chars:
+            tchunks = chunk_text(tchunks[0],
+                                 max_chars=args.first_chunk_chars) + tchunks[1:]
+        marks, audio = [], []
+        t0 = _time.perf_counter()
+        for wave, wsr in synth.synthesize_stream(
+                ref, sr, ref_units, tchunks, cfg=cfg, seed=args.seed,
+                chunk_batch=cb, first_chunk_batch=1, first_chunk_cfg=fcfg):
+            marks.append(_time.perf_counter() - t0)
+            audio.append(wave.shape[-1] / wsr)
+        return marks, audio
+
     print(f"[stream] {len(chunks)} chunks, chunk_batch={cb}, "
           f"nfe={args.nfe}, block_cache={cfg.block_cache!r}, "
-          f"cfg_cutoff={cfg.cfg_cutoff!r}")
+          f"cfg_cutoff={cfg.cfg_cutoff!r}, ttfb_nfe={args.ttfb_nfe or args.nfe}")
     print("[stream] warming buckets ...", flush=True)
-    run_stream()   # compile every (duration-bucket, chunk_batch) program
-    run_batched()  # compile the full-batch bucket the one-call path uses
+    run_stream()       # compile every (duration-bucket, chunk_batch) program
+    run_stream_ttfb()  # compile the B=1 first-chunk bucket (+ramp settings)
+    run_batched()      # compile the full-batch bucket the one-call path uses
+    report("stream (ttfb-optimized) ", *run_stream_ttfb())
     report("stream (double-buffered)", *run_stream())
     report("serial  (round-2 loop)  ", *run_serial())
     wall, total = run_batched()

@@ -19,7 +19,10 @@ Endpoints:
                 engine-side deadline: still queued past it → shed, 504.
                 Client disconnects while queued cancel the request
                 (docs/serving.md "Overload robustness").
-  POST /tts_stream  same JSON (+ optional "max_chars", "chunk_batch") →
+  POST /tts_stream  same JSON (+ optional "max_chars", "chunk_batch",
+                "first_chunk_chars" — chunk-0 re-split size for low TTFB,
+                default 40, 0 disables — and "ttfb_nfe" — lower-NFE first
+                chunk ramp) →
                 chunked ``audio/L16`` PCM, one HTTP chunk per synthesized
                 text chunk as it completes (reference streaming mode,
                 ``utils_infer.py:559-570``; time-to-first-audio = one
@@ -256,6 +259,12 @@ def make_handler(tts, engine, max_streams: int = 2):
             max_chars = max(1, int(payload.get("max_chars", 135)))
             chunks = [c for part in gen_text.split("\n")
                       for c in chunk_text(part, max_chars=max_chars)]
+            # TTFB: re-split chunk 0 so the first sampler call covers a
+            # short utterance in a small duration bucket (docs/serving.md
+            # "Streaming TTFB"); 0 disables the re-split
+            fc_chars = int(payload.get("first_chunk_chars", 40))
+            if fc_chars > 0 and chunks and len(chunks[0]) > fc_chars:
+                chunks = chunk_text(chunks[0], max_chars=fc_chars) + chunks[1:]
             gen_units = [tts.prepare_units(c) for c in chunks]
             ref_units = tts.prepare_units(ref_text)
 
@@ -264,11 +273,25 @@ def make_handler(tts, engine, max_streams: int = 2):
             # distinct sampler settings — each combination pins compiled
             # programs for life (RuntimeError → 503 below)
             engine.register_cfg(cfg)
+            # optional first-chunk NFE ramp: chunk 0 samples at a lower NFE
+            # (faster first audio), the stream continues at the full cfg
+            first_cfg = None
+            ttfb_nfe = payload.get("ttfb_nfe")
+            if ttfb_nfe is not None:
+                ttfb_nfe = int(ttfb_nfe)
+                if not (1 <= ttfb_nfe <= 256):
+                    raise ValueError("'ttfb_nfe' must be in [1, 256]")
+                import dataclasses
+
+                first_cfg = dataclasses.replace(cfg, nfe_steps=ttfb_nfe)
+                engine.register_cfg(first_cfg)  # same compile-DoS cap
             stream = tts.synth.synthesize_stream(
                 ref_wav, ref_sr, ref_units, gen_units,
                 cfg=cfg,
                 seed=payload.get("seed"),
                 chunk_batch=max(1, int(payload.get("chunk_batch", 2))),
+                first_chunk_batch=1,
+                first_chunk_cfg=first_cfg,
             )
             # pull the first chunk BEFORE committing the 200: synthesis
             # errors still map to a clean JSON error response

@@ -136,6 +136,33 @@ def test_streaming_synthesis(tmp_path):
     w0, _, m0 = synth.synthesize_chunks(ref, sr, list("ab"), [], cfg=cfg)
     assert w0.size == 0 and m0.shape == (20, 0)
 
+    # --- TTFB controls (docs/serving.md "Streaming TTFB") ---
+    # first_chunk_batch=1: grouping [1, 2] — chunk 0 matches a solo batched
+    # call; chunks 1-2 match a batched call over that pair (the stream is
+    # bit-exact vs batched AT MATCHING GROUPING)
+    fast = list(synth.synthesize_stream(ref, sr, list("ab"), chunks,
+                                        cfg=cfg, seed=5, chunk_batch=2,
+                                        first_chunk_batch=1))
+    assert len(fast) == 3
+    solo0, _, _ = synth.synthesize_chunks(ref, sr, list("ab"), chunks[:1],
+                                          cfg=cfg, seed=5, return_parts=True)
+    assert np.array_equal(fast[0][0], solo0[0])
+    pair, _, _ = synth.synthesize_chunks(ref, sr, list("ab"), chunks[1:],
+                                         cfg=cfg, seed=5, return_parts=True)
+    for (w, _), p in zip(fast[1:], pair):
+        assert np.array_equal(w, p)
+
+    # first_chunk_cfg: only chunk 0's sampler settings change — later
+    # chunks remain identical to the plain fast stream
+    fcfg = SamplerConfig(nfe_steps=1, cfg_strength=1.0, max_duration=512)
+    ramp = list(synth.synthesize_stream(ref, sr, list("ab"), chunks,
+                                        cfg=cfg, seed=5, chunk_batch=2,
+                                        first_chunk_batch=1,
+                                        first_chunk_cfg=fcfg))
+    assert not np.array_equal(ramp[0][0], fast[0][0])  # NFE ramp took effect
+    for (wr, _), (wf, _) in zip(ramp[1:], fast[1:]):
+        assert np.array_equal(wr, wf)
+
 
 def test_misc_utils():
     key = seed_everything(42)

@@ -49,6 +49,19 @@ SENTENCES = [
     ("id", "Rubah coklat cepat melompat di atas anjing malas."),
     ("vi", "Con cáo nâu nhanh nhẹn nhảy qua con chó lười."),
     ("th", "สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจ"),
+    # second case per README language (reference README.md:9-20): digits +
+    # #n pauses + punctuation, so every language pins TN routing and the
+    # pause-token contract, not just plain letters
+    ("en", "Chapter 7 begins on page 132, #1 not page 133."),
+    ("zh", "会议在2025年3月15日举行, #2 请准时参加。"),
+    ("es", "Tengo 25 gatos, #1 y 3 perros en casa."),
+    ("pt", "Ele comprou 42 livros em 2024, #2 todos novos!"),
+    ("fr", "Il a 7 pommes, #2 et 19 poires aussi?"),
+    ("de", "Sie hat 88 Bücher und 5 Stifte, #1 alle neu."),
+    ("it", "Ho 31 anni, #3 e 2 gatti neri."),
+    ("ru", "У меня 14 книг и 6 ручек, #1 все новые."),
+    ("id", "Saya punya 100 buku, #1 dan 7 pena biru."),
+    ("vi", "Tôi có 9 quyển sách và 15 cây bút, #2 tất cả mới."),
 ]
 
 

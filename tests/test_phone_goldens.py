@@ -127,3 +127,35 @@ def test_zh_goldens_use_single_lang_tags(fixture):
         for cjk in ("。", "，", "！", "？", "："):
             assert cjk not in case["phones"], (
                 f"unmapped CJK punctuation {cjk} in {case['phones']}")
+
+
+# the reference's supported-language claim (README.md:9-20)
+README_LANGS = ("zh", "en", "es", "ru", "fr", "de", "it", "pt", "id", "vi")
+
+
+@pytest.mark.parametrize("lang", README_LANGS)
+def test_readme_language_golden_contract(fixture, lang):
+    """Per-README-language golden coverage (all 10 languages the reference
+    claims): ≥2 cases each (plain + digits/pauses/punctuation), every
+    tagged token carries the right language tag, #n pause markers survive
+    as single tokens, and digits either normalize away or tokenize as
+    tagged units — never as bare untagged words."""
+    tag_re = re.compile(r"^\(([a-z]{2,3})\)(.*)$", re.DOTALL)
+    cases = [c for c in fixture["cases"] if c["lang"] == lang]
+    assert len(cases) >= 2, f"need ≥2 golden cases for {lang!r}"
+    assert any(re.search(r"\d", c["text"]) for c in cases), (
+        f"{lang!r} needs a digits/TN case")
+    assert any("#" in c["text"] for c in cases), (
+        f"{lang!r} needs a pause-marker case")
+    # zh may legitimately code-switch to en (the mixed golden); en may carry
+    # zh-normalized fragments via detection; others must be single-language
+    allowed = {lang, "en"} if lang == "zh" else {lang}
+    for case in cases:
+        tagged = [m for t in case["tokens"] if (m := tag_re.match(t))]
+        assert tagged, f"no tagged units in {case['text']!r}"
+        seen = {m.group(1) for m in tagged}
+        assert seen <= allowed, (
+            f"{lang} case tagged with {seen - allowed}: {case['phones']}")
+        for mk in re.findall(r"#[1-4]", case["text"]):
+            assert mk in case["phones"].split("|"), (
+                f"{mk} lost in {lang} case: {case['phones']}")

@@ -73,6 +73,14 @@ BATCH = int(os.environ.get("LEMAS_BENCH_BATCH", "8"))
 QUANT = os.environ.get("LEMAS_BENCH_QUANT") or None
 # block-scan unroll (1 = lax.scan loop; 22 = fully unrolled blocks)
 UNROLL = int(os.environ.get("LEMAS_BENCH_UNROLL", "1"))
+# LEMAS_BENCH_STUDENT=<K>: also measure a distilled-student sampler row —
+# K steps, cfg_strength=0 (single forward per step, cfm/distill.py
+# student_sampler_settings) — as `student_rtf` in the JSON, plus the
+# INFORMATIONAL mel MSE of this (untrained, random-weight) student run vs
+# the teacher-default run (`student_mel_mse_vs_teacher`; NOT gated — only a
+# trained student closes that gap, scripts/distill_probe.py measures how
+# far: 1.35%/1.62% rel-L2 at NFE 16/8 after 300 steps).
+STUDENT = int(os.environ.get("LEMAS_BENCH_STUDENT", "0"))
 
 
 def fast_random_params(model, init_fn, key):
@@ -185,22 +193,44 @@ def main():
     # fails the bench if the mel MSE exceeds the 1e-3 parity bar
     # (BASELINE.md). LEMAS_BENCH_APPROX_GATE=0 skips (probe runs).
     approx_mse: float | None = 0.0
+    approx_wav_sc = approx_wav_logmae = None
     if os.environ.get("LEMAS_BENCH_APPROX_GATE", "1") == "0":
         approx_mse = None
     elif CFG_CUTOFF or BLOCK_CACHE:
-        from lemas_tts_tpu.eval.metrics import mel_mse
+        from lemas_tts_tpu.eval.metrics import mel_mse, spectral_distance
 
         gb = 2
         gargs = (params, cond_j[:gb], mask_j[:gb], text[:gb], dur_j[:gb],
                  ys[0][:gb])
         exact = make_sampler(model, SamplerSettings(
             steps=NFE, cfg_strength=CFG, sway_sampling_coef=SWAY))(*gargs)
-        approx_mse = float(mel_mse(run(*gargs), exact))
+        approx = run(*gargs)
+        approx_mse = float(mel_mse(approx, exact))
         if approx_mse > 1e-3:
             raise RuntimeError(
                 f"approximation gate FAILED: default-config sampler diverges "
                 f"{approx_mse:.2e} mel MSE from exact semantics (> 1e-3 bar) "
                 f"— cfg_cutoff={CFG_CUTOFF} block_cache={BLOCK_CACHE}")
+
+        # waveform-level gate: the mel gate can't see error Vocos amplifies
+        # non-uniformly, so decode BOTH mels and compare magnitude STFTs.
+        # Bar: spectral convergence ≤ 0.05 (measured round 4 on-chip at the
+        # serving defaults: 1.77e-3 sc / 5.1e-3 log-MAE — ~28× headroom;
+        # docs/performance.md).
+        @jax.jit
+        def dec(vp, mel):
+            gen = jnp.swapaxes(mel[:, REF_FRAMES:, :], -1, -2)
+            gen = jnp.pad(gen, ((0, 0), (0, 0), (0, REF_FRAMES)))
+            return voc.apply(vp, gen, frame_mask[:gb], method=Vocos.decode)
+
+        sc, lmae = spectral_distance(dec(vparams, approx), dec(vparams, exact))
+        approx_wav_sc, approx_wav_logmae = float(sc), float(lmae)
+        wav_bar = float(os.environ.get("LEMAS_BENCH_WAV_SC_GATE", "0.05"))
+        if approx_wav_sc > wav_bar:
+            raise RuntimeError(
+                f"waveform gate FAILED: default-config audio diverges "
+                f"{approx_wav_sc:.3f} spectral convergence from exact "
+                f"semantics (> {wav_bar:g} bar)")
 
     # --- MFU: analytic sampler FLOPs over the real step schedule (CFG
     # widths, cache skips) / wall / chip bf16 peak (utils/flops.py). The
@@ -214,7 +244,32 @@ def main():
 
     audio_sec = B * (gen_frames - 1) * HOP / SR
     rtf = audio_sec / wall
-    print(json.dumps({
+
+    # --- optional distilled-student row (LEMAS_BENCH_STUDENT=<K>)
+    student_rtf = student_mse = None
+    if STUDENT > 0:
+        from lemas_tts_tpu.cfm.distill import student_sampler_settings
+        from lemas_tts_tpu.eval.metrics import mel_mse
+
+        s_run = make_sampler(model, student_sampler_settings(STUDENT, SWAY))
+
+        def s_synth(y):
+            mel = s_run(params, cond_j, mask_j, text, dur_j, y)
+            return float(vocode_sum(vparams, mel))
+
+        s_synth(ys[0])  # warmup / compile
+        s_times = []
+        for i in range(1, 6):
+            t0 = time.perf_counter()
+            s_synth(ys[i])
+            s_times.append(time.perf_counter() - t0)
+        student_rtf = round(audio_sec / float(np.median(s_times)), 3)
+        gb = 2
+        gargs = (params, cond_j[:gb], mask_j[:gb], text[:gb], dur_j[:gb],
+                 ys[0][:gb])
+        student_mse = float(mel_mse(s_run(*gargs), run(*gargs)))
+
+    out = {
         "metric": f"rtf_per_chip_nfe{NFE}",
         "value": round(rtf, 3),
         "unit": "audio_sec/wall_sec",
@@ -223,9 +278,22 @@ def main():
         "cfg_cutoff": CFG_CUTOFF,
         "block_cache": BLOCK_CACHE,
         "approx_mel_mse": approx_mse,
+        "approx_wav_sc": approx_wav_sc,
+        "approx_wav_logmae": approx_wav_logmae,
         "mfu": mfu,
         "kernel_check": kernel_check,
-    }))
+    }
+    # what the approximation-default error bars were calibrated on
+    # (config.SERVING_DEFAULTS_EVIDENCE; "random-weights" until
+    # validate_assets.py re-probes with real checkpoints)
+    from lemas_tts_tpu.config import SERVING_DEFAULTS_EVIDENCE
+
+    out["approx_calibration"] = SERVING_DEFAULTS_EVIDENCE["calibration"]
+    if student_rtf is not None:
+        out["student_nfe"] = STUDENT
+        out["student_rtf"] = student_rtf
+        out["student_mel_mse_vs_teacher"] = student_mse
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

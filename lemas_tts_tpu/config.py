@@ -105,6 +105,25 @@ SERVING_CFG_CUTOFF = 0.5
 # semantics); serving entry points opt in with this value.
 SERVING_BLOCK_CACHE = "0-22:2+t2"
 
+# Evidence-freshness stamp for the serving-default approximations above.
+# CI (tests/test_utils.py) asserts this record matches the LIVE defaults, so
+# flipping a default without re-probing — and updating this stamp — fails
+# the suite; the bench JSON carries `approx_calibration` so every headline
+# states what its error bars were measured on. `calibration` records the
+# weights the probe grids ran with: "random-weights" (trajectory-divergence
+# scale can shift on trained weights) until scripts/validate_assets.py
+# re-probes with --ckpt on real assets (its reprobe_cutoff/reprobe_blockcache
+# steps), after which update this to "real-weights:<ckpt-id>" with the new
+# probe date.
+SERVING_DEFAULTS_EVIDENCE = {
+    "cfg_cutoff": 0.5,
+    "block_cache": "0-22:2+t2",
+    "calibration": "random-weights",
+    "probe": "scripts/cutoff_probe.py + scripts/blockcache_probe.py, "
+             "on-chip edge-inclusive grid (docs/performance.md)",
+    "probed": "2026-08-19",
+}
+
 
 @dataclass(frozen=True)
 class SamplerConfig:

@@ -48,6 +48,30 @@ def mel_mse(a: jax.Array, b: jax.Array,
     return jnp.sum(se) / jnp.maximum(jnp.sum(m) * a.shape[-1], 1.0)
 
 
+def spectral_distance(wav_a: jax.Array, wav_b: jax.Array,
+                      n_fft: int = 1024, hop_length: int = 256):
+    """Waveform-domain divergence between [B, T] (or [T]) waveform batches:
+    ``(spectral_convergence, log_stft_mae)``.
+
+    - spectral convergence ‖|A|−|B|‖_F / ‖|B|‖_F — relative magnitude-STFT
+      error, scale-free (the standard vocoder-eval metric pair);
+    - log-STFT magnitude MAE — perceptual-ish dB-domain error.
+
+    Used by bench.py's waveform-level approximation gate: the mel-domain
+    ``approx_mel_mse`` alone can't see error the vocoder amplifies
+    non-uniformly (Vocos's iSTFT head is phase-sensitive in high bands)."""
+    from lemas_tts_tpu.ops.stft import stft_magnitude
+
+    a = jnp.atleast_2d(jnp.asarray(wav_a, jnp.float32))
+    b = jnp.atleast_2d(jnp.asarray(wav_b, jnp.float32))
+    t = min(a.shape[-1], b.shape[-1])
+    ma = stft_magnitude(a[:, :t], n_fft, hop_length)
+    mb = stft_magnitude(b[:, :t], n_fft, hop_length)
+    sc = jnp.linalg.norm(ma - mb) / jnp.maximum(jnp.linalg.norm(mb), 1e-9)
+    log_mae = jnp.mean(jnp.abs(jnp.log(ma + 1e-5) - jnp.log(mb + 1e-5)))
+    return sc, log_mae
+
+
 def mel_mae(a: jax.Array, b: jax.Array,
             lengths: Optional[jax.Array] = None) -> jax.Array:
     a = jnp.asarray(a, jnp.float32)

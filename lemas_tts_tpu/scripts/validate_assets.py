@@ -307,7 +307,10 @@ def build_steps(args) -> List[Step]:
         skip_reason=probe_skip, run=check_cache, requires=native_model,
         note="expect: serving-default spec within the bar on REAL weights "
              "(random-weight figure: 1.7e-4); 'picked' names the fastest "
-             "spec inside the --pick_mse budget"))
+             "spec inside the --pick_mse budget. After BOTH reprobes pass, "
+             "update config.SERVING_DEFAULTS_EVIDENCE to calibration="
+             "'real-weights:<ckpt-id>' with the probe date — CI pins the "
+             "stamp to the live defaults and bench.py reports it"))
     return steps
 
 

@@ -126,3 +126,24 @@ def test_evaluate_cli_smoke(tmp_path):
     assert utts[1]["mel_mse"] == 0.0 and utts[1]["mcd_db"] == 0.0
     assert utts[2]["mel_mse"] == 0.0
     assert abs(utts[0]["wer"] - 0.5) < 1e-9
+
+
+def test_spectral_distance_properties():
+    """Waveform-gate metric (bench.py): zero for identical signals,
+    scale-free-ish and monotone in perturbation size."""
+    import numpy as np
+
+    from lemas_tts_tpu.eval.metrics import spectral_distance
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((2, 8192)).astype(np.float32)
+    sc0, lm0 = spectral_distance(a, a)
+    assert float(sc0) == 0.0 and float(lm0) == 0.0
+    small = a + 0.01 * rng.standard_normal(a.shape).astype(np.float32)
+    large = a + 0.3 * rng.standard_normal(a.shape).astype(np.float32)
+    sc_s, _ = spectral_distance(small, a)
+    sc_l, _ = spectral_distance(large, a)
+    assert 0 < float(sc_s) < float(sc_l)
+    # 1-D input accepted
+    sc1, _ = spectral_distance(a[0], a[0])
+    assert float(sc1) == 0.0

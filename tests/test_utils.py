@@ -98,3 +98,21 @@ def test_sampler_call_flops_schedule():
         assert device_peak_flops() == 100e12
     finally:
         del os.environ["LEMAS_BENCH_PEAK_TFLOPS"]
+
+
+def test_serving_defaults_evidence_stamp_is_fresh():
+    """The serving-default approximations carry an evidence stamp
+    (config.SERVING_DEFAULTS_EVIDENCE): flipping SERVING_CFG_CUTOFF or
+    SERVING_BLOCK_CACHE without re-probing (and updating the stamp) must
+    fail CI — a default's error measurement always travels with the
+    default. bench.py emits the calibration field with every headline."""
+    from lemas_tts_tpu.config import (
+        SERVING_BLOCK_CACHE,
+        SERVING_CFG_CUTOFF,
+        SERVING_DEFAULTS_EVIDENCE as EV,
+    )
+
+    assert EV["cfg_cutoff"] == SERVING_CFG_CUTOFF
+    assert EV["block_cache"] == SERVING_BLOCK_CACHE
+    assert EV["calibration"].startswith(("random-weights", "real-weights"))
+    assert EV["probe"] and EV["probed"]

@@ -23,7 +23,7 @@ import os
 import random
 import warnings
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import Any, List, Optional, Sequence
 
 import numpy as np
 
@@ -115,6 +115,9 @@ class TTS:
         quantization: Optional[str] = None,  # None | "int8" (DiT-only; halves
         # block-weight HBM — a memory mode, not a speed win on v5e,
         # docs/performance.md)
+        mesh: Optional[Any] = None,  # jax.sharding.Mesh with a 'data' axis:
+        # batches shard over it and params replicate (multi-chip serving;
+        # may span processes — serve/multihost.py + `serve_http --multihost`)
     ):
         import jax
         import jax.numpy as jnp
@@ -224,8 +227,24 @@ class TTS:
             raise ValueError(f"unknown backbone: {backbone}")
         self.hf_cache_dir = hf_cache_dir
         ckpt_file = resolve_ckpt(ckpt_file, hf_cache_dir) if ckpt_file else ckpt_file
+        # distilled-student metadata (scripts/distill.py writes a
+        # student.json sidecar per stage): when present, infer()/serving
+        # auto-apply the baked sampler settings (steps=K, cfg_strength=0,
+        # the training sway warp) — see apply_student_settings.
+        self.student: Optional[dict] = None
         if ckpt_file and os.path.isdir(ckpt_file):
             cfm_params = load_native(ckpt_file)
+            sidecar = Path(ckpt_file) / "student.json"
+            if sidecar.is_file():
+                import json as _json
+
+                self.student = _json.loads(sidecar.read_text())
+            if "dit" not in cfm_params:
+                # distill stages save the raw student tree
+                # (scripts/distill.py save_native(student, stage_dir)) —
+                # either {"params": ...} (flax init convention) or the bare
+                # param dict
+                cfm_params = {"dit": cfm_params.get("params", cfm_params)}
         elif ckpt_file:
             cfm_params = load_cfm_checkpoint(ckpt_file, use_ema=use_ema)
         else:
@@ -293,9 +312,12 @@ class TTS:
             )
             voc_params = self._load_vocoder_params(voc, voc_path, convert_vocos)
 
-        # commit params to the selected device — jit follows their placement
-        dit_params = jax.device_put(dit_params, self.jax_device)
-        voc_params = jax.device_put(voc_params, self.jax_device)
+        # commit params to the selected device — jit follows their placement.
+        # With a mesh, the Synthesizer replicates params over it instead
+        # (single-device commit first would pin a cross-host copy source).
+        if mesh is None:
+            dit_params = jax.device_put(dit_params, self.jax_device)
+            voc_params = jax.device_put(voc_params, self.jax_device)
         self.synth = Synthesizer(
             self.dit,
             dit_params,
@@ -305,6 +327,7 @@ class TTS:
             self.config.mel_spec,
             prosody_encoder=self.prosody_encoder,
             prosody_to_mel=self.prosody_to_mel,
+            mesh=mesh,
         )
 
     # ------------------------------------------------------------------ setup
@@ -542,6 +565,7 @@ class TTS:
             fix_duration=fix_duration,
             seed=seed,
         )
+        cfg = self.apply_student_settings(cfg, show_info=show_info)
         wave, out_sr, spec = self.synth.synthesize_chunks(
             wav, sr, ref_units, gen_chunks, cfg=cfg, seed=seed
         )
@@ -551,6 +575,37 @@ class TTS:
         if file_spec is not None:
             self.export_spectrogram(spec, file_spec)
         return wave, out_sr, spec
+
+    # ------------------------------------------------------- distilled student
+    def apply_student_settings(self, cfg, show_info=None):
+        """When this TTS was loaded from a distilled-student checkpoint
+        (``scripts/distill.py`` stage dir with a ``student.json`` sidecar),
+        pin the sampler settings the student was trained for: ``steps=K``,
+        ``cfg_strength=0`` (guidance is baked into the weights — a CFG
+        forward would double-guide), the training sway warp, and no CFG
+        cutoff (nothing to truncate). Caller-supplied NFE/CFG values are
+        overridden — sampling a student off its grid is a quality bug, not
+        a preference. No-op for ordinary checkpoints."""
+        if self.student is None:
+            return cfg
+        import dataclasses
+
+        new = dataclasses.replace(
+            cfg,
+            nfe_steps=int(self.student["student_steps"]),
+            cfg_strength=float(self.student.get("cfg_strength", 0.0)),
+            sway_sampling_coef=self.student.get("sway_sampling_coef"),
+            cfg_cutoff=None,
+        )
+        if show_info is not None and (
+            cfg.nfe_steps != new.nfe_steps
+            or cfg.cfg_strength != new.cfg_strength
+        ):
+            show_info(
+                f"distilled student checkpoint: sampler pinned to "
+                f"steps={new.nfe_steps}, cfg_strength=0 (baked-in guidance)"
+            )
+        return new
 
     # ------------------------------------------------------- phone-list utils
     def process_phone_list(self, parts: Sequence[str]) -> List[str]:

@@ -158,6 +158,21 @@ def main(argv=None) -> int:
         out = f"{args.ckpt_dir}/stage_{k}"
         if is_primary():
             save_native(teacher, out)
+            # student metadata: lets TTS / serve_http auto-apply the baked
+            # sampler settings when loading this directory (api.py reads it)
+            import json
+            from pathlib import Path
+
+            meta = {
+                "student_steps": k,
+                "cfg_strength": 0.0,
+                "sway_sampling_coef": args.sway,
+                "teacher": args.teacher,
+                "teacher_cfg_strength": args.teacher_cfg,
+                "stage_index": si,
+                "steps_per_stage": args.steps_per_stage,
+            }
+            Path(out, "student.json").write_text(json.dumps(meta, indent=1))
             log.log("stage_done", stage=k, path=out)
         print(f"[distill] stage NFE={k} done → {out} "
               f"(sample with steps={k}, cfg_strength=0)")

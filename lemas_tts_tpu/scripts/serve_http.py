@@ -177,13 +177,18 @@ def _request_cfg(base, payload: dict):
     return dataclasses.replace(base, **over) if over else None
 
 
-def make_handler(tts, engine, max_streams: int = 2):
+def make_handler(tts, engine, max_streams: int = 2, multihost=None):
     """Bind a handler class over the shared TTS facade + engine.
 
     ``max_streams`` bounds concurrent /tts_stream requests (they run on
     request threads, outside the micro-batcher) so a burst of streams
     can't starve batched /tts traffic — excess streams get 503, the same
     backpressure contract as the engine's queue-full path.
+
+    ``multihost`` (a ``serve.multihost.MultiHostDispatch`` or None) marks
+    multi-process serving: /stats aggregates across processes and
+    /tts_stream answers 501 (streaming is host-RNG-driven and would desync
+    the SPMD followers).
     """
     from lemas_tts_tpu.serve.engine import TTSRequest
 
@@ -238,7 +243,10 @@ def make_handler(tts, engine, max_streams: int = 2):
                 self._reply_json(200, {"ok": True,
                                        "queue_depth": engine.batcher.depth()})
             elif self.path == "/stats":
-                self._reply_json(200, engine.stats())
+                stats = engine.stats()
+                if multihost is not None:
+                    stats["multihost"] = multihost.aggregated_stats()
+                self._reply_json(200, stats)
             else:
                 self._reply_json(404, {"error": "not found"})
 
@@ -322,6 +330,11 @@ def make_handler(tts, engine, max_streams: int = 2):
 
         def do_POST(self):
             if self.path == "/tts_stream":
+                if multihost is not None:
+                    self._reply_json(501, {
+                        "error": "streaming is single-process only "
+                                 "(--multihost serves /tts)"})
+                    return
                 if not stream_slots.acquire(blocking=False):
                     self._reply_json(503, {"error": "stream capacity reached"})
                     return
@@ -423,6 +436,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_streams", type=int, default=2,
                    help="Concurrent /tts_stream requests (excess → 503).")
     p.add_argument("--no_warmup", action="store_true")
+    p.add_argument("--multihost", action="store_true",
+                   help="Multi-process serving: every process of a "
+                        "configured jax.distributed job runs this entry "
+                        "point; process 0 serves HTTP and broadcasts each "
+                        "batch, the rest join the SPMD dispatches "
+                        "(serve/multihost.py). Batches shard over the "
+                        "global 'data' mesh axis. /tts_stream is "
+                        "single-process only (501 in this mode).")
     return p
 
 
@@ -455,18 +476,65 @@ def serve(args, *, ready_event: Optional[threading.Event] = None,
     import lemas_tts_tpu
     from lemas_tts_tpu.serve.engine import ServingEngine
 
+    # multi-process serving (serve/multihost.py): all processes build the
+    # same model over the global mesh; process 0 serves HTTP, the rest join
+    # each broadcast SPMD dispatch in follower_serve
+    mesh = dispatch = None
+    if getattr(args, "multihost", False):
+        import jax
+
+        from lemas_tts_tpu.parallel.distributed import (
+            initialize,
+            make_global_mesh,
+        )
+
+        if not initialize():
+            raise SystemExit(
+                "--multihost needs a configured multi-process JAX job "
+                "(set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                "JAX_PROCESS_ID, or run on a TPU pod)")
+        mesh = make_global_mesh(model_parallel=1)
+
     tts = lemas_tts_tpu.TTS(
         model=args.model, ckpt_file=args.ckpt_file,
         vocab_file=args.vocab_file,
         frontend=None if args.frontend == "none" else args.frontend,
+        mesh=mesh,
     )
     cfg = sampler_config_from_args(args)
+    if getattr(tts, "student", None):
+        # distilled-student checkpoint: the server default pins the baked
+        # sampler settings (steps=K, cfg 0). Per-request NFE/CFG overrides
+        # still work but sample the student off its training grid — the
+        # engine serves them, quality is the client's responsibility.
+        cfg = tts.apply_student_settings(cfg, show_info=print)
+
+    engine_synth = tts.synth
+    if mesh is not None:
+        import jax
+
+        from lemas_tts_tpu.serve.multihost import (
+            BroadcastSynthesizer,
+            MultiHostDispatch,
+            follower_serve,
+        )
+
+        dispatch = MultiHostDispatch(tts.synth)
+        if jax.process_index() != 0:
+            print(f"[serve_http] follower process "
+                  f"{jax.process_index()}/{jax.process_count()} joining "
+                  f"dispatches")
+            follower_serve(dispatch)
+            return
+        engine_synth = BroadcastSynthesizer(dispatch)
+
     if not args.no_warmup:
-        tts.synth.warmup(cfg)
-    engine = ServingEngine(tts.synth, cfg=cfg, max_batch=args.max_batch)
+        engine_synth.warmup(cfg)
+    engine = ServingEngine(engine_synth, cfg=cfg, max_batch=args.max_batch)
     httpd = ThreadingHTTPServer(
         (args.host, args.port),
-        make_handler(tts, engine, max_streams=getattr(args, "max_streams", 2)),
+        make_handler(tts, engine, max_streams=getattr(args, "max_streams", 2),
+                     multihost=dispatch),
     )
     if server_box is not None:
         server_box.append((httpd, engine))
@@ -477,6 +545,8 @@ def serve(args, *, ready_event: Optional[threading.Event] = None,
         httpd.serve_forever()
     finally:
         engine.shutdown()
+        if dispatch is not None:
+            dispatch.shutdown_followers()
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:

@@ -192,8 +192,15 @@ class Synthesizer:
                     lambda x: jax.device_put(x, rep), vocoder_params
                 )
             self._batch_multiple = mesh.shape["data"]
+            # mesh spans processes (multi-host serving, serve/multihost.py):
+            # results land sharded across hosts, so fetches must allgather
+            self._multiproc = any(
+                d.process_index != jax.process_index()
+                for d in mesh.devices.flat
+            )
         else:
             self._batch_multiple = 1
+            self._multiproc = False
         self.dit_model = dit_model
         self.dit_params = dit_params
         self.vocoder_model = vocoder_model
@@ -928,7 +935,7 @@ class Synthesizer:
         sliced, vmask = _slice_for_vocoder(mel_dev, starts, lens_arr, n_out)
         # one batched device_get: waves plus the returned mels (part of the
         # result contract) in a single host transfer
-        waves, mels_np = jax.device_get(
+        waves, mels_np = self._fetch(
             (self._decode(self.vocoder_params, sliced, vmask), sliced))
 
         if self.vocoder_kind == "bigvgan":
@@ -946,6 +953,20 @@ class Synthesizer:
                  mels_np[i, :, : lens_list[i]])
             )
         return results
+
+    def _fetch(self, tree):
+        """Host transfer for dispatch results. Single-process: one batched
+        ``device_get``. Mesh spanning processes (``serve/multihost.py``):
+        the arrays are global and this process addresses only its shards, so
+        reshard-to-replicated + gather (``process_allgather`` — a collective
+        every process joins, which follower_serve's lockstep guarantees)."""
+        if self._multiproc:
+            from jax.experimental import multihost_utils
+
+            # tiled=True is REQUIRED for global arrays; the result is the
+            # full (replicated) value as numpy on every process
+            return multihost_utils.process_allgather(tree, tiled=True)
+        return jax.device_get(tree)
 
     # ------------------------------------------------------------- vocoding
     def vocode_batch(self, mels: Sequence[np.ndarray]) -> List[np.ndarray]:

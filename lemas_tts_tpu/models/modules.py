@@ -346,8 +346,13 @@ class Attention(nn.Module):
             wk, bk = _DenseParams(self.dim, inner, name="to_k")()
             wv, bv = _DenseParams(self.dim, inner, name="to_v")()
             q, k, v = qkv_block(x, scale, shift, wq, bq, wk, bk, wv, bv)
-            out = vmem_attention_nhd(q, k, v, mask, rope_angles_arr,
-                                     heads=self.heads)
+            import os as _os
+
+            out = vmem_attention_nhd(
+                q, k, v, mask, rope_angles_arr, heads=self.heads,
+                # probe-only e2e switch for the head-pair-packed variant
+                # (ops/attention.py pack_pair docstring); never a default
+                pack_pair=_os.environ.get("LEMAS_ATTN_PACK", "") == "1")
         else:
             # qkv share input x; under int8 XLA CSEs per-token quantization.
             q = dense(inner, "to_q")(x)

@@ -328,6 +328,77 @@ def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
     o_ref[0] = (o_acc / jnp.maximum(l2, 1e-30)).astype(o_ref.dtype)
 
 
+def _vmem_attn_nhd_pack_kernel(q_ref, k_ref, v_ref, mask2_ref, cq_ref, sq_ref,
+                               ck_ref, sk_ref, p_ref, o_ref, kcat_ref,
+                               vcat_ref, *, sm_scale: float, d_head: int):
+    """Head-pair-PACKED variant (VERDICT r3 item 7 probe): instead of two
+    sequential per-head chains with half-zero lane contractions, build
+    block-diagonal K/V concatenations once per (batch, head-pair) —
+    ``kcat[[0:N] = k·m0, [N:2N] = k·m1]`` — so the pair computes in ONE
+    [bq,2D]·[2D,2N] score matmul and ONE [bq,2N]·[2N,2D] output matmul
+    (head 0's scores land in lanes [:N], head 1's in [N:]; the zero halves
+    of kcat/vcat isolate the heads exactly). Same MAC count (the zeros
+    remain), but 2 big MXU invocations instead of 4 small ones, and no
+    per-q-block q/output lane-masking passes. Softmax stays per-head via
+    aligned lane-window slices. One-shot scores only (no kv chunking): the
+    live f32 tile is [bq, 2N], so the caller halves bq vs the unpacked
+    budget rule."""
+    from jax.experimental import pallas as pl
+
+    q2 = q_ref[0]            # [bq, 2D]
+    v2 = v_ref[0]            # [N, 2D]
+    msk2 = mask2_ref[0]      # [1, 2N] (key mask tiled twice)
+    cdt = q2.dtype
+    P = p_ref[...].astype(cdt)
+    f32 = jnp.float32
+    prec = jax.lax.Precision.HIGHEST
+
+    def rope(x, cos, sin, scale=None):
+        swapped = jax.lax.dot_general(
+            x, P, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=prec if cdt == f32 else None,
+        )
+        out = x.astype(f32) * cos + swapped * sin
+        if scale is not None:
+            out = out * scale
+        return out.astype(cdt)
+
+    n_kv = v2.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d_head), 1)
+    m0 = (lanes < d_head).astype(cdt)
+    m1 = (lanes >= d_head).astype(cdt)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        kr = rope(k_ref[0], ck_ref[...], sk_ref[...])
+        kcat_ref[0:n_kv] = kr * m0
+        kcat_ref[n_kv:2 * n_kv] = kr * m1
+        vcat_ref[0:n_kv] = v2 * m0
+        vcat_ref[n_kv:2 * n_kv] = v2 * m1
+
+    qr = rope(q2, cq_ref[...], sq_ref[...], scale=sm_scale)
+    mprec = None if cdt != f32 else prec
+    s = jax.lax.dot_general(
+        qr, kcat_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=mprec,
+    )  # [bq, 2N]: lanes [:N] = head-0 scores, [N:] = head-1 scores
+    s = jnp.where(msk2, s, _NEG_INF)
+    # per-head softmax over aligned lane windows (N % 128 == 0)
+    mh0 = jnp.max(s[:, :n_kv], axis=-1, keepdims=True)
+    mh1 = jnp.max(s[:, n_kv:], axis=-1, keepdims=True)
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * n_kv), 1)
+    p = jnp.exp(s - jnp.where(lanes2 < n_kv, mh0, mh1))
+    l0 = jnp.sum(p[:, :n_kv], axis=-1, keepdims=True)
+    l1 = jnp.sum(p[:, n_kv:], axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(cdt), vcat_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=mprec,
+    )  # [bq, 2D]: vcat's zero halves route each head's p to its own lanes
+    l_lane = l0 * m0.astype(f32) + l1 * m1.astype(f32)
+    o_ref[0] = (o / jnp.maximum(l_lane, 1e-30)).astype(o_ref.dtype)
+
+
 def nhd_supported(
     heads: int,
     dim_head: int,
@@ -360,11 +431,26 @@ def vmem_attention_nhd(
     interpret: bool | None = None,
     block_q: int | None = None,
     block_kv: int | None = None,
+    pack_pair: bool = False,
 ) -> jax.Array:
     """Flat-layout fused attention with in-kernel rope. Returns [B, N, H*D].
 
     Requirements: D = inner//heads == 64, heads even, N % 128 == 0. Callers
-    must fall back to the split-head path otherwise."""
+    must fall back to the split-head path otherwise.
+
+    ``pack_pair=True`` selects the head-pair-packed probe variant
+    (``_vmem_attn_nhd_pack_kernel``): one block-diagonal score matmul + one
+    output matmul per pair instead of two per-head chains (VERDICT r3
+    item 7). One-shot scores only; the caller's bq budget applies to the
+    doubled [bq, 2N] f32 tile. MEASURED (round 4, v5e, bit-exact vs base):
+    standalone scan-bench WINS at the headline shape — B=8/N=1024
+    2212→1917 µs (1.15×), B=1 neutral (1.02×) — but N=2048 loses 7%
+    (halved bq under the doubled tile), N=4096 VMEM-OOMs (scratch +
+    tile > 16 MB scoped), and e2e ``LEMAS_ATTN_PACK=1 bench.py`` REGRESSES
+    the headline 76.8 → 74.9 (the standalone harness effect, CLAUDE.md —
+    in-model the per-(b,h) kcat/vcat scratch build amortizes over only
+    N/bq = 2 q-blocks and the extra 1 MB VMEM costs overlap). Verdict:
+    probe-only, not a default."""
     from functools import partial as _partial
 
     from jax.experimental import pallas as pl
@@ -410,6 +496,45 @@ def vmem_attention_nhd(
     maskf = mask[:, None, :]  # [B, 1, N]
     cos2, sin2 = _rope_pair_tables(angles)  # [N, 128]
     P = _pair_swap_matrix(2 * D)
+
+    if pack_pair:
+        # packed probe: [bq, 2N] f32 score tile → halve bq under the same
+        # 4 MB budget; block-diag K/V concat scratches per (b, pair)
+        bqp = bq if block_q is not None else max(
+            128, bq // (2 if bq * 2 * N * 4 > 4 * 1024 * 1024 else 1))
+        mask2 = jnp.tile(maskf, (1, 1, 2))  # [B, 1, 2N]
+        out = pl.pallas_call(
+            _partial(_vmem_attn_nhd_pack_kernel,
+                     sm_scale=1.0 / math.sqrt(D), d_head=D),
+            grid=(B, h2, N // bqp),
+            in_specs=[
+                pl.BlockSpec((1, bqp, 2 * D), lambda b, h, i: (b, i, h),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, 2 * D), lambda b, h, i: (b, 0, h),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, 2 * D), lambda b, h, i: (b, 0, h),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 2 * N), lambda b, h, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bqp, 2 * D), lambda b, h, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bqp, 2 * D), lambda b, h, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, 2 * D), lambda b, h, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, 2 * D), lambda b, h, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * D, 2 * D), lambda b, h, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bqp, 2 * D), lambda b, h, i: (b, i, h),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, N, inner), q.dtype),
+            scratch_shapes=[pltpu.VMEM((2 * N, 2 * D), q.dtype),   # kcat
+                            pltpu.VMEM((2 * N, 2 * D), q.dtype)],  # vcat
+            interpret=interpret,
+        )(q, k, v, mask2, cos2, sin2, cos2, sin2, P)
+        return out
 
     out = pl.pallas_call(
         _partial(_vmem_attn_nhd_kernel, sm_scale=1.0 / math.sqrt(D), d_head=D,

@@ -111,6 +111,30 @@ def test_vmem_nhd_bf16():
     np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("N,heads,masked", [(128, 2, True), (256, 4, False)])
+def test_vmem_nhd_pack_pair_matches_base(N, heads, masked):
+    """Head-pair-packed variant (block-diagonal K/V concat, one score + one
+    output matmul per pair) is numerically identical to the per-head-chain
+    base kernel — it's the same math with the lane masks moved from q/out
+    onto the concatenated operands."""
+    from lemas_tts_tpu.ops.attention import vmem_attention_nhd
+    from lemas_tts_tpu.ops.rope import rope_angles
+
+    rng = np.random.default_rng(9)
+    B, D = 2, 64
+    mk = lambda: jnp.asarray(rng.standard_normal((B, N, heads * D)),
+                             jnp.float32)
+    q, k, v = mk(), mk(), mk()
+    mask = jnp.asarray(np.arange(N)[None, :] <
+                       np.asarray([N - 48, N])[:, None]) if masked else None
+    angles = rope_angles(N, D)
+    base = np.asarray(vmem_attention_nhd(q, k, v, mask, angles, heads=heads,
+                                         interpret=True))
+    packed = np.asarray(vmem_attention_nhd(q, k, v, mask, angles, heads=heads,
+                                           interpret=True, pack_pair=True))
+    np.testing.assert_allclose(packed, base, rtol=1e-6, atol=1e-6)
+
+
 def test_dispatch_backends():
     q, k, v = _qkv(N=64, seed=5)
     a = np.asarray(attention(q, k, v, backend="xla"))

@@ -238,6 +238,48 @@ def test_engine_on_device_mesh():
         eng.shutdown()
 
 
+def test_multihost_proxy_single_process(synth):
+    """serve/multihost.py contracts on a 1-process 'fleet' (the broadcast
+    channel degenerates to self-delivery, so this runs in the fast profile;
+    the real 2-process case is the slow test_two_process_serving): the
+    proxy pins missing seeds WITHOUT mutating the caller's dicts, results
+    match a direct Synthesizer call, dispatch/warmup counters advance, and
+    aggregated stats report lockstep."""
+    from lemas_tts_tpu.serve.multihost import (
+        BroadcastSynthesizer,
+        MultiHostDispatch,
+    )
+
+    d = MultiHostDispatch(synth)
+    proxy = BroadcastSynthesizer(d)
+    cfg = SamplerConfig(nfe_steps=2, cfg_strength=1.0)
+
+    r_seeded, r_unseeded = _req(5), dict(_req(6), seed=None)
+    res = proxy.synthesize_requests([r_seeded, r_unseeded], cfg)
+    assert len(res) == 2
+    for wave, sr, _ in res:
+        assert sr == 8000 and np.isfinite(wave).all() and wave.size > 0
+    # the caller's dict is untouched; only the broadcast copy got a seed
+    assert r_unseeded["seed"] is None
+    # a seeded row through the proxy == the same row direct (payload intact)
+    direct = synth.synthesize_requests([_req(5)], cfg=cfg)[0]
+    np.testing.assert_allclose(res[0][0], direct[0], atol=1e-5)
+
+    # bucket estimation delegates (host-only, no broadcast)
+    r = _req(7)
+    assert proxy.estimate_bucket(r["ref_wav"], r["ref_sr"], r["ref_units"],
+                                 r["gen_units"], cfg) == \
+        synth.estimate_bucket(r["ref_wav"], r["ref_sr"], r["ref_units"],
+                              r["gen_units"], cfg)
+
+    proxy.warmup(cfg, duration_buckets=(128,), text_buckets=(32,),
+                 batch_buckets=(1,))
+    assert d.dispatches == 1 and d.warmups == 1
+    stats = d.aggregated_stats()
+    assert stats["processes"] == 1 and stats["in_lockstep"]
+    assert stats["per_process"][0]["dispatches"] == 1
+
+
 def test_synthesizer_thread_safety(synth):
     """Direct concurrent use of one Synthesizer from many threads (the
     reference's equivalent path had a ThreadPool text-cache data race,

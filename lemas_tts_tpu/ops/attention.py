@@ -222,11 +222,12 @@ _M_FLOOR = -1e29
 
 def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
                           ck_ref, sk_ref, p_ref, o_ref, kr_ref, *,
-                          sm_scale: float, d_head: int, block_kv: int = 0):
+                          sm_scale: float, d_head: int, block_kv: int = 0,
+                          heads_per_block: int = 2):
     from jax.experimental import pallas as pl
 
-    q2 = q_ref[0]  # [bq, 2D] two heads side by side
-    v2 = v_ref[0]  # [N, 2D]
+    q2 = q_ref[0]  # [bq, 128]: two d64 heads side by side, or one d128 head
+    v2 = v_ref[0]  # [N, 128]
     msk = mask_ref[0]  # [1, N]
     cdt = q2.dtype
     P = p_ref[...].astype(cdt)  # [2D, 2D] pair-swap
@@ -261,20 +262,27 @@ def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
     qr = rope(q2, cq_ref[...], sq_ref[...], scale=sm_scale)
     kr = kr_ref[...]
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d_head), 1)
-    m0 = (lanes < d_head).astype(cdt)  # head 0 lanes
-    m1 = (lanes >= d_head).astype(cdt)
+    if heads_per_block == 1:
+        # one d128 head fills the whole 128-lane window: no per-head lane
+        # isolation needed, ONE score chain at full MXU contraction depth
+        # (the wide-head student geometry — docs/performance.md)
+        head_masks = (None,)
+    else:
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d_head), 1)
+        m0 = (lanes < d_head).astype(cdt)  # head 0 lanes
+        m1 = (lanes >= d_head).astype(cdt)
+        head_masks = (m0, m1)
 
     mprec = None if cdt != jnp.float32 else prec
     n_kv = v2.shape[0]
-    # two sequential per-head chains. Probed alternative: stacking both
+    # d64: two sequential per-head chains. Probed alternative: stacking both
     # heads into one [2bq, N] score tile (one matmul + one softmax) is
     # neutral at N≤2048 and ~7% WORSE at N=4096 — the doubled f32 tile
     # blows the VMEM budget that the bq sweep below optimizes.
     o_acc = None
     l2 = None
-    for hm in (m0, m1):
-        qh = qr * hm
+    for hm in head_masks:
+        qh = qr if hm is None else qr * hm
         if block_kv and block_kv < n_kv:
             # kv-chunked online softmax (flash-style): the live f32 tile is
             # [bq, block_kv] instead of [bq, N], which unlocks bq=512 at long
@@ -316,10 +324,13 @@ def _vmem_attn_nhd_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
             )  # [bq, 2D]; the other head's lanes hold p·v_other garbage that
             # the hm mask below zeroes — masking the [bq, 2D] output replaces
             # the old [N, 2D] per-program v2·hm pass (N/bq× more VPU work)
-        o_acc = o_part * hm.astype(f32) if o_acc is None \
-            else o_acc + o_part * hm.astype(f32)
-        lane_l = l * hm.astype(f32)  # normalizer on this head's lanes
-        l2 = lane_l if l2 is None else l2 + lane_l
+        if hm is None:  # single head: no lane isolation, l broadcasts [bq,1]
+            o_acc, l2 = o_part, l
+        else:
+            o_acc = o_part * hm.astype(f32) if o_acc is None \
+                else o_acc + o_part * hm.astype(f32)
+            lane_l = l * hm.astype(f32)  # normalizer on this head's lanes
+            l2 = lane_l if l2 is None else l2 + lane_l
     # fully-masked rows: one-shot l ≥ 1 (uniform over -1e30 scores) but the
     # chunked accumulator underflows to l = 0 (m_run floor −1e29 keeps every
     # exp at 0) — clamp so those rows yield 0 instead of NaN. Either value is
@@ -410,12 +421,16 @@ def nhd_supported(
     """Preconditions of the flat-layout nhd kernel — the single source of
     truth for both the Attention-internal gate and DiTBlock's fused-path
     gate (they must not drift: DiTBlock passes raw x + fused_ln_mod only
-    when the kernel can actually run)."""
+    when the kernel can actually run).
+
+    Two head geometries map onto the 128-lane window: d64 head PAIRS
+    (flagship checkpoint contract, per-head lane masks) and single d128
+    heads (the wide-head student geometry — full MXU contraction depth,
+    half the softmax rows; see docs/performance.md)."""
     return (
         qk_norm is None
         and pe_attn_head is None
-        and dim_head == 64
-        and heads % 2 == 0
+        and ((dim_head == 64 and heads % 2 == 0) or dim_head == 128)
         and has_rope
         and n % 128 == 0
     )
@@ -435,8 +450,10 @@ def vmem_attention_nhd(
 ) -> jax.Array:
     """Flat-layout fused attention with in-kernel rope. Returns [B, N, H*D].
 
-    Requirements: D = inner//heads == 64, heads even, N % 128 == 0. Callers
-    must fall back to the split-head path otherwise.
+    Requirements: N % 128 == 0 and either D = inner//heads == 64 with heads
+    even (two heads per 128-lane program, per-head lane masks) or D == 128
+    (one head per program — no masks, one score chain at full contraction
+    depth). Callers must fall back to the split-head path otherwise.
 
     ``pack_pair=True`` selects the head-pair-packed probe variant
     (``_vmem_attn_nhd_pack_kernel``): one block-diagonal score matmul + one
@@ -460,7 +477,10 @@ def vmem_attention_nhd(
 
     B, N, inner = q.shape
     D = inner // heads
-    assert D == 64 and heads % 2 == 0 and N % 128 == 0, (heads, D, N)
+    group = 2 if D == 64 else 1  # heads per 128-lane program
+    assert ((D == 64 and heads % 2 == 0) or D == 128) and N % 128 == 0, \
+        (heads, D, N)
+    gw = group * D  # lane-window width, always 128
     if mask is None:
         mask = jnp.ones((B, N), dtype=jnp.bool_)
 
@@ -492,12 +512,14 @@ def vmem_attention_nhd(
         while bq > 128 and (bq * N * 4 > 4 * 1024 * 1024 or N % bq):
             bq //= 2
         bq = math.gcd(bq, N)  # non-power-of-two N (e.g. 384): largest divisor
-    h2 = heads // 2
+    hg = heads // group  # lane-window groups (head pairs at d64, heads at d128)
     maskf = mask[:, None, :]  # [B, 1, N]
-    cos2, sin2 = _rope_pair_tables(angles)  # [N, 128]
-    P = _pair_swap_matrix(2 * D)
+    cos2, sin2 = _rope_pair_tables(angles, group)  # [N, 128]
+    P = _pair_swap_matrix(gw)
 
     if pack_pair:
+        # packed probe is pair-specific (block-diag over a d64 head pair)
+        assert D == 64, "pack_pair requires dim_head == 64"
         # packed probe: [bq, 2N] f32 score tile → halve bq under the same
         # 4 MB budget; block-diag K/V concat scratches per (b, pair)
         bqp = bq if block_q is not None else max(
@@ -506,7 +528,7 @@ def vmem_attention_nhd(
         out = pl.pallas_call(
             _partial(_vmem_attn_nhd_pack_kernel,
                      sm_scale=1.0 / math.sqrt(D), d_head=D),
-            grid=(B, h2, N // bqp),
+            grid=(B, heads // 2, N // bqp),
             in_specs=[
                 pl.BlockSpec((1, bqp, 2 * D), lambda b, h, i: (b, i, h),
                              memory_space=pltpu.VMEM),
@@ -538,32 +560,32 @@ def vmem_attention_nhd(
 
     out = pl.pallas_call(
         _partial(_vmem_attn_nhd_kernel, sm_scale=1.0 / math.sqrt(D), d_head=D,
-                 block_kv=int(block_kv)),
-        grid=(B, h2, N // bq),
+                 block_kv=int(block_kv), heads_per_block=group),
+        grid=(B, hg, N // bq),
         in_specs=[
-            pl.BlockSpec((1, bq, 2 * D), lambda b, h, i: (b, i, h),
+            pl.BlockSpec((1, bq, gw), lambda b, h, i: (b, i, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 2 * D), lambda b, h, i: (b, 0, h),
+            pl.BlockSpec((1, N, gw), lambda b, h, i: (b, 0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 2 * D), lambda b, h, i: (b, 0, h),
+            pl.BlockSpec((1, N, gw), lambda b, h, i: (b, 0, h),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, N), lambda b, h, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq, 2 * D), lambda b, h, i: (i, 0),
+            pl.BlockSpec((bq, gw), lambda b, h, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq, 2 * D), lambda b, h, i: (i, 0),
+            pl.BlockSpec((bq, gw), lambda b, h, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, 2 * D), lambda b, h, i: (0, 0),
+            pl.BlockSpec((N, gw), lambda b, h, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, 2 * D), lambda b, h, i: (0, 0),
+            pl.BlockSpec((N, gw), lambda b, h, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * D, 2 * D), lambda b, h, i: (0, 0),
+            pl.BlockSpec((gw, gw), lambda b, h, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, 2 * D), lambda b, h, i: (b, i, h),
+        out_specs=pl.BlockSpec((1, bq, gw), lambda b, h, i: (b, i, h),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, inner), q.dtype),
-        scratch_shapes=[pltpu.VMEM((N, 2 * D), q.dtype)],  # roped k, per (b,h)
+        scratch_shapes=[pltpu.VMEM((N, gw), q.dtype)],  # roped k, per (b,h)
         interpret=interpret,
     )(q, k, v, maskf, cos2, sin2, cos2, sin2, P)
     return out

@@ -111,6 +111,56 @@ def test_vmem_nhd_bf16():
     np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("N,heads", [(128, 2), (256, 3)])
+def test_vmem_nhd_d128_matches_split_head(N, heads):
+    """Wide-head geometry: one d128 head fills a full 128-lane program (no
+    per-head lane masks, single score chain). Odd head counts are legal —
+    the pair constraint only applies at d64."""
+    from lemas_tts_tpu.ops.attention import nhd_supported, vmem_attention_nhd
+    from lemas_tts_tpu.ops.rope import rope_angles
+
+    assert nhd_supported(heads, 128, N)
+    rng = np.random.default_rng(13)
+    B, D = 2, 128
+    mk = lambda: jnp.asarray(rng.standard_normal((B, N, heads * D)),
+                             jnp.float32)
+    q, k, v = mk(), mk(), mk()
+    mask = jnp.asarray(np.arange(N)[None, :] < np.asarray([N - 48, N])[:, None])
+    angles = rope_angles(N, D)
+    ref = np.asarray(_nhd_ref(q, k, v, mask, angles, heads))
+    got = np.asarray(
+        vmem_attention_nhd(q, k, v, mask, angles, heads=heads, interpret=True))
+    np.testing.assert_allclose(got[0, : N - 48], ref[0, : N - 48],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got[1], ref[1], rtol=2e-5, atol=2e-5)
+
+
+def test_vmem_nhd_d128_bf16_and_chunked():
+    from lemas_tts_tpu.ops.attention import vmem_attention_nhd
+    from lemas_tts_tpu.ops.rope import rope_angles
+
+    rng = np.random.default_rng(14)
+    B, N, heads, D = 1, 256, 2, 128
+    mk = lambda: jnp.asarray(rng.standard_normal((B, N, heads * D)),
+                             jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+    angles = rope_angles(N, D)
+    ref = np.asarray(_nhd_ref(q, k, v, None, angles, heads), np.float32)
+    got = np.asarray(
+        vmem_attention_nhd(q, k, v, None, angles, heads=heads,
+                           interpret=True), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
+
+    # kv-chunked online softmax on the single-head chain
+    base = vmem_attention_nhd(q, k, v, None, angles, heads=heads,
+                              interpret=True, block_q=128, block_kv=0)
+    chunked = vmem_attention_nhd(q, k, v, None, angles, heads=heads,
+                                 interpret=True, block_q=128, block_kv=128)
+    np.testing.assert_allclose(np.asarray(chunked, np.float32),
+                               np.asarray(base, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
 @pytest.mark.parametrize("N,heads,masked", [(128, 2, True), (256, 4, False)])
 def test_vmem_nhd_pack_pair_matches_base(N, heads, masked):
     """Head-pair-packed variant (block-diagonal K/V concat, one score + one

@@ -86,10 +86,12 @@ def test_qkv_block_matches_flax_chain():
                                    rtol=2e-5, atol=2e-5)
 
 
-def test_dit_block_fused_matches_unfused():
+@pytest.mark.parametrize("heads,dim_head", [(2, 64), (1, 128)])
+def test_dit_block_fused_matches_unfused(heads, dim_head):
     """DiTBlock with the vmem backend (fused FF path, interpret-able only on
     TPU) must equal the xla-backend block on identical params — checked here
-    by monkeypatching ffn_block to interpret mode."""
+    by monkeypatching ffn_block to interpret mode. Covers both nhd head
+    geometries: d64 pairs and single d128 wide heads."""
     import lemas_tts_tpu.ops.attention as attn_mod
     import lemas_tts_tpu.ops.ffn as ffn_mod
     from lemas_tts_tpu.models.modules import DiTBlock
@@ -112,16 +114,16 @@ def test_dit_block_fused_matches_unfused():
         B, N, D = 2, 128, 128
         x = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
         t = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
-        angles = rope_angles(N, 64)
+        angles = rope_angles(N, dim_head)
 
-        blk_x = DiTBlock(D, heads=2, dim_head=64, ff_mult=2,
+        blk_x = DiTBlock(D, heads=heads, dim_head=dim_head, ff_mult=2,
                          attn_backend="xla")
         params = blk_x.init(jax.random.key(0), x, t)
         ref = blk_x.apply(params, x, t, rope_angles_arr=angles)
 
         # vmem backend with rope → the fully fused path:
         # qkv_block + nhd attention + ffn_block
-        blk_v = DiTBlock(D, heads=2, dim_head=64, ff_mult=2,
+        blk_v = DiTBlock(D, heads=heads, dim_head=dim_head, ff_mult=2,
                          attn_backend="vmem")
         got = blk_v.apply(params, x, t, rope_angles_arr=angles)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),

@@ -185,10 +185,34 @@ class TTS:
         else:
             self.frontend = None
 
+        # ---- checkpoint resolution first: a distilled-student stage dir may
+        # carry a student.json sidecar (scripts/distill.py) whose settings —
+        # and, for wide-head students, whose head geometry — must be known
+        # BEFORE the backbone is built. apply_student_settings consumes the
+        # sampler part at infer time.
+        self.hf_cache_dir = hf_cache_dir
+        ckpt_file = resolve_ckpt(ckpt_file, hf_cache_dir) if ckpt_file else ckpt_file
+        self.student: Optional[dict] = None
+        if ckpt_file and os.path.isdir(ckpt_file):
+            sidecar = Path(ckpt_file) / "student.json"
+            if sidecar.is_file():
+                import json as _json
+
+                self.student = _json.loads(sidecar.read_text())
+
         # ---- acoustic model (backbone per config, reference api.py:102)
         use_pros = use_prosody_encoder or self.config.use_prosody_encoder
         self.use_prosody_encoder = use_pros
         a = self.config.arch
+        if self.student and self.student.get("arch"):
+            # wide-head student geometry (same parameter tree as the config
+            # arch — only the runtime head split differs; ops/attention.py
+            # nhd_supported admits d128 single-head programs)
+            import dataclasses
+
+            a = dataclasses.replace(
+                a, **{k: int(v) for k, v in self.student["arch"].items()})
+            self.config = dataclasses.replace(self.config, arch=a)
         backbone = self.config.backbone
         if quantization is not None and backbone != "DiT":
             raise ValueError("quantization is only supported for the DiT backbone")
@@ -225,20 +249,8 @@ class TTS:
             )
         else:
             raise ValueError(f"unknown backbone: {backbone}")
-        self.hf_cache_dir = hf_cache_dir
-        ckpt_file = resolve_ckpt(ckpt_file, hf_cache_dir) if ckpt_file else ckpt_file
-        # distilled-student metadata (scripts/distill.py writes a
-        # student.json sidecar per stage): when present, infer()/serving
-        # auto-apply the baked sampler settings (steps=K, cfg_strength=0,
-        # the training sway warp) — see apply_student_settings.
-        self.student: Optional[dict] = None
         if ckpt_file and os.path.isdir(ckpt_file):
             cfm_params = load_native(ckpt_file)
-            sidecar = Path(ckpt_file) / "student.json"
-            if sidecar.is_file():
-                import json as _json
-
-                self.student = _json.loads(sidecar.read_text())
             if "dit" not in cfm_params:
                 # distill stages save the raw student tree
                 # (scripts/distill.py save_native(student, stage_dir)) —

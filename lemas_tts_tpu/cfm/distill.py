@@ -92,7 +92,17 @@ class Distiller:
         velocity_clamp: float = 20.0,
         frac_lengths_mask: tuple[float, float] = (0.7, 1.0),
         mesh: Optional[Mesh] = None,
+        student_model: Optional[Any] = None,
     ):
+        """``student_model`` (optional): a DiT whose *parameter tree* is
+        identical to the teacher's but whose runtime geometry differs — the
+        measured case is the wide-head student (heads=8, dim_head=128 at
+        dim=1024: same qkv/out projection shapes, +14% e2e sampler RTF from
+        full MXU contraction depth in the attention kernel — see
+        ``scripts/widehead_probe.py`` and docs/performance.md). Standard-PD
+        teacher-copy init still applies (the trees match); the initial loss
+        gap is larger than same-geometry PD because the head re-split changes
+        the function, which the distillation loss then closes."""
         assert student_steps >= 1 and substeps >= 1
         # The gradient step must run a differentiable forward: the fused
         # Pallas inference kernels (attn_backend="vmem") define no VJP, so a
@@ -104,16 +114,18 @@ class Distiller:
         # inference-tuned, and the un-remat'd flagship backward (22 saved
         # block activations) exceeds a single chip's HBM at useful batch
         # sizes (measured: 16.4 G needed vs 15.75 G at 4000 frames).
-        if getattr(dit_model, "attn_backend", "xla") != "xla" and hasattr(
-            dit_model, "clone"
-        ):
-            import dataclasses
+        def to_train_path(m):
+            if getattr(m, "attn_backend", "xla") != "xla" and hasattr(m, "clone"):
+                import dataclasses
 
-            arch = dataclasses.replace(
-                dit_model.arch, checkpoint_activations=True
-            )
-            dit_model = dit_model.clone(attn_backend="xla", arch=arch)
+                arch = dataclasses.replace(m.arch, checkpoint_activations=True)
+                m = m.clone(attn_backend="xla", arch=arch)
+            return m
+
+        dit_model = to_train_path(dit_model)
         self.dit_model = dit_model
+        self.student_model = (to_train_path(student_model)
+                              if student_model is not None else dit_model)
         self.student_steps = student_steps
         self.cfg = cfg
         self.teacher_cfg_strength = teacher_cfg_strength
@@ -137,7 +149,32 @@ class Distiller:
 
     # ------------------------------------------------------------------ init
     def init_state(self, teacher_params: Any) -> DistillState:
-        """Student starts as a copy of the teacher (standard PD init)."""
+        """Student starts as a copy of the teacher (standard PD init). A
+        distinct ``student_model`` must therefore share the teacher's exact
+        parameter tree (the wide-head geometry does: only the runtime head
+        split differs) — verified loudly here, because a mismatched tree
+        would otherwise fail deep inside the first jitted step."""
+        if self.student_model is not self.dit_model:
+            want = jax.eval_shape(
+                lambda: self.student_model.init(
+                    jax.random.key(0), jnp.zeros((1, 8, self.student_model.mel_dim)),
+                    jnp.zeros((1, 8, self.student_model.mel_dim)),
+                    jnp.zeros((1, 4), jnp.int32), jnp.zeros((1,)))
+            )["params"]
+            got = (teacher_params.get("params", teacher_params)
+                   if isinstance(teacher_params, dict) else teacher_params)
+            ws = jax.tree_util.tree_structure(want)
+            gs = jax.tree_util.tree_structure(got)
+            shape_ok = ws == gs and all(
+                tuple(a.shape) == tuple(b.shape)
+                for a, b in zip(jax.tree_util.tree_leaves(want),
+                                jax.tree_util.tree_leaves(got)))
+            if not shape_ok:
+                raise ValueError(
+                    "student_model parameter tree differs from the teacher's "
+                    "— teacher-copy init requires identical trees and leaf "
+                    "shapes (e.g. the wide-head split heads·dim_head must "
+                    "keep the inner dim)")
         student = jax.tree_util.tree_map(
             lambda p: jnp.array(p, copy=True), teacher_params
         )
@@ -250,11 +287,12 @@ class Distiller:
 
         target_v = (x_t - x) / jnp.maximum(t1 - t0, 1e-8)[:, None, None]
 
-        # student: ONE pass, no CFG (guidance is being baked in)
-        te_s = self.dit_model.apply(
-            student_params, text, T, False, method=self.dit_model.embed_text
+        # student: ONE pass, no CFG (guidance is being baked in); the student
+        # model may differ from the teacher in runtime geometry only
+        te_s = self.student_model.apply(
+            student_params, text, T, False, method=self.student_model.embed_text
         )
-        pred_v = self.dit_model.apply(
+        pred_v = self.student_model.apply(
             student_params, x, cond, None, t0, attn_mask, text_embed=te_s
         )
 
@@ -312,9 +350,12 @@ class Distiller:
         """Build the next halving stage. Pass the finished stage's (EMA)
         student to the new stage's :meth:`init_state` as its teacher. After
         one stage guidance is baked in, so the next teacher runs WITHOUT
-        CFG (strength 0) — its velocity is already guided."""
+        CFG (strength 0) — its velocity is already guided. The previous
+        stage's student becomes the teacher, so a geometry change (wide-head
+        student) persists: both sides of every later stage run the student
+        geometry."""
         return Distiller(
-            self.dit_model,
+            self.student_model,
             student_steps if student_steps is not None
             else max(1, self.student_steps // 2),
             cfg=self.cfg,

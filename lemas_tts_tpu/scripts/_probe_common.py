@@ -23,8 +23,10 @@ def probe_model_and_inputs(args):
     from lemas_tts_tpu.ops.attention import default_backend
     from lemas_tts_tpu.utils.misc import fast_random_params
 
+    dim_head = getattr(args, "dim_head", None) or (
+        args.dim // args.heads if args.dim < 1024 else 64)
     arch = DiTArch(dim=args.dim, depth=args.depth, heads=args.heads,
-                   dim_head=args.dim // args.heads if args.dim < 1024 else 64)
+                   dim_head=dim_head)
     model = DiT(arch=arch, mel_dim=100, text_num_embeds=898,
                 compute_dtype=jnp.bfloat16, attn_backend=default_backend())
     if args.ckpt:

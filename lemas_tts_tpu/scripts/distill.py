@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--tiny", action="store_true",
                    help="Tiny arch override (hermetic smoke distillation).")
+    p.add_argument("--student_heads", type=int, default=0,
+                   help="Student attention head count (0 = teacher's). With "
+                        "--student_dim_head it must keep heads*dim_head — "
+                        "the wide-head geometry h8/d128 is +14%% e2e RTF "
+                        "(scripts/widehead_probe.py).")
+    p.add_argument("--student_dim_head", type=int, default=0,
+                   help="Student head dim (0 = teacher's).")
     return p
 
 
@@ -118,6 +125,26 @@ def main(argv=None) -> int:
     mesh = (make_mesh(n_dev, model_parallel=args.model_parallel)
             if n_dev > 1 else None)
     dit = DiT(arch=arch, mel_dim=mel_dim, text_num_embeds=vocab.size)
+    # wide-head student geometry: same parameter tree (heads·dim_head
+    # preserved), different runtime head split — the nhd attention kernel
+    # runs one full-depth d128 chain per 128-lane program instead of two
+    # lane-masked d64 chains (+14% e2e sampler RTF measured on v5e,
+    # scripts/widehead_probe.py)
+    student_arch = None
+    if args.student_heads or args.student_dim_head:
+        import dataclasses
+
+        s_heads = args.student_heads or arch.heads
+        s_dh = args.student_dim_head or arch.dim_head
+        if s_heads * s_dh != arch.heads * arch.dim_head:
+            print(f"--student_heads*--student_dim_head must equal the "
+                  f"teacher inner dim {arch.heads * arch.dim_head} "
+                  f"(got {s_heads}*{s_dh})", file=sys.stderr)
+            return 2
+        student_arch = dataclasses.replace(arch, heads=s_heads, dim_head=s_dh)
+    student_dit = (DiT(arch=student_arch, mel_dim=mel_dim,
+                       text_num_embeds=vocab.size)
+                   if student_arch is not None else None)
     loader = DataLoader(
         dataset, tcfg, seed=args.seed,
         batch_multiple=(mesh.shape["data"] if mesh is not None else 1),
@@ -129,11 +156,15 @@ def main(argv=None) -> int:
 
     for si, k in enumerate(stages):
         # first stage bakes the teacher's CFG in; later teachers (previous
-        # students) are already guided and run single-pass (strength 0)
+        # students) are already guided and run single-pass (strength 0).
+        # A geometry change applies at stage 0; from stage 1 on the teacher
+        # (= previous student) already runs the student geometry.
         distiller = Distiller(
-            dit, k, cfg=tcfg,
+            (dit if si == 0 or student_dit is None else student_dit), k,
+            cfg=tcfg,
             teacher_cfg_strength=(args.teacher_cfg if si == 0 else 0.0),
             sway_sampling_coef=args.sway, mesh=mesh,
+            student_model=student_dit,
         )
         state = distiller.init_state(teacher)
         t0 = time.time()
@@ -172,6 +203,11 @@ def main(argv=None) -> int:
                 "stage_index": si,
                 "steps_per_stage": args.steps_per_stage,
             }
+            if student_arch is not None:
+                # geometry override: api.py rebuilds the DiT with these
+                # before loading the stage weights (identical param tree)
+                meta["arch"] = {"heads": student_arch.heads,
+                                "dim_head": student_arch.dim_head}
             Path(out, "student.json").write_text(json.dumps(meta, indent=1))
             log.log("stage_done", stage=k, path=out)
         print(f"[distill] stage NFE={k} done → {out} "

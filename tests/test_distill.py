@@ -140,6 +140,52 @@ def test_stage_chain_bakes_cfg(tiny):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_widehead_student_distills_and_chains(tiny):
+    """Wide-head student geometry (cfm/distill.py student_model): same
+    parameter tree as the teacher — only the runtime head split differs
+    (tiny mirror of the measured flagship case h16/d64 → h8/d128, +14% e2e
+    sampler RTF, scripts/widehead_probe.py). Teacher-copy init applies, the
+    step descends, and next_stage keeps the student geometry on both sides."""
+    import dataclasses
+
+    dit, teacher, batch = tiny
+    wide = DiT(arch=dataclasses.replace(dit.arch, heads=1, dim_head=32),
+               mel_dim=8, text_num_embeds=26)
+    d = Distiller(dit, student_steps=4,
+                  cfg=TrainConfig(learning_rate=1e-3, num_warmup_updates=1),
+                  teacher_cfg_strength=2.0, sway_sampling_coef=1.0,
+                  student_model=wide)
+    state = d.init_state(teacher)  # tree/shape check passes
+    losses = []
+    for i in range(6):
+        state, metrics = d.distill_step(state, batch, jax.random.key(300 + i))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0], losses
+
+    # the student samples through the standard sampler AS the wide model
+    settings = student_sampler_settings(4, sway_sampling_coef=1.0)
+    run = make_sampler(wide, settings)
+    B, T, D = batch["mel"].shape
+    rng = np.random.default_rng(2)
+    out = run(state.ema_params,  # same {"params": ...} structure as teacher
+              batch["mel"], jnp.zeros((B, T), bool), batch["text"],
+              jnp.asarray(np.full(B, T, np.int32)),
+              jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32)))
+    assert bool(jnp.isfinite(out).all())
+
+    # chaining: the next stage's teacher IS the wide student
+    d2 = d.next_stage()
+    assert d2.dit_model is d.student_model
+    assert d2.student_model is d.student_model
+
+    # a student whose parameter tree cannot hold the teacher's weights is
+    # rejected loudly at init (not deep inside the first jitted step)
+    bad = DiT(arch=dataclasses.replace(dit.arch, heads=2, dim_head=32),
+              mel_dim=8, text_num_embeds=26)
+    with pytest.raises(ValueError, match="parameter tree"):
+        Distiller(dit, student_steps=4, student_model=bad).init_state(teacher)
+
+
 @pytest.mark.slow
 def test_distill_cli_smoke(tmp_path):
     """Hermetic end-to-end: save a tiny teacher, distill 2 stages on the
@@ -253,3 +299,69 @@ def test_student_checkpoint_consumed_by_tts_and_serving(tmp_path):
         np.asarray(wave, np.float32), sr, "abc d", ["efg h"], cfg=direct_cfg,
         seed=3)
     assert np.isfinite(w2).all()
+
+
+def test_widehead_student_roundtrips_through_cli_and_tts(tmp_path):
+    """--student_heads/--student_dim_head: the distill CLI trains a
+    re-split-geometry student (tiny mirror of the flagship h16/d64 → h8/d128
+    case), records the geometry in student.json, and TTS rebuilds the DiT
+    with the overridden head split before loading the stage weights."""
+    import json
+    from pathlib import Path
+
+    import lemas_tts_tpu
+    from lemas_tts_tpu.config import load_model_config
+    from lemas_tts_tpu.infer.checkpoints import save_native
+    from lemas_tts_tpu.scripts.distill import main as distill_main
+    from lemas_tts_tpu.utils.audio_io import write_wav
+
+    tiny_yaml = str(Path(__file__).parent / "data" / "tiny.yaml")
+    vocab_path = tmp_path / "vocab.txt"
+    vocab_path.write_text("\n".join([" "] + [chr(97 + i) for i in range(25)])
+                          + "\n")
+    cfg = load_model_config(tiny_yaml)
+    dit = DiT(arch=cfg.arch, mel_dim=cfg.mel_spec.n_mel_channels,
+              text_num_embeds=26)
+    teacher = dit.init(jax.random.key(0), jnp.zeros((1, 8, 20)),
+                       jnp.zeros((1, 8, 20)), jnp.zeros((1, 4), jnp.int32),
+                       jnp.zeros((1,)))
+    tdir = str(tmp_path / "teacher")
+    save_native(teacher, tdir)
+
+    # a split that breaks the inner dim is rejected up front
+    rc = distill_main([
+        "--config", tiny_yaml, "--vocab_file", str(vocab_path),
+        "--teacher", tdir, "--ckpt_dir", str(tmp_path / "bad"),
+        "--stages", "4", "--steps_per_stage", "1", "--synthetic", "4",
+        "--student_heads", "3", "--student_dim_head", "32",
+    ])
+    assert rc == 2
+
+    rc = distill_main([
+        "--config", tiny_yaml, "--vocab_file", str(vocab_path),
+        "--teacher", tdir, "--ckpt_dir", str(tmp_path / "out"),
+        "--stages", "4", "--steps_per_stage", "1", "--synthetic", "4",
+        "--sway", "1.0", "--log_every", "1",
+        "--student_heads", "2", "--student_dim_head", "32",
+    ])
+    assert rc == 0
+    stage = tmp_path / "out" / "stage_4"
+    meta = json.loads((stage / "student.json").read_text())
+    assert meta["arch"] == {"heads": 2, "dim_head": 32}
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tts = lemas_tts_tpu.TTS(model=tiny_yaml, ckpt_file=str(stage),
+                                vocab_file=str(vocab_path), device="cpu",
+                                frontend=None)
+    assert tts.dit.arch.heads == 2 and tts.dit.arch.dim_head == 32
+    assert tts.config.arch.heads == 2  # downstream consumers see it too
+
+    sr = 8000
+    ref = tmp_path / "ref.wav"
+    write_wav(str(ref), (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+                         ).astype(np.float32), sr)
+    wave, out_sr, _ = tts.infer(str(ref), "abc d", "efg h", seed=3)
+    assert out_sr == sr and wave.size > 0 and np.isfinite(wave).all()

@@ -57,7 +57,9 @@ def main(argv=None) -> int:
                                                     "2x2048", "1x4096"],
                     help="BxN list (flagship heads=16, d=64)")
     ap.add_argument("--heads", type=int, default=16)
-    ap.add_argument("--reps", type=int, default=20)
+    # ≥50 in-scan reps for a valid ratio — ~20 ms tunnel dispatch overhead
+    # pollutes shorter scans (CLAUDE.md round-4 methodology note)
+    ap.add_argument("--reps", type=int, default=100)
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args(argv)
 

@@ -18,7 +18,10 @@ Endpoints:
                 same-settings requests together). "queue_timeout_s" sets an
                 engine-side deadline: still queued past it → shed, 504.
                 Client disconnects while queued cancel the request
-                (docs/serving.md "Overload robustness").
+                (docs/serving.md "Overload robustness"); a clean FIN
+                counts as disconnect (nginx-style abort detection), so a
+                client that half-closes its write side after the body must
+                send "half_close": true to keep its request alive.
   POST /tts_stream  same JSON (+ optional "max_chars", "chunk_batch",
                 "first_chunk_chars" — chunk-0 re-split size for low TTFB,
                 default 40, 0 disables — and "ttfb_nfe" — lower-NFE first
@@ -210,23 +213,36 @@ def make_handler(tts, engine, max_streams: int = 2, multihost=None):
         def _reply_json(self, code: int, obj):
             self._reply(code, json.dumps(obj).encode(), "application/json")
 
-        def _await_or_cancel(self, fut, timeout: float):
+        def _await_or_cancel(self, fut, timeout: float,
+                             watch_socket: bool = True):
             """Block on the engine future, watching the client socket: a
-            disconnect (EOF) while queued cancels the request in the engine
-            so the device never computes for a vanished client. A future
-            that itself FAILED with TimeoutError (engine queue shed) is
-            re-raised immediately — ``fut.result(timeout=...)``'s wait
-            timeout and the stored exception are the same class on 3.11+."""
+            disconnect while queued cancels the request in the engine so
+            the device never computes for a vanished client. Like
+            mainstream HTTP servers (nginx client-abort detection), a clean
+            FIN from the peer counts as a disconnect — HTTP clients don't
+            half-close; a client that legitimately shuts down only its
+            write side after the body must say so with ``"half_close":
+            true`` in the payload (→ ``watch_socket=False``), trading
+            abort detection for half-close support (the response write
+            still surfaces a dead peer as BrokenPipeError).
+
+            A future that itself FAILED with TimeoutError (engine queue
+            shed) is re-raised immediately. ``fut.result``'s wait timeout
+            is ``concurrent.futures.TimeoutError`` while the engine stores
+            a builtin ``TimeoutError`` — one class only on 3.11+, so both
+            are caught explicitly for 3.10."""
             deadline = time.monotonic() + timeout
             while True:
                 try:
                     return fut.result(timeout=0.25)
-                except FuturesTimeout:
+                except (FuturesTimeout, TimeoutError):
                     if fut.done():
                         raise  # stored TimeoutError: the engine shed it
                     if time.monotonic() > deadline:
                         engine.cancel(fut)
                         raise
+                if not watch_socket:
+                    continue
                 readable, _, _ = select.select([self.connection], [], [], 0)
                 if readable:
                     try:
@@ -390,14 +406,17 @@ def make_handler(tts, engine, max_streams: int = 2, multihost=None):
                     timeout=float(qt) if qt is not None else None,
                 ))
                 out = self._await_or_cancel(
-                    fut, timeout=float(payload.get("timeout_s", 300)))
+                    fut, timeout=float(payload.get("timeout_s", 300)),
+                    watch_socket=not payload.get("half_close", False))
                 wav = out[0] if isinstance(out, tuple) else out
                 sr = out[1] if isinstance(out, tuple) and len(out) > 1 \
                     else tts.target_sample_rate
                 self._reply(200, _wav_bytes(np.asarray(wav), int(sr)),
                             "audio/wav")
-            except FuturesTimeout as e:
-                # server capacity, not client fault: retryable 504
+            except (FuturesTimeout, TimeoutError) as e:
+                # server capacity, not client fault: retryable 504. The
+                # engine sheds with builtin TimeoutError; the wait timeout
+                # is concurrent.futures.TimeoutError — distinct on 3.10.
                 self._reply_json(504, {"error": f"synthesis timed out: {e}"})
             except CancelledError:
                 self._reply_json(503, {"error": "request cancelled"})

@@ -151,9 +151,13 @@ class ServingEngine:
         """Cancel a submitted request (client disconnect). Returns True if
         the request will never produce a result. Still-queued requests are
         removed from the batcher immediately (freeing queue depth for
-        backpressure); a request already collected into an in-flight batch
-        has its future cancelled so the device result is dropped — that
-        row's compute is spent, which is the unavoidable race window."""
+        backpressure) and their futures cancelled. A request the worker has
+        already collected but not yet marked running (a microsecond window)
+        is cancelled the same way and shed at dispatch. Once its future is
+        RUNNING — the batch is on the device — ``Future.cancel()`` fails by
+        contract: this returns False and the result IS delivered into the
+        (abandoned) future; that row's compute is spent, which is the
+        unavoidable race window."""
         with self._lock:
             # pending set is bounded by max_queue — a scan is fine
             req = next((r for r in self._pending.values()

@@ -31,6 +31,9 @@ def tiny_tts(tmp_path_factory):
                    device="cpu", frontend="phone")
 
 
+_ENGINE = {}  # populated by the server fixture for engine-level assertions
+
+
 @pytest.fixture(scope="module")
 def server(tiny_tts):
     args = serve_http.build_parser().parse_args(
@@ -56,8 +59,14 @@ def server(tiny_tts):
     finally:
         lemas_tts_tpu.TTS = orig
     httpd, engine = box[0]
+    _ENGINE["engine"] = engine
     yield f"http://127.0.0.1:{httpd.server_address[1]}"
     httpd.shutdown()
+
+
+@pytest.fixture
+def server_engine(server):
+    return _ENGINE["engine"]
 
 
 def _get(url):
@@ -241,6 +250,143 @@ def test_tts_rejects_out_of_range_overrides(server):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(server + "/tts", {**base, **bad})
         assert e.value.code == 400, bad
+
+
+def _base_payload(seed=7):
+    return {"ref_b64": _ref_b64(), "ref_text": "hello there",
+            "text": "general kenobi", "seed": seed}
+
+
+def test_queue_shed_times_out_504(server):
+    """A request whose engine-side deadline passes while queued is shed
+    with a stored builtin TimeoutError → retryable 504 at the HTTP layer.
+    queue_timeout_s=0 deterministically trips the dispatch-time check
+    (strictly positive queue time always elapses). This drives the stored-
+    TimeoutError re-raise through _await_or_cancel — on 3.10 builtin
+    TimeoutError is NOT concurrent.futures.TimeoutError, so this is the
+    regression test for catching both."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server + "/tts", {**_base_payload(), "queue_timeout_s": 0})
+    assert e.value.code == 504
+    assert b"timed out" in e.value.read()
+
+
+def test_ttfb_nfe_validation_and_ramp(server):
+    """/tts_stream 'ttfb_nfe' out of range → 400 before any synthesis;
+    a valid ramp streams fine (chunk 0 at the low NFE, rest at cfg's)."""
+    base = {"ref_b64": _ref_b64(), "ref_text": "hello there",
+            "text": "general kenobi. you are a bold one.",
+            "seed": 7, "max_chars": 20, "nfe_step": 4}
+    for bad in (0, 1000):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server + "/tts_stream", {**base, "ttfb_nfe": bad})
+        assert e.value.code == 400
+    code, ctype, body = _post(server + "/tts_stream",
+                              {**base, "ttfb_nfe": 2,
+                               "first_chunk_chars": 10})
+    assert code == 200 and ctype.startswith("audio/L16")
+    assert np.frombuffer(body, dtype="<i2").size > 0
+
+
+def _raw_post_bytes(path, payload):
+    body = json.dumps(payload).encode()
+    head = (f"POST {path} HTTP/1.1\r\nHost: t\r\n"
+            f"Content-Type: application/json\r\n"
+            f"Content-Length: {len(body)}\r\nConnection: close\r\n\r\n")
+    return head.encode() + body
+
+
+def _stall_worker(tts):
+    """Patch the synthesizer so the engine worker blocks inside the batch
+    call until the returned event is set — freezes dispatch so queued-state
+    behavior can be tested deterministically."""
+    import types
+
+    gate = threading.Event()
+    synth = tts.synth
+    orig = synth.synthesize_requests
+
+    def slow(self, requests, cfg=None):
+        gate.wait(timeout=60)
+        return orig(requests, cfg=cfg)
+
+    synth.synthesize_requests = types.MethodType(slow, synth)
+    return gate, synth, orig
+
+
+def test_disconnect_cancels_queued_request(server, server_engine, tiny_tts):
+    """HTTP-level client-disconnect: close the socket while the request is
+    still queued (worker stalled on another batch) → the 0.25 s socket
+    watch in _await_or_cancel cancels it in the engine (shed counter
+    increments, queue slot freed) instead of the device computing for a
+    vanished client."""
+    import socket as socket_mod
+    import time
+    import urllib.parse
+
+    engine = server_engine
+    gate, synth, orig = _stall_worker(tiny_tts)
+    occupier = threading.Thread(
+        target=lambda: _post(server + "/tts", _base_payload(seed=21)),
+        daemon=True)
+    try:
+        occupier.start()
+        # wait until the worker collected the occupier (queue drains to 0)
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline and engine.batcher.depth() != 0:
+            time.sleep(0.02)
+        assert engine.batcher.depth() == 0, "worker never collected occupier"
+        time.sleep(0.1)  # let the worker enter the stalled batch call
+
+        shed0 = engine.stats()["shed"]["cancelled"]
+        host = urllib.parse.urlparse(server)
+        sock = socket_mod.create_connection((host.hostname, host.port),
+                                            timeout=30)
+        sock.sendall(_raw_post_bytes("/tts", _base_payload(seed=22)))
+        # wait for the request to reach the engine queue, then vanish
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline and engine.batcher.depth() < 1:
+            time.sleep(0.02)
+        assert engine.batcher.depth() >= 1, "request never queued"
+        sock.close()
+
+        deadline = time.monotonic() + 30
+        while (time.monotonic() < deadline
+               and engine.stats()["shed"]["cancelled"] <= shed0):
+            time.sleep(0.05)
+        assert engine.stats()["shed"]["cancelled"] > shed0
+        assert engine.batcher.depth() == 0  # queue slot freed
+    finally:
+        gate.set()
+        synth.synthesize_requests = orig
+        occupier.join(timeout=120)
+
+
+def test_half_close_client_still_served(server):
+    """A client that legally half-closes its write side after the body
+    (shutdown(SHUT_WR)) keeps its request alive by declaring
+    "half_close": true — the EOF watch is disabled and the full response
+    arrives on the still-open read side."""
+    import socket as socket_mod
+    import urllib.parse
+
+    host = urllib.parse.urlparse(server)
+    sock = socket_mod.create_connection((host.hostname, host.port),
+                                        timeout=300)
+    payload = {**_base_payload(seed=23), "half_close": True}
+    sock.sendall(_raw_post_bytes("/tts", payload))
+    sock.shutdown(socket_mod.SHUT_WR)  # FIN: done sending, still reading
+    buf = b""
+    while True:
+        chunk = sock.recv(65536)
+        if not chunk:
+            break
+        buf += chunk
+    sock.close()
+    head, _, body = buf.partition(b"\r\n\r\n")
+    assert head.split(b"\r\n")[0].endswith(b"200 OK"), head[:200]
+    assert b"audio/wav" in head
+    assert body[:4] == b"RIFF"  # a complete WAV came back post-half-close
 
 
 def test_block_cache_flag_resolution_and_override():

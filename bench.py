@@ -81,6 +81,14 @@ UNROLL = int(os.environ.get("LEMAS_BENCH_UNROLL", "1"))
 # trained student closes that gap, scripts/distill_probe.py measures how
 # far: 1.35%/1.62% rel-L2 at NFE 16/8 after 300 steps).
 STUDENT = int(os.environ.get("LEMAS_BENCH_STUDENT", "0"))
+# LEMAS_BENCH_STUDENT_ARCH="h8d128": run the student row at the wide-head
+# geometry (heads·dim_head must equal the flagship inner dim, so the param
+# tree is IDENTICAL and the same random weights serve both rows — exactly
+# how distillation teacher-copies the student init, scripts/distill.py).
+# d128 heads fill the 128-lane MXU window (ops/attention.py
+# heads_per_block=1): measured +14% e2e over h16/d64 at B=8 (CLAUDE.md).
+# Empty → teacher geometry.
+STUDENT_ARCH = os.environ.get("LEMAS_BENCH_STUDENT_ARCH", "")
 
 
 def fast_random_params(model, init_fn, key):
@@ -248,10 +256,32 @@ def main():
     # --- optional distilled-student row (LEMAS_BENCH_STUDENT=<K>)
     student_rtf = student_mse = None
     if STUDENT > 0:
+        import dataclasses
+        import re
+
         from lemas_tts_tpu.cfm.distill import student_sampler_settings
         from lemas_tts_tpu.eval.metrics import mel_mse
 
-        s_run = make_sampler(model, student_sampler_settings(STUDENT, SWAY))
+        s_model = model
+        if STUDENT_ARCH:
+            m = re.fullmatch(r"h(\d+)d(\d+)", STUDENT_ARCH)
+            if not m:
+                raise ValueError(
+                    f"LEMAS_BENCH_STUDENT_ARCH must look like 'h8d128', "
+                    f"got {STUDENT_ARCH!r}")
+            s_h, s_d = int(m.group(1)), int(m.group(2))
+            if s_h * s_d != arch.heads * arch.dim_head:
+                raise ValueError(
+                    f"student geometry h{s_h}d{s_d} changes the inner dim "
+                    f"({s_h * s_d} != {arch.heads * arch.dim_head}) — the "
+                    f"param tree would no longer match the teacher weights")
+            s_model = DiT(arch=dataclasses.replace(arch, heads=s_h,
+                                                   dim_head=s_d),
+                          mel_dim=100, text_num_embeds=898,
+                          compute_dtype=compute_dtype,
+                          attn_backend=default_backend(), quant=QUANT,
+                          scan_unroll=UNROLL)
+        s_run = make_sampler(s_model, student_sampler_settings(STUDENT, SWAY))
 
         def s_synth(y):
             mel = s_run(params, cond_j, mask_j, text, dur_j, y)
@@ -293,6 +323,8 @@ def main():
         out["student_nfe"] = STUDENT
         out["student_rtf"] = student_rtf
         out["student_mel_mse_vs_teacher"] = student_mse
+        if STUDENT_ARCH:
+            out["student_arch"] = STUDENT_ARCH
     print(json.dumps(out))
 
 

@@ -237,7 +237,12 @@ def make_handler(tts, engine, max_streams: int = 2, multihost=None):
                     return fut.result(timeout=0.25)
                 except (FuturesTimeout, TimeoutError):
                     if fut.done():
-                        raise  # stored TimeoutError: the engine shed it
+                        # distinguish "engine stored a TimeoutError" from
+                        # "completed successfully in the wait-timeout race
+                        # window": result(timeout=0) returns the value or
+                        # re-raises only the STORED exception — never the
+                        # wait timeout we just caught
+                        return fut.result(timeout=0)
                     if time.monotonic() > deadline:
                         engine.cancel(fut)
                         raise
@@ -399,6 +404,12 @@ def make_handler(tts, engine, max_streams: int = 2, multihost=None):
                 # QUEUED past it is shed at dispatch (TimeoutError → 504
                 # here) instead of occupying a batch slot under overload
                 qt = payload.get("queue_timeout_s")
+                # half_close silently disabling disconnect-cancel on a typo'd
+                # truthy value ("false", 1) would be a trap — require a bool
+                # like the other validated payload fields
+                half_close = payload.get("half_close", False)
+                if not isinstance(half_close, bool):
+                    raise ValueError("'half_close' must be a boolean")
                 fut = engine.submit(TTSRequest(
                     ref_wav=ref_wav, ref_sr=ref_sr, ref_units=ref_units,
                     gen_units=gen_units, seed=payload.get("seed"),
@@ -407,7 +418,7 @@ def make_handler(tts, engine, max_streams: int = 2, multihost=None):
                 ))
                 out = self._await_or_cancel(
                     fut, timeout=float(payload.get("timeout_s", 300)),
-                    watch_socket=not payload.get("half_close", False))
+                    watch_socket=not half_close)
                 wav = out[0] if isinstance(out, tuple) else out
                 sr = out[1] if isinstance(out, tuple) and len(out) > 1 \
                     else tts.target_sample_rate

@@ -298,20 +298,28 @@ def _raw_post_bytes(path, payload):
 
 def _stall_worker(tts):
     """Patch the synthesizer so the engine worker blocks inside the batch
-    call until the returned event is set — freezes dispatch so queued-state
-    behavior can be tested deterministically."""
+    call until the returned ``gate`` is set — freezes dispatch so
+    queued-state behavior can be tested deterministically. ``entered`` is
+    set (before blocking) once the worker is INSIDE the stalled call, and
+    ``collected`` records each batch's request seeds — tests synchronize on
+    entry instead of polling queue depth (depth 0 is also the initial
+    state, so a depth poll is vacuous on this 1-CPU host)."""
     import types
 
     gate = threading.Event()
+    entered = threading.Event()
+    collected = []
     synth = tts.synth
     orig = synth.synthesize_requests
 
     def slow(self, requests, cfg=None):
+        collected.append([r.get("seed") for r in requests])
+        entered.set()
         gate.wait(timeout=60)
         return orig(requests, cfg=cfg)
 
     synth.synthesize_requests = types.MethodType(slow, synth)
-    return gate, synth, orig
+    return gate, synth, orig, entered, collected
 
 
 def test_disconnect_cancels_queued_request(server, server_engine, tiny_tts):
@@ -325,18 +333,18 @@ def test_disconnect_cancels_queued_request(server, server_engine, tiny_tts):
     import urllib.parse
 
     engine = server_engine
-    gate, synth, orig = _stall_worker(tiny_tts)
+    gate, synth, orig, entered, collected = _stall_worker(tiny_tts)
     occupier = threading.Thread(
         target=lambda: _post(server + "/tts", _base_payload(seed=21)),
         daemon=True)
     try:
         occupier.start()
-        # wait until the worker collected the occupier (queue drains to 0)
-        deadline = time.monotonic() + 30
-        while time.monotonic() < deadline and engine.batcher.depth() != 0:
-            time.sleep(0.02)
-        assert engine.batcher.depth() == 0, "worker never collected occupier"
-        time.sleep(0.1)  # let the worker enter the stalled batch call
+        # synchronize on ENTRY into the stalled batch call — polling
+        # depth()==0 is vacuous (that's also the pre-submit state) and a
+        # fixed sleep raced the occupier on this 1-CPU host
+        assert entered.wait(timeout=30), "worker never entered batch call"
+        assert collected and collected[0] == [21], \
+            f"stalled batch should hold only the occupier, got {collected}"
 
         shed0 = engine.stats()["shed"]["cancelled"]
         host = urllib.parse.urlparse(server)

@@ -703,7 +703,7 @@ class Synthesizer:
             # niche path, host-side mutation then batched re-upload
             ref_frames = pending["ref_frames"]
             ref_audio_len = pending["ref_audio_len"]
-            out_np = np.array(pending["out"], dtype=np.float32)  # [Bp, N, D]
+            out_np = np.array(self._fetch(pending["out"]), dtype=np.float32)  # [Bp, N, D]
             gen_region = out_np[:, ref_frames:, :]
             out_np[:, ref_frames:, :] = gen_region - (
                 gen_region.mean(axis=1, keepdims=True) - pending["cond_mean"][None]
@@ -716,8 +716,10 @@ class Synthesizer:
         else:
             lens_l = pending["lens_l"]
             # one batched device_get: waves plus the returned mels (part of
-            # the result contract) in a single host transfer
-            waves_np, mels_np = jax.device_get(
+            # the result contract) in a single host transfer (collective
+            # allgather when the mesh spans processes — see _fetch; followers
+            # join it via the broadcast stream-finalize op)
+            waves_np, mels_np = self._fetch(
                 (pending["waves_dev"], pending["sliced"]))
             if self.vocoder_kind == "bigvgan":
                 up = self.vocoder_model.cfg.total_upsample
@@ -737,6 +739,25 @@ class Synthesizer:
         return final, sr, mel_concat
 
     # --------------------------------------------------------------- streaming
+    def _stream_plan(self, n_chunks: int, cfg: SamplerConfig,
+                     chunk_batch: int, first_chunk_batch: Optional[int],
+                     first_chunk_cfg: Optional[SamplerConfig]):
+        """Mini-batch plan ``[(start, size, cfg)]`` for a stream — the first
+        batch may be smaller and/or run different sampler settings than the
+        steady-state ones. Shared with the multihost broadcast stream
+        (``serve/multihost.py``) so process 0 and its mirror loop can never
+        drift on grouping (grouping changes the host-RNG noise draw)."""
+        chunk_batch = max(1, chunk_batch)
+        fb = chunk_batch if first_chunk_batch is None \
+            else max(1, int(first_chunk_batch))
+        plan = [(0, min(fb, n_chunks), first_chunk_cfg or cfg)]
+        i = plan[0][1]
+        while i < n_chunks:
+            size = min(chunk_batch, n_chunks - i)
+            plan.append((i, size, cfg))
+            i += size
+        return plan
+
     def synthesize_stream(
         self,
         ref_wav: np.ndarray,
@@ -772,20 +793,11 @@ class Synthesizer:
         (e.g. a lower-NFE ramp), after which the stream continues at ``cfg``.
         Both leave later batches byte-identical to the plain stream with the
         same grouping."""
-        chunk_batch = max(1, chunk_batch)  # slice and step must agree
         if not gen_chunks:
             return
         ref_prep = self._prepare_ref(ref_wav, ref_sr, cfg)
-        fb = chunk_batch if first_chunk_batch is None \
-            else max(1, int(first_chunk_batch))
-        # mini-batch plan: (start, size, cfg) — first batch may be smaller
-        # and/or run different sampler settings than the steady-state ones
-        plan = [(0, min(fb, len(gen_chunks)), first_chunk_cfg or cfg)]
-        i = plan[0][1]
-        while i < len(gen_chunks):
-            size = min(chunk_batch, len(gen_chunks) - i)
-            plan.append((i, size, cfg))
-            i += size
+        plan = self._stream_plan(len(gen_chunks), cfg, chunk_batch,
+                                 first_chunk_batch, first_chunk_cfg)
         pending = None
         for start, size, bcfg in plan:
             batch = list(gen_chunks[start : start + size])
@@ -989,7 +1001,8 @@ class Synthesizer:
             batch[i, :, : m.shape[0]] = m.T
             mask[i, : m.shape[0]] = True
         waves = np.asarray(
-            self._decode(self.vocoder_params, jnp.asarray(batch), jnp.asarray(mask))
+            self._fetch(self._decode(
+                self.vocoder_params, jnp.asarray(batch), jnp.asarray(mask)))
         )
         if self.vocoder_kind == "bigvgan":  # pure conv stack: T frames → T×up
             up = self.vocoder_model.cfg.total_upsample

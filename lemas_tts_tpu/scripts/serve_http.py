@@ -189,9 +189,9 @@ def make_handler(tts, engine, max_streams: int = 2, multihost=None):
     backpressure contract as the engine's queue-full path.
 
     ``multihost`` (a ``serve.multihost.MultiHostDispatch`` or None) marks
-    multi-process serving: /stats aggregates across processes and
-    /tts_stream answers 501 (streaming is host-RNG-driven and would desync
-    the SPMD followers).
+    multi-process serving: /stats aggregates across processes (with fleet
+    liveness); /tts and /tts_stream both broadcast their device dispatches
+    to the SPMD followers via the engine's BroadcastSynthesizer.
     """
     from lemas_tts_tpu.serve.engine import TTSRequest
 
@@ -261,8 +261,11 @@ def make_handler(tts, engine, max_streams: int = 2, multihost=None):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply_json(200, {"ok": True,
-                                       "queue_depth": engine.batcher.depth()})
+                degraded = engine.stats().get("degraded")
+                self._reply_json(503 if degraded else 200,
+                                 {"ok": not degraded,
+                                  "degraded": degraded,
+                                  "queue_depth": engine.batcher.depth()})
             elif self.path == "/stats":
                 stats = engine.stats()
                 if multihost is not None:
@@ -314,7 +317,10 @@ def make_handler(tts, engine, max_streams: int = 2, multihost=None):
 
                 first_cfg = dataclasses.replace(cfg, nfe_steps=ttfb_nfe)
                 engine.register_cfg(first_cfg)  # same compile-DoS cap
-            stream = tts.synth.synthesize_stream(
+            # engine.synth is the BroadcastSynthesizer under --multihost
+            # (each stream mini-batch broadcasts to the SPMD followers);
+            # single-process it IS tts.synth
+            stream = engine.synth.synthesize_stream(
                 ref_wav, ref_sr, ref_units, gen_units,
                 cfg=cfg,
                 seed=payload.get("seed"),
@@ -351,11 +357,6 @@ def make_handler(tts, engine, max_streams: int = 2, multihost=None):
 
         def do_POST(self):
             if self.path == "/tts_stream":
-                if multihost is not None:
-                    self._reply_json(501, {
-                        "error": "streaming is single-process only "
-                                 "(--multihost serves /tts)"})
-                    return
                 if not stream_slots.acquire(blocking=False):
                     self._reply_json(503, {"error": "stream capacity reached"})
                     return
@@ -472,8 +473,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "point; process 0 serves HTTP and broadcasts each "
                         "batch, the rest join the SPMD dispatches "
                         "(serve/multihost.py). Batches shard over the "
-                        "global 'data' mesh axis. /tts_stream is "
-                        "single-process only (501 in this mode).")
+                        "global 'data' mesh axis; /tts_stream broadcasts "
+                        "per mini-batch.")
     return p
 
 
@@ -561,6 +562,12 @@ def serve(args, *, ready_event: Optional[threading.Event] = None,
     if not args.no_warmup:
         engine_synth.warmup(cfg)
     engine = ServingEngine(engine_synth, cfg=cfg, max_batch=args.max_batch)
+    if dispatch is not None:
+        # follower death → heartbeat detection → poison the engine: queued
+        # and in-flight futures fail within heartbeat_timeout, new requests
+        # get 503, /stats and /healthz keep answering (fleet degradation is
+        # terminal; restart the job)
+        dispatch.on_degraded.append(engine.poison)
     httpd = ThreadingHTTPServer(
         (args.host, args.port),
         make_handler(tts, engine, max_streams=getattr(args, "max_streams", 2),

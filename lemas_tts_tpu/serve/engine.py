@@ -85,6 +85,10 @@ class ServingEngine:
         # per-settings ids for composite bucketing; id 0 = the default cfg
         self._cfg_ids: Dict[SamplerConfig, int] = {cfg: 0}
         self._latencies: Dict[str, deque] = {}
+        # backend degradation (multihost fleet loss): terminal — submit()
+        # rejects, pending/in-flight futures fail fast
+        self._poisoned: Optional[BaseException] = None
+        self._inflight: list = []
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
@@ -129,9 +133,13 @@ class ServingEngine:
         """Enqueue a request; the returned Future yields (wave, sr, mel).
         Raises when the engine is shut down or the queue is full
         (backpressure — callers should retry with backoff or shed load)."""
+        if self._poisoned is not None:
+            raise RuntimeError(f"engine degraded: {self._poisoned}")
         bucket, dur_bucket = self._estimate_bucket(req)
         req._t_submit = time.perf_counter()
         with self._lock:
+            if self._poisoned is not None:
+                raise RuntimeError(f"engine degraded: {self._poisoned}")
             if self.batcher.depth() >= self.max_queue:
                 self.log.log("queue_full", depth=self.batcher.depth())
                 raise RuntimeError(
@@ -213,6 +221,11 @@ class ServingEngine:
                 continue
             # composite bucket ⇒ every request in the batch shares settings
             cfg = reqs[0].cfg or self.cfg
+            with self._lock:
+                # visible to poison(): if the backend wedges inside this
+                # call (multihost follower death), these futures must be
+                # failable from outside the stuck worker thread
+                self._inflight = reqs
             try:
                 with TIMERS.stage("serve.batch"):
                     results = self.synth.synthesize_requests(
@@ -239,6 +252,30 @@ class ServingEngine:
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
+            finally:
+                with self._lock:
+                    self._inflight = []
+
+    def poison(self, exc: BaseException) -> None:
+        """Terminal backend degradation (registered as the multihost
+        ``on_degraded`` callback): fail every queued and in-flight future
+        NOW — without waiting on the worker thread, which may be wedged
+        inside a dead fleet's collective — and reject all new submits
+        (RuntimeError → 503 at the HTTP layer). The engine object stays
+        alive so /healthz and /stats keep answering."""
+        with self._lock:
+            if self._poisoned is not None:
+                return
+            self._poisoned = exc
+            victims = list(self._pending.values()) + list(self._inflight)
+            self._pending.clear()
+        self.log.log("engine_poisoned", error=str(exc))
+        for r in victims:
+            if not r.future.done():
+                # in-flight futures are RUNNING (cancel() is impossible by
+                # Future contract) but set_exception is allowed; the wedged
+                # worker's later set_result is guarded by future.done()
+                r.future.set_exception(exc)
 
     # --------------------------------------------------------------- shutdown
     def shutdown(self):
@@ -275,4 +312,5 @@ class ServingEngine:
             n_cfgs = len(self._cfg_ids)
             shed = dict(self._shed)
         return {"queue_depth": self.batcher.depth(), "timers": TIMERS.snapshot(),
-                "latency": lat, "settings_variants": n_cfgs, "shed": shed}
+                "latency": lat, "settings_variants": n_cfgs, "shed": shed,
+                "degraded": str(self._poisoned) if self._poisoned else None}

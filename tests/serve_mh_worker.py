@@ -98,6 +98,24 @@ def main() -> int:
         wave_x, sr_x, _ = engine.submit(TTSRequest(**extra)).result(timeout=600)
         assert sr_x == 8000 and np.isfinite(wave_x).all() and wave_x.size > 0
 
+        # ---- broadcast STREAMING (round 5, lifts the 501): consume a
+        # multihost stream while interleaving a batched engine dispatch
+        # between its mini-batches — the per-op broadcast keeps every
+        # process on one global program order
+        stream_chunks = ["abc def", "ghi", "jjj hh", "abc"]
+        s_ref = req(17, "")
+        got_stream = []
+        gen = proxy.synthesize_stream(s_ref["ref_wav"], 8000, "abde ",
+                                      stream_chunks, cfg=cfg, seed=17,
+                                      chunk_batch=2)
+        for i, (w, s) in enumerate(gen):
+            got_stream.append((w, s))
+            if i == 0:  # mid-stream batched dispatch must interleave cleanly
+                w_m, _, _ = engine.submit(
+                    TTSRequest(**req(18, "def"))).result(timeout=600)
+                assert np.isfinite(w_m).all()
+        assert len(got_stream) == len(stream_chunks)
+
         stats = dispatch.aggregated_stats()
 
         # correctness: multihost engine rows == single-process mesh-less run
@@ -115,6 +133,16 @@ def main() -> int:
             np.testing.assert_allclose(wave, ew, atol=2e-4)
             np.testing.assert_allclose(mel, emel, atol=2e-4)
             max_err = max(max_err, float(np.max(np.abs(wave - ew))))
+
+        # broadcast stream == single-process stream (same seed + grouping)
+        exp_stream = list(local.synthesize_stream(
+            s_ref["ref_wav"], 8000, "abde ", stream_chunks, cfg=cfg,
+            seed=17, chunk_batch=2))
+        assert len(exp_stream) == len(got_stream)
+        for (gw, gs), (ew2, es2) in zip(got_stream, exp_stream):
+            assert gs == es2 and gw.shape == ew2.shape
+            np.testing.assert_allclose(gw, ew2, atol=2e-4)
+            max_err = max(max_err, float(np.max(np.abs(gw - ew2))))
 
         assert stats["processes"] == num_procs
         assert stats["in_lockstep"], stats

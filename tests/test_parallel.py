@@ -243,6 +243,80 @@ def test_two_process_serving():
     assert verdicts[0]["stats"]["in_lockstep"]
 
 
+@pytest.mark.slow
+def test_two_process_serving_follower_death():
+    """Fault injection for multihost serving (VERDICT r4 item 2): SIGKILL
+    the follower mid-serve. Process 0 must — within the heartbeat timeout —
+    fail the in-flight future loudly, reject new submits (503-path
+    RuntimeError), and keep aggregated_stats answering from the heartbeat
+    liveness table, instead of deadlocking in the dead fleet's
+    collectives. All assertions run inside serve_mh_fault_worker.py's
+    process 0; this parent only orchestrates the kill."""
+    import json
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+    import threading
+
+    from lemas_tts_tpu.native import load_library
+
+    load_library("scheduler")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    worker = pathlib.Path(__file__).parent / "serve_mh_fault_worker.py"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).parents[1])
+    procs = [
+        subprocess.Popen([sys.executable, str(worker), coord, "2", str(pid)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True, env=env)
+        for pid in range(2)
+    ]
+    # hard backstop: if the fault handling ever regresses into the very
+    # deadlock it guards against, kill both workers rather than hang CI
+    def _reap():
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    backstop = threading.Timer(360, _reap)
+    backstop.daemon = True
+    backstop.start()
+    lines = []
+    try:
+        # stream process 0's stdout until it arms the doomed request
+        for line in procs[0].stdout:
+            lines.append(line)
+            if line.strip() == "READY_KILL":
+                break
+        else:
+            raise AssertionError(
+                "process 0 never reached READY_KILL:\n" + "".join(lines)
+                + procs[0].stderr.read())
+        procs[1].kill()  # SIGKILL: no cleanup, no FIN from follower_serve
+        out_rest = procs[0].stdout.read()
+        rc0 = procs[0].wait(timeout=60)
+        procs[1].wait(timeout=60)
+    finally:
+        backstop.cancel()
+        _reap()
+    err0 = procs[0].stderr.read()
+    verdict_lines = [ln for ln in out_rest.splitlines()
+                     if ln.startswith("{") and '"pid"' in ln]
+    assert verdict_lines, f"no verdict from process 0:\n{out_rest}\n{err0}"
+    verdict = json.loads(verdict_lines[-1])
+    assert rc0 == 0 and verdict["ok"], (verdict, err0)
+    # bounded loud failure, not a deadlock
+    assert verdict["doomed_latency_s"] < 25
+    assert "degraded" in verdict["doomed_error"]
+    assert verdict["stats"]["dead"], verdict
+
+
 def test_fsdp_pspec_rules():
     """fsdp_param_pspecs shards one extra dim of each large leaf over 'data',
     composing with the tensor-parallel base specs; small leaves stay put."""

@@ -238,6 +238,46 @@ def test_engine_on_device_mesh():
         eng.shutdown()
 
 
+def test_engine_poison(synth):
+    """Backend degradation contract (multihost follower death path): poison
+    fails queued AND in-flight futures immediately — without the worker
+    thread's cooperation — rejects new submits with a 503-mapped
+    RuntimeError, and keeps stats answering with the degraded reason."""
+    import types
+
+    cfg = SamplerConfig(nfe_steps=2, cfg_strength=1.0)
+    eng = ServingEngine(synth, cfg=cfg, max_batch=1, max_wait_ms=10)
+    gate = threading.Event()
+    entered = threading.Event()
+    orig = synth.synthesize_requests
+
+    def wedged(self, requests, cfg=None):
+        entered.set()
+        gate.wait(timeout=60)  # simulate a dead fleet's stuck collective
+        return orig(requests, cfg=cfg)
+
+    synth.synthesize_requests = types.MethodType(wedged, synth)
+    try:
+        inflight = eng.submit(TTSRequest(**_req(61)))
+        assert entered.wait(timeout=30)
+        queued = eng.submit(TTSRequest(**_req(62)))
+        exc = RuntimeError("multihost fleet degraded: follower 1 died")
+        eng.poison(exc)
+        for fut in (inflight, queued):
+            with pytest.raises(RuntimeError, match="degraded"):
+                fut.result(timeout=5)
+        with pytest.raises(RuntimeError, match="degraded"):
+            eng.submit(TTSRequest(**_req(63)))
+        assert "degraded" in eng.stats()["degraded"]
+        # idempotent; late worker completion must not corrupt done futures
+        eng.poison(RuntimeError("second reason (ignored)"))
+        gate.set()
+    finally:
+        gate.set()
+        synth.synthesize_requests = orig
+        eng.shutdown()
+
+
 def test_multihost_proxy_single_process(synth):
     """serve/multihost.py contracts on a 1-process 'fleet' (the broadcast
     channel degenerates to self-delivery, so this runs in the fast profile;

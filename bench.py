@@ -73,22 +73,22 @@ BATCH = int(os.environ.get("LEMAS_BENCH_BATCH", "8"))
 QUANT = os.environ.get("LEMAS_BENCH_QUANT") or None
 # block-scan unroll (1 = lax.scan loop; 22 = fully unrolled blocks)
 UNROLL = int(os.environ.get("LEMAS_BENCH_UNROLL", "1"))
-# LEMAS_BENCH_STUDENT=<K>: also measure a distilled-student sampler row —
-# K steps, cfg_strength=0 (single forward per step, cfm/distill.py
-# student_sampler_settings) — as `student_rtf` in the JSON, plus the
-# INFORMATIONAL mel MSE of this (untrained, random-weight) student run vs
-# the teacher-default run (`student_mel_mse_vs_teacher`; NOT gated — only a
-# trained student closes that gap, scripts/distill_probe.py measures how
-# far: 1.35%/1.62% rel-L2 at NFE 16/8 after 300 steps).
-STUDENT = int(os.environ.get("LEMAS_BENCH_STUDENT", "0"))
-# LEMAS_BENCH_STUDENT_ARCH="h8d128": run the student row at the wide-head
-# geometry (heads·dim_head must equal the flagship inner dim, so the param
-# tree is IDENTICAL and the same random weights serve both rows — exactly
-# how distillation teacher-copies the student init, scripts/distill.py).
-# d128 heads fill the 128-lane MXU window (ops/attention.py
-# heads_per_block=1): measured +14% e2e over h16/d64 at B=8 (CLAUDE.md).
-# Empty → teacher geometry.
-STUDENT_ARCH = os.environ.get("LEMAS_BENCH_STUDENT_ARCH", "")
+# Distilled-student row (DEFAULT-ON, round 5): the product fast path —
+# K=8 steps, cfg_strength=0 (single forward per step, cfm/distill.py
+# student_sampler_settings) at the wide-head h8/d128 geometry (same param
+# tree as the flagship teacher — exactly how distillation teacher-copies
+# the student init, scripts/distill.py; d128 heads fill the 128-lane MXU
+# window, measured +14% e2e over h16/d64). Reported as `student_rtf` and
+# GATED: the student trajectory's audio must stay within
+# LEMAS_BENCH_STUDENT_SC_GATE spectral convergence of the teacher
+# trajectory at matched noise — on the bench's random weights this is a
+# regression gate on the student SAMPLER PATH (geometry math, step
+# schedule, baked-guidance settings), calibration-stamped like the approx
+# gate; validate_assets.py re-probes it with real distilled weights.
+# LEMAS_BENCH_STUDENT=0 disables the row; LEMAS_BENCH_STUDENT_ARCH=""
+# benches the teacher geometry instead of wide-head.
+STUDENT = int(os.environ.get("LEMAS_BENCH_STUDENT", "8"))
+STUDENT_ARCH = os.environ.get("LEMAS_BENCH_STUDENT_ARCH", "h8d128")
 
 
 def fast_random_params(model, init_fn, key):
@@ -253,8 +253,9 @@ def main():
     audio_sec = B * (gen_frames - 1) * HOP / SR
     rtf = audio_sec / wall
 
-    # --- optional distilled-student row (LEMAS_BENCH_STUDENT=<K>)
+    # --- distilled-student row (default-on; LEMAS_BENCH_STUDENT=0 disables)
     student_rtf = student_mse = None
+    student_sc = student_logmae = None
     if STUDENT > 0:
         import dataclasses
         import re
@@ -297,7 +298,35 @@ def main():
         gb = 2
         gargs = (params, cond_j[:gb], mask_j[:gb], text[:gb], dur_j[:gb],
                  ys[0][:gb])
-        student_mse = float(mel_mse(s_run(*gargs), run(*gargs)))
+        s_mel, t_mel = s_run(*gargs), run(*gargs)
+        student_mse = float(mel_mse(s_mel, t_mel))
+        if os.environ.get("LEMAS_BENCH_APPROX_GATE", "1") != "0":
+            # waveform gate for the student path (VERDICT r4 item 1): decode
+            # both trajectories, compare magnitude STFTs. Random-weight
+            # calibration (same stamp as the approx gate): the bar is set
+            # with headroom over the measured on-chip random-weight
+            # divergence (see docs/performance.md student row) so
+            # sampler-path regressions (broken geometry math, wrong step
+            # schedule, double guidance) fail loudly while honest
+            # trajectory distance passes.
+            from lemas_tts_tpu.eval.metrics import spectral_distance
+
+            @jax.jit
+            def s_dec(vp, mel):
+                gen = jnp.swapaxes(mel[:, REF_FRAMES:, :], -1, -2)
+                gen = jnp.pad(gen, ((0, 0), (0, 0), (0, REF_FRAMES)))
+                return voc.apply(vp, gen, frame_mask[:gb], method=Vocos.decode)
+
+            ssc, slmae = spectral_distance(s_dec(vparams, s_mel),
+                                           s_dec(vparams, t_mel))
+            student_sc, student_logmae = float(ssc), float(slmae)
+            s_bar = float(os.environ.get("LEMAS_BENCH_STUDENT_SC_GATE", "0.3"))
+            if student_sc > s_bar:
+                raise RuntimeError(
+                    f"student gate FAILED: K={STUDENT} student trajectory "
+                    f"diverges {student_sc:.3f} spectral convergence from "
+                    f"the teacher (> {s_bar:g} bar) — student sampler path "
+                    f"regression")
 
     out = {
         "metric": f"rtf_per_chip_nfe{NFE}",
@@ -323,6 +352,8 @@ def main():
         out["student_nfe"] = STUDENT
         out["student_rtf"] = student_rtf
         out["student_mel_mse_vs_teacher"] = student_mse
+        out["student_wav_sc"] = student_sc
+        out["student_wav_logmae"] = student_logmae
         if STUDENT_ARCH:
             out["student_arch"] = STUDENT_ARCH
     print(json.dumps(out))

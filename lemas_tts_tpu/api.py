@@ -594,10 +594,16 @@ class TTS:
         (``scripts/distill.py`` stage dir with a ``student.json`` sidecar),
         pin the sampler settings the student was trained for: ``steps=K``,
         ``cfg_strength=0`` (guidance is baked into the weights — a CFG
-        forward would double-guide), the training sway warp, and no CFG
-        cutoff (nothing to truncate). Caller-supplied NFE/CFG values are
-        overridden — sampling a student off its grid is a quality bug, not
-        a preference. No-op for ordinary checkpoints."""
+        forward would double-guide), the training sway warp, no CFG
+        cutoff (nothing to truncate), and NO block-residual cache: the
+        serving-default cache spec was calibrated at NFE=32 where a
+        refresh-every-2 cache is stale for 1/16 of the trajectory — at
+        student NFE 8 the same spec is stale for 1/4 of it, and a probed
+        spec can be opted back in via the ``block_cache`` sidecar key
+        (``scripts/student_stack_probe.py`` measures the stacking).
+        Caller-supplied NFE/CFG values are overridden — sampling a student
+        off its grid is a quality bug, not a preference. No-op for
+        ordinary checkpoints."""
         if self.student is None:
             return cfg
         import dataclasses
@@ -608,6 +614,7 @@ class TTS:
             cfg_strength=float(self.student.get("cfg_strength", 0.0)),
             sway_sampling_coef=self.student.get("sway_sampling_coef"),
             cfg_cutoff=None,
+            block_cache=self.student.get("block_cache"),
         )
         if show_info is not None and (
             cfg.nfe_steps != new.nfe_steps

@@ -66,11 +66,17 @@ SENTENCES = [
 
 
 def backend_id() -> str:
-    """Identify the live phone backend (recorded in the fixture)."""
+    """Identify the live phone backend (recorded in the fixture).
+
+    ``builtin-ipa`` is the hermetic tier (round 5): English phonemizes
+    through the vendored lexicon+LTS G2P (``text/en_ipa.py``), other espeak
+    languages fall back to char tokens, Chinese is unaffected (algorithmic
+    pinyin). Fixtures captured as ``builtin-fallback`` predate the builtin
+    G2P (pure char fallback)."""
     from lemas_tts_tpu.text import tokenizer as tok
 
     if not tok.available():
-        return "builtin-fallback"
+        return "builtin-ipa"
     try:
         import phonemizer
         from phonemizer.backend import EspeakBackend

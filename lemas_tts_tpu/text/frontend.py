@@ -24,6 +24,7 @@ import re
 import warnings
 from typing import Dict, List, Optional, Sequence, Tuple
 
+from lemas_tts_tpu.text import en_ipa
 from lemas_tts_tpu.text import tokenizer as tok
 from lemas_tts_tpu.text.cn_tn import NSWNormalizer
 from lemas_tts_tpu.text.detect import detect_lang
@@ -115,10 +116,12 @@ class TextNorm:
                     "pass dtype='char' or strict=False"
                 )
             warnings.warn(
-                "espeak-ng unavailable — falling back to the char frontend",
+                "espeak-ng unavailable — English uses the built-in IPA "
+                "G2P (text/en_ipa.py, an approximation of the espeak "
+                "contract); other espeak languages fall back to the char "
+                "frontend",
                 stacklevel=2,
             )
-            dtype = "char"
         self.dtype = dtype
         self._tokenizers: Dict[str, tok.TextTokenizer] = {}  # lazy per-language
         self.cn_tn = NSWNormalizer()
@@ -304,6 +307,10 @@ class TextNorm:
                     )
                     phns = ipa[0] if ipa[0][:1] == "(" else f"({lang})_" + ipa[0]
                     res += phns.replace("_", "|_|").split("|")
+                elif self.dtype == "phone" and \
+                        en_ipa.supports(detect_lang(t)) and \
+                        en_ipa.word_to_phones(t):
+                    res += [f"({detect_lang(t)})"] + en_ipa.word_to_phones(t)
                 else:  # char fallback: keep the word as upper-case chars
                     res += [f"({detect_lang(t)})"] + list(t.upper())
             res.append("_")
@@ -324,6 +331,18 @@ class TextNorm:
                 self._tokenizer(lang), norm.strip().replace(".", ",").replace("。", ",")
             )
             return f"({lang})|" + phones if phones[:1] != "(" else phones
+        if self.dtype == "phone" and en_ipa.supports(lang):
+            # hermetic fallback tier: built-in English IPA G2P. espeak reads
+            # digits itself; the builtin needs them as words first —
+            # expanded per non-pause segment so "#2" markers survive intact.
+            norm = norm.strip().replace(".", ",").replace("。", ",")
+            norm = "".join(
+                part if re.fullmatch(r"#\d", part)
+                else replace_numbers_with_words(part, lang=lang)
+                for part in re.split(r"(#\d)", norm))
+            phones = en_ipa.txt2phone(norm)
+            if phones:
+                return f"({lang})|" + phones
         # char frontend: normalized chars with a lang tag; ``#n`` pause
         # markers stay single tokens (they are vocab entries, same as the
         # espeak path's txt2phone #\d handling — tokenizer.py:89-93)

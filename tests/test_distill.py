@@ -271,11 +271,22 @@ def test_student_checkpoint_consumed_by_tts_and_serving(tmp_path):
     assert tts.student["student_steps"] == 4
 
     # serving path: the engine-default cfg gets pinned to the baked settings
+    # — INCLUDING dropping the serving-default block cache (calibrated at
+    # NFE=32; 4× staler per refresh at student NFE — round-5 stacking
+    # contract) unless the sidecar carries a probed spec
     pinned = tts.apply_student_settings(
-        SamplerConfig(nfe_steps=32, cfg_strength=2.0, cfg_cutoff=0.5))
+        SamplerConfig(nfe_steps=32, cfg_strength=2.0, cfg_cutoff=0.5,
+                      block_cache="0-22:2+t2"))
     assert pinned.nfe_steps == 4 and pinned.cfg_strength == 0.0
     assert pinned.cfg_cutoff is None
+    assert pinned.block_cache is None
     assert pinned.sway_sampling_coef == 1.0
+
+    # a sidecar that DOES carry a probed cache spec opts back in
+    tts.student["block_cache"] = "0-6:2"
+    assert tts.apply_student_settings(
+        SamplerConfig(block_cache="0-22:2+t2")).block_cache == "0-6:2"
+    del tts.student["block_cache"]
 
     # infer(): caller-requested NFE/CFG are overridden, with a visible note
     sr = 8000

@@ -45,13 +45,19 @@ def _live_backend() -> str:
     return backend_id()
 
 
+def _backend_class(backend: str) -> str:
+    """Coarse backend family: all espeak versions count as one class (the
+    drift test still runs across espeak upgrades); builtin tiers are exact."""
+    return "espeak" if backend.startswith("espeak") else backend
+
+
 def test_goldens_regenerate_exactly(fixture):
     """The live frontend must reproduce the fixture bit-for-bit (drift
     detection). Skips when the fixture was captured with a backend this
     environment doesn't have (espeak goldens in an espeak-less CI)."""
     live = _live_backend()
     cap = fixture["backend"]
-    if (cap == "builtin-fallback") != (live == "builtin-fallback"):
+    if _backend_class(cap) != _backend_class(live):
         pytest.skip(f"fixture captured with {cap!r}, live backend {live!r}")
 
     from lemas_tts_tpu.scripts.capture_phone_goldens import capture_cases
@@ -85,6 +91,31 @@ def test_golden_token_format_contract(fixture):
                     "phones must carry a (lang) tag")
 
 
+def test_builtin_ipa_tier(fixture):
+    """The hermetic builtin-ipa tier (VERDICT r4 item 4): English goldens
+    must be IPA phone streams approximating the espeak contract — lowercase
+    IPA symbols with ``_`` word separators — not the char fallback's
+    letter-per-token stream (``(en)T|h|e…``)."""
+    if _backend_class(fixture["backend"]) == "espeak":
+        pytest.skip("espeak fixture: the real contract supersedes the tier")
+    if fixture["backend"] == "builtin-fallback":
+        pytest.skip("pre-round-5 char-fallback fixture")
+    ipa_chars = set("əɚɜːɪʊʌæɑɔðθʃʒŋɹɡ")
+    en = [c for c in fixture["cases"] if c["lang"] == "en"]
+    assert en
+    for case in en:
+        toks = case["phones"].split("|")
+        assert "_" in toks, f"no word separators in {case['phones']}"
+        # IPA, not letters: at least a third of the phone tokens carry a
+        # non-ASCII IPA symbol, and no uppercase char tokens survive
+        tagged = [t for t in toks if t not in ("_", " ") and
+                  not t.startswith("#") and t not in PUNCT and
+                  not t.startswith("(")]
+        assert tagged and not any(t.isupper() for t in tagged), toks
+        n_ipa = sum(1 for t in tagged if set(t) & ipa_chars)
+        assert n_ipa >= len(tagged) / 3, (n_ipa, tagged)
+
+
 def test_golden_pause_markers_survive(fixture):
     """#n pause markers must come through the frontend as single tokens
     (they are vocab entries; char-splitting them breaks the contract)."""
@@ -108,7 +139,7 @@ def test_golden_vocab_coverage(fixture):
             vocab = [ln.rstrip("\n") for ln in f if ln.rstrip("\n")]
     if vocab is None:
         pytest.skip("no vocab snapshot in fixture and LEMAS_VOCAB_FILE unset")
-    if fixture["backend"] == "builtin-fallback":
+    if not fixture["backend"].startswith("espeak"):
         pytest.skip("vocab coverage is only meaningful for espeak goldens "
                     "(the vocab is built from espeak phones)")
     vs = set(vocab)

@@ -333,7 +333,8 @@ def make_handler(tts, engine, max_streams: int = 2, multihost=None):
             first = next(stream, None)
             if first is None:
                 raise ValueError("no synthesizable chunks in 'text'")
-            engine.record_latency("stream_ttfb", time.perf_counter() - t0)
+            ttfb = time.perf_counter() - t0
+            engine.record_latency("stream_ttfb", ttfb)
             sr = int(first[1])
             self.send_response(200)
             self.send_header("Content-Type",
@@ -350,10 +351,29 @@ def make_handler(tts, engine, max_streams: int = 2, multihost=None):
                     self.wfile.write(pcm + b"\r\n")
                     self.wfile.flush()
 
-            write_chunk(first[0])
-            for wav, _sr in stream:
-                write_chunk(wav)
-            self.wfile.write(b"0\r\n\r\n")
+            n_chunks = 1
+            try:
+                write_chunk(first[0])
+                for wav, _sr in stream:
+                    write_chunk(wav)
+                    n_chunks += 1
+                self.wfile.write(b"0\r\n\r\n")
+                outcome = "ok"
+            except BaseException:
+                outcome = "aborted"
+                raise
+            finally:
+                if engine.trace_requests:
+                    from lemas_tts_tpu.utils.profiling import trace_record
+
+                    trace_record(
+                        engine.log, "stream_trace",
+                        ttfb_ms=round(ttfb * 1e3, 2),
+                        n_chunks=n_chunks,
+                        total_ms=round((time.perf_counter() - t0) * 1e3, 2),
+                        chunk_batch=max(1, int(payload.get("chunk_batch", 2))),
+                        outcome=outcome,
+                    )
 
         def do_POST(self):
             if self.path == "/tts_stream":
@@ -467,6 +487,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_streams", type=int, default=2,
                    help="Concurrent /tts_stream requests (excess → 503).")
     p.add_argument("--no_warmup", action="store_true")
+    p.add_argument("--trace_requests", action="store_true",
+                   help="Emit one structured request_trace/stream_trace "
+                        "JSON record per request (queue wait, bucket, batch "
+                        "size, device ms, TTFB — utils/profiling.py schema) "
+                        "so latency regressions are attributable. Also "
+                        "enabled by LEMAS_REQUEST_TRACE=1.")
     p.add_argument("--multihost", action="store_true",
                    help="Multi-process serving: every process of a "
                         "configured jax.distributed job runs this entry "
@@ -561,7 +587,10 @@ def serve(args, *, ready_event: Optional[threading.Event] = None,
 
     if not args.no_warmup:
         engine_synth.warmup(cfg)
-    engine = ServingEngine(engine_synth, cfg=cfg, max_batch=args.max_batch)
+    engine = ServingEngine(
+        engine_synth, cfg=cfg, max_batch=args.max_batch,
+        trace_requests=True if getattr(args, "trace_requests", False)
+        else None)
     if dispatch is not None:
         # follower death → heartbeat detection → poison the engine: queued
         # and in-flight futures fail within heartbeat_timeout, new requests

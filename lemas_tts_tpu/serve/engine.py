@@ -10,6 +10,7 @@ model per Gradio request (``inference_gradio.py:270-271``).
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 import traceback
@@ -51,6 +52,8 @@ class TTSRequest:
     future: Future = field(default_factory=Future)
     _t_submit: float = field(default=0.0, repr=False)
     _rid: int = field(default=0, repr=False)
+    _bucket: int = field(default=0, repr=False)
+    _dur_bucket: int = field(default=0, repr=False)
 
 
 class ServingEngine:
@@ -68,6 +71,7 @@ class ServingEngine:
         max_wait_ms: float = 15.0,
         logger: Optional[JsonLogger] = None,
         max_queue: int = 256,
+        trace_requests: Optional[bool] = None,
     ):
         from lemas_tts_tpu.utils.misc import enable_compile_cache
 
@@ -77,6 +81,10 @@ class ServingEngine:
         self.max_queue = max_queue
         self.batcher = Batcher(max_batch=max_batch, max_wait_ms=max_wait_ms)
         self.log = logger or JsonLogger()
+        # per-request trace records (utils/profiling.py REQUEST_TRACE_FIELDS)
+        # — attributable latency behind a flag; env enables it fleet-wide
+        self.trace_requests = (os.environ.get("LEMAS_REQUEST_TRACE") == "1"
+                               if trace_requests is None else trace_requests)
         self._pending: Dict[int, TTSRequest] = {}
         self._lock = threading.Lock()
         # load-shedding counters (dispatch-time): requests that never reached
@@ -152,6 +160,7 @@ class ServingEngine:
             if rid == 0:
                 raise RuntimeError("engine is shut down")
             req._rid = rid
+            req._bucket, req._dur_bucket = bucket, dur_bucket
             self._pending[rid] = req
         return req.future
 
@@ -199,11 +208,13 @@ class ServingEngine:
             # and requests past their deadline are dropped BEFORE the batch
             # is padded/compiled/dispatched, not after.
             now = time.perf_counter()
+            t_collect = now
             live = []
             for r in reqs:
                 if r.future.cancelled() or not r.future.set_running_or_notify_cancel():
                     with self._lock:
                         self._shed["cancelled"] += 1
+                    self._trace(r, t_collect, 0.0, 0, "shed_cancelled")
                     continue
                 if (r.timeout is not None and r._t_submit
                         and now - r._t_submit > r.timeout):
@@ -214,6 +225,7 @@ class ServingEngine:
                         self._shed["timed_out"] += 1
                     self.log.log("request_timed_out", rid=r._rid,
                                  queued_s=round(now - r._t_submit, 3))
+                    self._trace(r, t_collect, 0.0, 0, "shed_timeout")
                     continue
                 live.append(r)
             reqs = live
@@ -227,6 +239,7 @@ class ServingEngine:
                 # failable from outside the stuck worker thread
                 self._inflight = reqs
             try:
+                t_dev = time.perf_counter()
                 with TIMERS.stage("serve.batch"):
                     results = self.synth.synthesize_requests(
                         [
@@ -238,6 +251,7 @@ class ServingEngine:
                         cfg=cfg,
                     )
                 now = time.perf_counter()
+                device_s = now - t_dev
                 for r, res in zip(reqs, results):
                     # a client may have cancelled its future; don't let that
                     # poison the other rows of the batch
@@ -245,6 +259,7 @@ class ServingEngine:
                         r.future.set_result(res)
                     if r._t_submit:
                         self.record_latency("request", now - r._t_submit)
+                    self._trace(r, t_collect, device_s, len(reqs), "ok")
                 self.log.log("batch_done", size=len(reqs), bucket=bucket)
             except Exception as e:  # pragma: no cover - defensive
                 self.log.log("batch_error", error=str(e),
@@ -252,9 +267,31 @@ class ServingEngine:
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
+                    self._trace(r, t_collect, 0.0, len(reqs), "error")
             finally:
                 with self._lock:
                     self._inflight = []
+
+    def _trace(self, req: TTSRequest, t_collect: float, device_s: float,
+               batch_size: int, outcome: str) -> None:
+        """One request_trace record (utils/profiling.py schema) when tracing
+        is enabled — queue wait vs device time vs bucket, per request."""
+        if not self.trace_requests:
+            return
+        from lemas_tts_tpu.utils.profiling import trace_record
+
+        now = time.perf_counter()
+        trace_record(
+            self.log, "request_trace",
+            rid=req._rid, bucket=req._bucket, dur_bucket=req._dur_bucket,
+            batch_size=batch_size,
+            queue_wait_ms=round((t_collect - req._t_submit) * 1e3, 2)
+            if req._t_submit else None,
+            device_ms=round(device_s * 1e3, 2),
+            total_ms=round((now - req._t_submit) * 1e3, 2)
+            if req._t_submit else None,
+            outcome=outcome,
+        )
 
     def poison(self, exc: BaseException) -> None:
         """Terminal backend degradation (registered as the multihost

@@ -59,6 +59,43 @@ class StageTimers:
 TIMERS = StageTimers()  # process-global default
 
 
+# Per-request trace record schema (round 5 — serving observability): when
+# tracing is on (``ServingEngine(trace_requests=True)`` /
+# ``serve_http --trace_requests`` / env ``LEMAS_REQUEST_TRACE=1``), the
+# engine emits one ``request_trace`` JSON-lines event per completed request
+# and the HTTP layer one ``stream_trace`` per stream, so a latency
+# regression is attributable to its stage (queue wait vs device time vs
+# batching) and its shape bucket. Field contract, pinned by
+# ``tests/test_serve_http.py``:
+REQUEST_TRACE_FIELDS = {
+    "rid": "engine request id",
+    "bucket": "composite batch key (cfg_id * stride + duration bucket)",
+    "dur_bucket": "duration bucket (frames)",
+    "batch_size": "rows in the dispatched batch this request rode in",
+    "queue_wait_ms": "submit → batch collection",
+    "device_ms": "batch device wall (shared by all rows of the batch)",
+    "total_ms": "submit → result set",
+    "outcome": "ok | error | shed_timeout | shed_cancelled",
+}
+STREAM_TRACE_FIELDS = {
+    "ttfb_ms": "request start → first audio chunk written",
+    "n_chunks": "text chunks synthesized",
+    "total_ms": "request start → stream complete",
+    "chunk_batch": "steady-state mini-batch size",
+    "outcome": "ok | aborted",
+}
+
+
+def trace_record(logger: "JsonLogger", event: str, **fields: Any) -> None:
+    """Emit a schema-checked trace record (unknown fields fail loudly in
+    tests rather than silently forking the schema)."""
+    schema = (REQUEST_TRACE_FIELDS if event == "request_trace"
+              else STREAM_TRACE_FIELDS)
+    unknown = set(fields) - set(schema)
+    assert not unknown, f"unknown trace fields {unknown} for {event}"
+    logger.log(event, **fields)
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str) -> Iterator[None]:
     """Capture a ``jax.profiler`` trace (TensorBoard/XProf timeline) around a

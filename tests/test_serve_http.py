@@ -443,3 +443,47 @@ def test_tts_block_cache_request_roundtrip(server):
                                   {**base, "block_cache": "0-1:2"})
     assert code == 200 and ctype == "audio/wav"
     assert w_cached != w_exact  # the skip branch actually engaged
+
+
+def test_request_trace_records(server, server_engine):
+    """Per-request observability (VERDICT r4 item 8): with tracing enabled
+    the engine emits one schema-checked request_trace per /tts request and
+    the HTTP layer one stream_trace per stream — every documented field
+    present, latency stages attributable."""
+    import io
+
+    from lemas_tts_tpu.utils.profiling import (
+        REQUEST_TRACE_FIELDS,
+        STREAM_TRACE_FIELDS,
+        JsonLogger,
+    )
+
+    engine = server_engine
+    buf = io.StringIO()
+    old_log, old_flag = engine.log, engine.trace_requests
+    engine.log = JsonLogger(stream=buf)
+    engine.trace_requests = True
+    try:
+        code, ctype, _ = _post(server + "/tts", _base_payload(seed=71))
+        assert code == 200
+        code, ctype, _ = _post(server + "/tts_stream",
+                               {**_base_payload(seed=72), "max_chars": 20,
+                                "text": "general kenobi. you are a bold "
+                                        "one. back away now."})
+        assert code == 200
+    finally:
+        engine.log = old_log
+        engine.trace_requests = old_flag
+    records = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    req_traces = [r for r in records if r["event"] == "request_trace"]
+    stream_traces = [r for r in records if r["event"] == "stream_trace"]
+    assert req_traces and stream_traces
+    r = req_traces[-1]
+    assert set(REQUEST_TRACE_FIELDS) <= set(r), r
+    assert r["outcome"] == "ok" and r["batch_size"] >= 1
+    assert r["device_ms"] > 0 and r["total_ms"] >= r["device_ms"]
+    assert r["queue_wait_ms"] >= 0 and r["dur_bucket"] > 0
+    s = stream_traces[-1]
+    assert set(STREAM_TRACE_FIELDS) <= set(s), s
+    assert s["outcome"] == "ok" and s["n_chunks"] >= 2
+    assert 0 < s["ttfb_ms"] <= s["total_ms"]

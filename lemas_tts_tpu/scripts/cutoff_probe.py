@@ -48,6 +48,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--depth", type=int, default=22)
     p.add_argument("--heads", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mel_dim", type=int, default=100,
+                   help="mel channels (non-flagship checkpoints)")
+    p.add_argument("--vocab", type=int, default=898,
+                   help="text_num_embeds (non-flagship checkpoints)")
+    p.add_argument("--text_dim", type=int, default=512)
+    p.add_argument("--conv_layers", type=int, default=4)
     return p
 
 

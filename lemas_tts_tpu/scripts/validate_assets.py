@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="parity + serving-default mel-MSE bar")
     p.add_argument("--pick_mse", type=float, default=1e-4,
                    help="block-cache re-probe calibration budget")
+    p.add_argument("--probe_args", type=str, default="",
+                   help="extra args appended to both reprobe CLIs (e.g. "
+                        "'--dim 64 --depth 2 --heads 4 --mel_dim 20 "
+                        "--vocab 28 --n 64 --batch 2' for a non-flagship "
+                        "checkpoint; the full-chain drill uses this)")
     p.add_argument("--out", type=str, required=True)
     p.add_argument("--only", type=str, default="",
                    help=f"comma list from {','.join(STEPS)}")
@@ -223,7 +228,8 @@ def build_steps(args) -> List[Step]:
         "parity_capture", module="parity_check",
         argv=["--capture", "--ref_repo", args.ref_repo,
               "--ckpt_file", args.ckpt, "--manifest", args.manifest,
-              "--vocab_file", args.vocab_file, "--out", bundle]
+              "--vocab_file", args.vocab_file, "--model", args.model,
+              "--out", bundle]
              + (["--use_ema"] if args.use_ema else []),
         skip_reason=cap_skip,
         note="expect: <bundle>/captured.json + one .mel.npy/.noise.npy per "
@@ -231,7 +237,7 @@ def build_steps(args) -> List[Step]:
     steps.append(Step(
         "parity_compare", module="parity_check",
         argv=["--bundle", bundle, "--ckpt_file", args.ckpt,
-              "--vocab_file", args.vocab_file,
+              "--vocab_file", args.vocab_file, "--model", args.model,
               "--threshold", str(args.threshold),
               "--out", str(out / "parity_report.json")]
              + (["--use_ema"] if args.use_ema else [])
@@ -274,9 +280,11 @@ def build_steps(args) -> List[Step]:
 
     probe_skip = (None if _exists(args.ckpt) else "needs --ckpt "
                   "(random-weight probes already run in CI/bench)")
+    probe_extra = args.probe_args.split() if args.probe_args else []
     steps.append(Step(
         "reprobe_cutoff", module="cutoff_probe",
-        argv=["--ckpt", native_model, "--cutoffs", str(SERVING_CFG_CUTOFF)],
+        argv=["--ckpt", native_model, "--cutoffs", str(SERVING_CFG_CUTOFF)]
+             + probe_extra,
         skip_reason=probe_skip, run=check_cutoff, requires=native_model,
         note="expect: serving-default cutoff mel MSE well under the bar "
              "on REAL weights (random-weight figure: 1.5e-5)"))
@@ -303,7 +311,7 @@ def build_steps(args) -> List[Step]:
         argv=["--ckpt", native_model, "--cfg_cutoff", str(SERVING_CFG_CUTOFF),
               "--specs", ",".join(dict.fromkeys(
                   [SERVING_BLOCK_CACHE, "2-20:2", "2-14:2"])),
-              "--pick_mse", str(args.pick_mse)],
+              "--pick_mse", str(args.pick_mse)] + probe_extra,
         skip_reason=probe_skip, run=check_cache, requires=native_model,
         note="expect: serving-default spec within the bar on REAL weights "
              "(random-weight figure: 1.7e-4); 'picked' names the fastest "

@@ -52,6 +52,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="mel channels (non-flagship checkpoints)")
     p.add_argument("--vocab", type=int, default=898,
                    help="text_num_embeds (non-flagship checkpoints)")
+    p.add_argument("--dim_head", type=int, default=None,
+                   help="head dim (default: flagship 64, or dim//heads for "
+                        "small probes; 128 probes the wide-head student "
+                        "geometry)")
     p.add_argument("--text_dim", type=int, default=512)
     p.add_argument("--conv_layers", type=int, default=4)
     return p

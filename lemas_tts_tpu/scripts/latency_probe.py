@@ -64,6 +64,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="measurement window (open loop)")
     p.add_argument("--requests", type=int, default=16,
                    help="request count (closed loop)")
+    p.add_argument("--loaded_ttfb", action="store_true",
+                   help="loaded-TTFB probe (the product-SLO number): mix "
+                        "open-loop Poisson batched traffic at --qps with "
+                        "--loaded_streams concurrent streams (the serve_http "
+                        "stream cap) and report stream TTFB p50/p99 next to "
+                        "batched p50/p99")
+    p.add_argument("--loaded_streams", type=int, default=2,
+                   help="concurrent stream clients in --loaded_ttfb mode "
+                        "(serve_http --max_streams default: 2)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -164,6 +173,121 @@ def _stream_probe(tts, ref, sr, ref_units, gen_units, cfg, args) -> int:
     return 0
 
 
+def _loaded_ttfb_probe(tts, ref, sr, ref_units, gen_units, texts, cfg,
+                       args) -> int:
+    """TTFB under load (VERDICT r4 item 3): the 0.198 s warm/solo/unloaded
+    figure stands in for a product SLO — this measures the real one. An
+    open-loop Poisson batched workload drives the ``ServingEngine`` at
+    ``--qps`` while ``--loaded_streams`` concurrent clients run
+    serve_http-equivalent streams (first-chunk prioritization, B=1 first
+    bucket, optional ``--ttfb_nfe`` ramp) back-to-back on request threads —
+    exactly the contention ``serve_http`` produces at its stream cap.
+    Reports stream TTFB p50/p99 and batched p50/p99 side by side."""
+    import dataclasses
+
+    from lemas_tts_tpu.infer.pipeline import chunk_text
+    from lemas_tts_tpu.serve.engine import ServingEngine, TTSRequest
+
+    synth = tts.synth
+    eng = ServingEngine(synth, cfg=cfg, max_batch=args.max_batch)
+    stream_text = " ".join(texts)
+    chunks = [c for c in chunk_text(stream_text, max_chars=60)]
+    fc = args.first_chunk_chars
+    if fc > 0 and len(chunks[0]) > fc:
+        chunks = chunk_text(chunks[0], max_chars=fc) + chunks[1:]
+    s_units = [tts.prepare_units(c) for c in chunks]
+    fcfg = (dataclasses.replace(cfg, nfe_steps=args.ttfb_nfe)
+            if args.ttfb_nfe else None)
+    cb = max(1, args.chunk_batch)
+
+    def make_req(i):
+        return TTSRequest(ref_wav=ref, ref_sr=sr, ref_units=ref_units,
+                          gen_units=gen_units[i % len(gen_units)],
+                          seed=args.seed + i)
+
+    def one_stream(seed):
+        t0 = time.perf_counter()
+        gen = synth.synthesize_stream(
+            ref, sr, ref_units, s_units, cfg=cfg, seed=seed,
+            chunk_batch=cb, first_chunk_batch=1, first_chunk_cfg=fcfg)
+        first = next(gen, None)
+        ttfb = time.perf_counter() - t0
+        for _ in gen:  # drain: streams occupy the device like real clients
+            pass
+        return ttfb, (0.0 if first is None
+                      else first[0].shape[-1] / sr)
+
+    try:
+        print("[loaded] warming buckets ...", flush=True)
+        for i in range(len(gen_units)):
+            eng.submit(make_req(i)).result(timeout=1800)
+        futs = [eng.submit(make_req(i)) for i in range(args.max_batch)]
+        for f in futs:
+            f.result(timeout=1800)
+        one_stream(args.seed)  # stream buckets incl. the B=1 first chunk
+
+        stop = threading.Event()
+        lock = threading.Lock()
+        batched, ttfbs, shed = [], [], [0]
+
+        def stream_worker(wid):
+            s = args.seed + 1000 * (wid + 1)
+            while not stop.is_set():
+                ttfb, _ = one_stream(s)
+                s += 1
+                with lock:
+                    ttfbs.append(ttfb)
+
+        def fire(i):
+            t0 = time.perf_counter()
+            try:
+                eng.submit(make_req(i)).result(timeout=600)
+            except RuntimeError:
+                with lock:
+                    shed[0] += 1
+                return
+            with lock:
+                batched.append(time.perf_counter() - t0)
+
+        workers = [threading.Thread(target=stream_worker, args=(w,),
+                                    daemon=True)
+                   for w in range(max(1, args.loaded_streams))]
+        for w in workers:
+            w.start()
+        print(f"[loaded] {args.loaded_streams} streams + Poisson "
+              f"{args.qps} req/s for {args.secs}s", flush=True)
+        rng = np.random.default_rng(args.seed)
+        firers, i = [], 0
+        t_end = time.time() + args.secs
+        while time.time() < t_end:
+            th = threading.Thread(target=fire, args=(i,), daemon=True)
+            th.start()
+            firers.append(th)
+            i += 1
+            time.sleep(float(rng.exponential(1.0 / max(args.qps, 1e-9))))
+        stop.set()
+        for th in firers:
+            th.join(timeout=600)
+        for w in workers:
+            w.join(timeout=600)
+
+        if ttfbs:
+            ps = _percentiles(ttfbs)
+            print(f"[loaded] stream TTFB ms: p50={ps['p50_ms']:.0f} "
+                  f"p90={ps['p90_ms']:.0f} p99={ps['p99_ms']:.0f} "
+                  f"max={ps['max_ms']:.0f} (n={ps['count']})")
+        if batched:
+            pb = _percentiles(batched)
+            print(f"[loaded] batched ms:     p50={pb['p50_ms']:.0f} "
+                  f"p90={pb['p90_ms']:.0f} p99={pb['p99_ms']:.0f} "
+                  f"max={pb['max_ms']:.0f} (n={pb['count']}, "
+                  f"shed={shed[0]})")
+        print(f"[loaded] engine stats: {eng.stats()['latency']}")
+    finally:
+        eng.shutdown()
+    return 0
+
+
 def main() -> int:
     args = build_parser().parse_args()
 
@@ -196,6 +320,9 @@ def main() -> int:
     bc = bc if parse_block_cache(bc) is not None else None
     cfg = SamplerConfig(nfe_steps=args.nfe, cfg_strength=args.cfg_strength,
                         cfg_cutoff=cutoff, block_cache=bc)
+    if args.loaded_ttfb:
+        return _loaded_ttfb_probe(tts, ref, sr, ref_units, gen_units, texts,
+                                  cfg, args)
     if args.stream > 0:
         return _stream_probe(tts, ref, sr, ref_units, gen_units, cfg, args)
     eng = ServingEngine(tts.synth, cfg=cfg, max_batch=args.max_batch)

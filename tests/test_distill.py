@@ -376,3 +376,27 @@ def test_widehead_student_roundtrips_through_cli_and_tts(tmp_path):
                          ).astype(np.float32), sr)
     wave, out_sr, _ = tts.infer(str(ref), "abc d", "efg h", seed=3)
     assert out_sr == sr and wave.size > 0 and np.isfinite(wave).all()
+
+
+def test_student_stack_probe_cli(capsys):
+    """Approximation-stacking probe (scripts/student_stack_probe.py): runs
+    the block-cache grid AT student sampler settings (K steps, cfg 0) and
+    emits a per-K pick under the mel-MSE budget — the measurement that
+    feeds the student.json 'block_cache' sidecar key."""
+    import json as _json
+
+    from lemas_tts_tpu.scripts.student_stack_probe import build_argparser, run
+
+    args = build_argparser().parse_args(
+        ["--steps", "4", "--dim", "64", "--depth", "2", "--heads", "4",
+         "--dim_head", "16", "--mel_dim", "20", "--vocab", "28",
+         "--text_dim", "32", "--conv_layers", "1", "--n", "64",
+         "--batch", "2", "--specs", "0-2:2", "--no_time",
+         "--pick_mse", "1e-4"])
+    recs = run(args)
+    out = capsys.readouterr().out
+    lines = [_json.loads(ln) for ln in out.splitlines()
+             if ln.startswith("{") and "NaN" not in ln]
+    assert any(r.get("student_nfe") == 4 and "picked" in r for r in lines)
+    assert recs and recs[0]["student_nfe"] == 4
+    assert recs[0]["spec"] == "0-2:2" and recs[0]["mel_mse"] >= 0

@@ -56,6 +56,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dim", type=int, default=1024)
     p.add_argument("--depth", type=int, default=22)
     p.add_argument("--heads", type=int, default=16)
+    p.add_argument("--student_heads", type=int, default=0,
+                   help="student head count (0 = same geometry as teacher); "
+                        "8 with --student_dim_head 128 probes the wide-head "
+                        "geometry (+14%% e2e, scripts/widehead_probe.py) — "
+                        "heads·dim_head must equal the teacher inner dim so "
+                        "the param tree is identical (teacher-copy init)")
+    p.add_argument("--student_dim_head", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -83,6 +90,20 @@ def main(argv=None) -> int:
     if jax.devices()[0].platform != "tpu":
         # CPU smoke runs: the CPU dot thunk can't execute bf16×bf16 grads
         model = model.clone(compute_dtype=jnp.float32)
+    # optional wide-head student geometry (same param tree, different
+    # runtime head split — cfm/distill.py student_model contract)
+    s_model = None
+    if args.student_heads:
+        import dataclasses
+
+        inner = model.arch.heads * model.arch.dim_head
+        sh, sd = args.student_heads, args.student_dim_head or (
+            inner // args.student_heads)
+        if sh * sd != inner:
+            raise SystemExit(f"student geometry h{sh}d{sd} != inner {inner}")
+        s_model = model.clone(arch=dataclasses.replace(
+            model.arch, heads=sh, dim_head=sd))
+        print(json.dumps({"student_geometry": f"h{sh}d{sd}"}))
     # f32 master weights: the probe's random params come back bf16 (fine for
     # inference probes), but optimizer updates at probe lr would vanish in
     # bf16's ~0.8% relative resolution — training needs f32 masters (the
@@ -121,7 +142,7 @@ def main(argv=None) -> int:
     records = []
     for si, k in enumerate(stages):
         s_settings = student_sampler_settings(k, args.sway)
-        sample_k = make_sampler(model, s_settings)
+        sample_k = make_sampler(s_model or model, s_settings)
 
         def divergence(params):
             mel = np.asarray(jax.block_until_ready(sample_k(params, *inputs)))
@@ -129,9 +150,12 @@ def main(argv=None) -> int:
             return mse
 
         distiller = Distiller(
-            model, k, cfg=tcfg,
+            # after stage 0 the teacher IS the previous (possibly wide)
+            # student — its forward must use that geometry
+            (model if si == 0 else (s_model or model)), k, cfg=tcfg,
             teacher_cfg_strength=(args.cfg if si == 0 else 0.0),
             sway_sampling_coef=args.sway,
+            student_model=s_model,
         )
         state = distiller.init_state(teacher)
         mse_init = divergence(state.params)

@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Use N synthetic samples (smoke runs/CI).")
     p.add_argument("--ckpt_dir", type=str, required=True)
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--block_cache", type=str, default="",
+                   help="probed block-cache spec to record in student.json "
+                        "(from scripts/student_stack_probe.py — "
+                        "apply_student_settings then opts the cache back in "
+                        "for this student; empty = cache disabled, the safe "
+                        "default)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_file", type=str, default="")
     p.add_argument("--log_every", type=int, default=10)
@@ -208,6 +214,17 @@ def main(argv=None) -> int:
                 # before loading the stage weights (identical param tree)
                 meta["arch"] = {"heads": student_arch.heads,
                                 "dim_head": student_arch.dim_head}
+            if args.block_cache:
+                from lemas_tts_tpu.cfm.sampler import parse_block_cache
+
+                if parse_block_cache(args.block_cache) is None:
+                    raise SystemExit(
+                        f"--block_cache {args.block_cache!r} is not a valid "
+                        "spec")
+                # probed stacking spec (student_stack_probe) — consumed by
+                # TTS.apply_student_settings, which otherwise disables the
+                # NFE-32-calibrated serving cache for students
+                meta["block_cache"] = args.block_cache
             Path(out, "student.json").write_text(json.dumps(meta, indent=1))
             log.log("stage_done", stage=k, path=out)
         print(f"[distill] stage NFE={k} done → {out} "

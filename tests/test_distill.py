@@ -205,9 +205,16 @@ def test_distill_cli_smoke(tmp_path):
     rc = main([
         "--teacher", tdir, "--ckpt_dir", str(tmp_path / "out"),
         "--stages", "4,2", "--steps_per_stage", "2", "--synthetic", "8",
-        "--tiny", "--log_every", "1",
+        "--tiny", "--log_every", "1", "--block_cache", "0-2:2",
     ])
     assert rc == 0
+    # a probed --block_cache spec lands in the sidecar (the
+    # apply_student_settings opt-in; student_stack_probe measures it)
+    import json as _json
+
+    meta = _json.loads((tmp_path / "out" / "stage_2" /
+                        "student.json").read_text())
+    assert meta["block_cache"] == "0-2:2"
     student = load_native(str(tmp_path / "out" / "stage_2"))
     run = make_sampler(dit, student_sampler_settings(2, sway_sampling_coef=1.0))
     B, T = 1, 32

@@ -67,6 +67,53 @@ def _slice_for_vocoder(mel, starts, lens, n_out: int):
     return jnp.swapaxes(sl, 1, 2), mask
 
 
+def dispatch_warmup(synth, cfg: SamplerConfig = SamplerConfig(),
+                    duration_buckets: Sequence[int] = (1024,),
+                    batch_buckets: Sequence[int] = (1,),
+                    max_text_chars: int = 20000) -> int:
+    """Warm serving programs through the REAL dispatch path.
+
+    :meth:`Synthesizer.warmup` compiles with synthetic arrays, but jit
+    caches key on argument sharding/commitment — the first real dispatch
+    re-traces the sampler even though the XLA executable is reused, which
+    through a remote-device link costs seconds (measured: a warmed serving
+    engine's first per-shape dispatches inflated loaded TTFB p99 from
+    1.6 s to 10.5 s). This helper instead drives
+    ``synth.synthesize_requests`` with synthetic requests whose estimated
+    duration lands in each target bucket, padded to each batch bucket — so
+    exactly the programs and cache entries real traffic hits are the ones
+    warmed. Works on any engine-facing synthesizer (``Synthesizer`` or the
+    multihost ``BroadcastSynthesizer`` — there the warm batches broadcast,
+    warming the whole fleet). Returns the number of dispatches made;
+    buckets unreachable with the synthetic reference are skipped.
+    """
+    mel_cfg = getattr(synth, "mel_cfg", None) or synth.synth.mel_cfg
+    sr = mel_cfg.target_sample_rate
+    t = np.arange(2 * sr) / sr
+    ref = (0.1 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    ref_units = "warm up reference audio."
+    filler = "all warmup and no playback makes the first request slow ".split()
+    n = 0
+    for N in sorted(duration_buckets):
+        gen = "warm. "
+        # grow one word at a time: coarse growth can jump clean over a
+        # narrow bucket (the estimate rounds up to the next bucket edge)
+        w = 0
+        while (synth.estimate_bucket(ref, sr, ref_units, gen, cfg) < N
+               and len(gen) < max_text_chars):
+            gen += filler[w % len(filler)] + " "
+            w += 1
+        if synth.estimate_bucket(ref, sr, ref_units, gen, cfg) != N:
+            continue
+        for B in batch_buckets:
+            synth.synthesize_requests(
+                [dict(ref_wav=ref, ref_sr=sr, ref_units=ref_units,
+                      gen_units=gen, seed=i) for i in range(int(B))],
+                cfg=cfg)
+            n += 1
+    return n
+
+
 def chunk_text(text: str, max_chars: int = 135) -> List[str]:
     """Sentence-boundary chunking with a UTF-8 byte budget
     (reference ``chunk_text``, ``utils_infer.py:89-116``)."""
@@ -349,7 +396,15 @@ class Synthesizer:
         """Precompile sampler+vocoder programs for the given shape buckets so
         the first real request pays no compile latency (serving startup hook;
         first XLA compiles run tens of seconds on TPU). Returns the number of
-        programs compiled."""
+        programs compiled.
+
+        Caveat: jit caches key on argument sharding/commitment, and this
+        warms with synthetic (uncommitted) arrays — through a remote-device
+        link the first real dispatch can still pay a re-trace even though
+        the XLA executable itself is reused. A deployment that needs a hard
+        zero-tail first request should warm through
+        :meth:`synthesize_requests` with representative requests instead
+        (``scripts/latency_probe.py --loaded_ttfb`` does this)."""
         D = self.mel_cfg.n_mel_channels
         # NOTE: the ref-mel/resample programs compile per *ref sample count*
         # (exact-length STFT keeps mel parity with the reference's reflect
@@ -368,6 +423,23 @@ class Synthesizer:
         n = 0
         for B in batch_buckets:
             B = self._pick_batch(B)
+            # dispatch-path helper programs compile per batch size too —
+            # seeded-noise batch (incl. the int64-seed convert) and the
+            # vocoder slice. Missing them costs seconds per first dispatch
+            # at a new size through a remote-device link, which is exactly
+            # the tail a warmed deployment is trying to avoid.
+            for N in duration_buckets:
+                D_ = self.mel_cfg.n_mel_channels
+                jax.block_until_ready(
+                    _batched_y0(jnp.asarray(np.zeros(B, np.int64)), N, D_))
+                # jnp.asarray over a python int list (starts/lens staging)
+                # compiles a weak→strong convert_element_type once per size
+                jax.block_until_ready(jnp.asarray([0] * B, jnp.int32))
+                for dn in [b for b in DURATION_BUCKETS if b <= N]:
+                    jax.block_until_ready(_slice_for_vocoder(
+                        jnp.zeros((B, N, D_)),
+                        jnp.zeros(B, jnp.int32),
+                        jnp.ones(B, jnp.int32), dn))
             for N in duration_buckets:
                 for nt in text_buckets:
                     out = run(

@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loaded_streams", type=int, default=2,
                    help="concurrent stream clients in --loaded_ttfb mode "
                         "(serve_http --max_streams default: 2)")
+    p.add_argument("--stream_think", type=float, default=0.0,
+                   help="mean exponential think time (s) between a stream "
+                        "worker's streams in --loaded_ttfb mode; 0 = "
+                        "back-to-back (at-cap saturation — batched latency "
+                        "is then queue-bound by construction)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -218,12 +223,34 @@ def _loaded_ttfb_probe(tts, ref, sr, ref_units, gen_units, texts, cfg,
                       else first[0].shape[-1] / sr)
 
     try:
-        print("[loaded] warming buckets ...", flush=True)
-        for i in range(len(gen_units)):
+        # warm every (duration bucket × batch bucket) program the load phase
+        # can produce: open-loop collection yields every batch size
+        # 1..max_batch, each padded to a batch bucket — a shape missed here
+        # compiles mid-measurement (~25-100 s via the tunnel) and poisons
+        # the percentiles (first on-chip run measured batched p50 78 s, all
+        # compile stall)
+        from lemas_tts_tpu.infer.pipeline import BATCH_BUCKETS
+
+        rep_by_bucket = {}
+        for i, g in enumerate(gen_units):
+            b = synth.estimate_bucket(ref, sr, ref_units, g, cfg)
+            rep_by_bucket.setdefault(b, i)
+        b_buckets = tuple(b for b in BATCH_BUCKETS if b <= args.max_batch)
+        print(f"[loaded] warming dur={sorted(rep_by_bucket)} "
+              f"B={list(b_buckets)} via the dispatch path ...", flush=True)
+        # warm through the REAL dispatch path (synthesize_requests), not a
+        # synthetic reconstruction: jit cache keys include argument
+        # commitment/sharding, so only the path itself reliably warms the
+        # path (a jnp.zeros stand-in re-traced the full sampler at first
+        # real dispatch through the tunnel — the measured ~10 s TTFB tail)
+        for b, i in sorted(rep_by_bucket.items()):
+            for k in b_buckets:
+                synth.synthesize_requests(
+                    [dict(ref_wav=ref, ref_sr=sr, ref_units=ref_units,
+                          gen_units=gen_units[i], seed=args.seed + j)
+                     for j in range(k)], cfg=cfg)
+        for i in range(len(gen_units)):  # every text through the engine
             eng.submit(make_req(i)).result(timeout=1800)
-        futs = [eng.submit(make_req(i)) for i in range(args.max_batch)]
-        for f in futs:
-            f.result(timeout=1800)
         one_stream(args.seed)  # stream buckets incl. the B=1 first chunk
 
         stop = threading.Event()
@@ -232,11 +259,14 @@ def _loaded_ttfb_probe(tts, ref, sr, ref_units, gen_units, texts, cfg,
 
         def stream_worker(wid):
             s = args.seed + 1000 * (wid + 1)
+            srng = np.random.default_rng(args.seed + wid)
             while not stop.is_set():
                 ttfb, _ = one_stream(s)
                 s += 1
                 with lock:
                     ttfbs.append(ttfb)
+                if args.stream_think > 0:
+                    stop.wait(float(srng.exponential(args.stream_think)))
 
         def fire(i):
             t0 = time.perf_counter()

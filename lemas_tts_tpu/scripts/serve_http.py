@@ -487,6 +487,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_streams", type=int, default=2,
                    help="Concurrent /tts_stream requests (excess → 503).")
     p.add_argument("--no_warmup", action="store_true")
+    p.add_argument("--warmup_batches", default="",
+                   help="Comma list of batch sizes (or 'auto' = every batch "
+                        "bucket up to --max_batch) to warm THROUGH THE "
+                        "DISPATCH PATH at startup, per --warmup_durations "
+                        "bucket. Unlike the default synthetic-array warmup, "
+                        "this also pre-pays the per-shape first-dispatch "
+                        "re-trace (jit caches key on argument commitment), "
+                        "which otherwise shows up as a seconds-scale "
+                        "latency tail on first real traffic per shape "
+                        "(infer/pipeline.py:dispatch_warmup).")
+    p.add_argument("--warmup_durations", default="1024",
+                   help="Comma list of duration buckets for "
+                        "--warmup_batches.")
     p.add_argument("--trace_requests", action="store_true",
                    help="Emit one structured request_trace/stream_trace "
                         "JSON record per request (queue wait, bucket, batch "
@@ -587,6 +600,18 @@ def serve(args, *, ready_event: Optional[threading.Event] = None,
 
     if not args.no_warmup:
         engine_synth.warmup(cfg)
+        if getattr(args, "warmup_batches", ""):
+            from lemas_tts_tpu.infer.pipeline import (BATCH_BUCKETS,
+                                                      dispatch_warmup)
+
+            if args.warmup_batches.strip().lower() == "auto":
+                bb = tuple(b for b in BATCH_BUCKETS if b <= args.max_batch)
+            else:
+                bb = tuple(int(x) for x in args.warmup_batches.split(","))
+            dd = tuple(int(x) for x in args.warmup_durations.split(","))
+            n = dispatch_warmup(engine_synth, cfg, duration_buckets=dd,
+                                batch_buckets=bb)
+            print(f"[serve_http] dispatch-path warmup: {n} dispatches")
     engine = ServingEngine(
         engine_synth, cfg=cfg, max_batch=args.max_batch,
         trace_requests=True if getattr(args, "trace_requests", False)

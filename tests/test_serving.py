@@ -639,3 +639,37 @@ def test_estimate_bucket_matches_actual_program_shape(synth, monkeypatch):
         rec.clear()
         synth.synthesize_requests([req], cfg=cfg)
         assert rec and rec[0] == est
+
+
+def test_dispatch_warmup_covers_buckets(synth):
+    """dispatch_warmup drives the REAL synthesize_requests path once per
+    reachable (duration bucket × batch bucket) — the warm that also pre-pays
+    the per-shape first-dispatch re-trace (jit caches key on argument
+    commitment; Synthesizer.warmup's synthetic arrays miss that cache
+    entry, measured as a ~10 s loaded-TTFB tail through the tunnel)."""
+    from lemas_tts_tpu.infer import pipeline as pl
+
+    cfg = SamplerConfig(nfe_steps=2, cfg_strength=1.0)
+    seen = []
+    orig = synth.synthesize_requests
+
+    def spy(requests, cfg):
+        seen.append((len(requests),
+                     synth.estimate_bucket(requests[0]["ref_wav"],
+                                           requests[0]["ref_sr"],
+                                           requests[0]["ref_units"],
+                                           requests[0]["gen_units"], cfg)))
+        return orig(requests, cfg=cfg)
+
+    synth.synthesize_requests = spy
+    try:
+        n = pl.dispatch_warmup(synth, cfg, duration_buckets=(512, 768),
+                               batch_buckets=(1, 2))
+    finally:
+        synth.synthesize_requests = orig
+    assert n == len(seen) == 4
+    assert sorted(seen) == [(1, 512), (1, 768), (2, 512), (2, 768)]
+    # an unreachable bucket (text budget too small to ever land there) is
+    # skipped, not mis-warmed
+    assert pl.dispatch_warmup(synth, cfg, duration_buckets=(4096,),
+                              batch_buckets=(1,), max_text_chars=64) == 0

@@ -68,9 +68,18 @@ BLOCK_CACHE = _bc if _bc not in ("0", "", "none") else None
 N_BUCKET = int(os.environ.get("LEMAS_BENCH_N", "1024"))
 REF_FRAMES = 188  # ≈ 2 s reference audio
 BATCH = int(os.environ.get("LEMAS_BENCH_BATCH", "8"))
-# "int8" benches the W8A8 serving mode (ops/quant.py) — probe knob, not the
-# headline: the headline stays the default bf16 path.
-QUANT = os.environ.get("LEMAS_BENCH_QUANT") or None
+# W8A8 quantization (ops/quant.py): the bench runs the measured serving
+# default (config.SERVING_QUANT="int8" — round-5 on-chip re-probe: teacher
+# B=8 76.7 → 91.6 audio-s/s, student 299 → 370, at 7.4e-6 mel MSE vs the
+# bf16 trajectory — 20× below the accepted block-cache error). When
+# quantized, the bench ALSO runs the bf16 float model exact at B=2 and
+# gates `quant_mel_mse_vs_bf16` against the same 1e-3 parity bar, so the
+# speed row always travels with its dtype-divergence measurement.
+# LEMAS_BENCH_QUANT overrides ("0"/"none" → bf16).
+_q = os.environ.get("LEMAS_BENCH_QUANT")
+if _q is None:
+    from lemas_tts_tpu.config import SERVING_QUANT as _q
+QUANT = _q if _q not in ("0", "", "none", None) else None
 # block-scan unroll (1 = lax.scan loop; 22 = fully unrolled blocks)
 UNROLL = int(os.environ.get("LEMAS_BENCH_UNROLL", "1"))
 # Distilled-student row (DEFAULT-ON, round 5): the product fast path —
@@ -145,6 +154,7 @@ def main():
                               jnp.zeros((1, 4), jnp.int32), jnp.zeros((1,))),
         jax.random.key(1),
     )
+    fparams = params  # float tree kept for the quant-divergence gate
     if QUANT:
         params = jax.block_until_ready(jax.jit(quantize_dense_tree)(params))
     vparams = fast_random_params(
@@ -240,10 +250,35 @@ def main():
                 f"{approx_wav_sc:.3f} spectral convergence from exact "
                 f"semantics (> {wav_bar:g} bar)")
 
+    # --- quant-divergence gate: when the bench runs quantized (the serving
+    # default), the speed row must travel with its measured distance from
+    # the bf16 float trajectory — one B=2 exact run in EACH dtype from
+    # identical noise, gated at the same 1e-3 parity bar (measured round 5:
+    # 4.9e-6 exact / 7.4e-6 at serving defaults — ~100× headroom).
+    quant_mse: float | None = None
+    if QUANT and os.environ.get("LEMAS_BENCH_APPROX_GATE", "1") != "0":
+        from lemas_tts_tpu.eval.metrics import mel_mse
+
+        gb = 2
+        data = (cond_j[:gb], mask_j[:gb], text[:gb], dur_j[:gb], ys[0][:gb])
+        exact_settings = SamplerSettings(
+            steps=NFE, cfg_strength=CFG, sway_sampling_coef=SWAY)
+        exact_q = make_sampler(model, exact_settings)(params, *data)
+        exact_f = make_sampler(fmodel, exact_settings)(fparams, *data)
+        quant_mse = float(mel_mse(exact_q, exact_f))
+        if quant_mse > 1e-3:
+            raise RuntimeError(
+                f"quant gate FAILED: {QUANT} sampler diverges "
+                f"{quant_mse:.2e} mel MSE from the bf16 trajectory "
+                f"(> 1e-3 bar)")
+
     # --- MFU: analytic sampler FLOPs over the real step schedule (CFG
     # widths, cache skips) / wall / chip bf16 peak (utils/flops.py). The
     # wall includes the vocoder decode (~2%), so reported MFU is slightly
-    # conservative. None when the chip's peak is unknown.
+    # conservative. None when the chip's peak is unknown. Stays
+    # bf16-peak-normalized under QUANT (int8 MXU peak is higher), so the
+    # int8 default's mfu reads as "speedup vs bf16 ideal" and can exceed
+    # the bf16 ceiling.
     from lemas_tts_tpu.utils.flops import device_peak_flops, sampler_call_flops
 
     peak = device_peak_flops()
@@ -337,6 +372,8 @@ def main():
         "batch": BATCH,
         "cfg_cutoff": CFG_CUTOFF,
         "block_cache": BLOCK_CACHE,
+        "quant": QUANT,
+        "quant_mel_mse_vs_bf16": quant_mse,
         "approx_mel_mse": approx_mse,
         "approx_wav_sc": approx_wav_sc,
         "approx_wav_logmae": approx_wav_logmae,

@@ -105,6 +105,22 @@ SERVING_CFG_CUTOFF = 0.5
 # semantics); serving entry points opt in with this value.
 SERVING_BLOCK_CACHE = "0-22:2+t2"
 
+# Measured serving default for DiT weight/activation quantization
+# (ops/quant.py W8A8, per-channel weights / dynamic per-token activations /
+# int32 accumulation). Round-1 measured int8 as a LOSS at B=1 on the
+# pre-layout-fix kernels (22.8 vs 24.4 audio-s/s) and it shipped as a
+# memory-only mode; the round-5 re-probe (VERDICT r4 item 9) on the
+# current kernel stack flipped it: on-chip at the serving defaults,
+# teacher B=8 76.7 → 91.6 audio-s/s (+19%), NFE-8 wide-head student
+# 299 → 370 (+24%), at int8-vs-bf16 trajectory divergence of 4.9e-6 mel
+# MSE exact / 7.4e-6 at the serving approximations (rel-L2 ~0.1%,
+# identical at h16/d64 and h8/d128) — 20× below the error the block-cache
+# default already accepts and 100× inside the 1e-3 parity bar. Library
+# default stays None (exact float semantics); serving entry points and
+# bench.py opt in with this value. LEMAS_SERVING_QUANT="" disables.
+SERVING_QUANT: Optional[str] = (
+    os.environ.get("LEMAS_SERVING_QUANT", "int8") or None)
+
 # Evidence-freshness stamp for the serving-default approximations above.
 # CI (tests/test_utils.py) asserts this record matches the LIVE defaults, so
 # flipping a default without re-probing — and updating this stamp — fails
@@ -118,10 +134,13 @@ SERVING_BLOCK_CACHE = "0-22:2+t2"
 SERVING_DEFAULTS_EVIDENCE = {
     "cfg_cutoff": 0.5,
     "block_cache": "0-22:2+t2",
+    "quant": "int8",
     "calibration": "random-weights",
     "probe": "scripts/cutoff_probe.py + scripts/blockcache_probe.py, "
-             "on-chip edge-inclusive grid (docs/performance.md)",
-    "probed": "2026-08-19",
+             "on-chip edge-inclusive grid (docs/performance.md); int8: "
+             "round-5 on-chip re-probe at both head geometries "
+             "(docs/performance.md int8 section)",
+    "probed": "2026-08-20",
 }
 
 

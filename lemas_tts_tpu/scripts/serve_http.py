@@ -483,6 +483,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "'default' uses the measured serving default "
                         "(config.SERVING_BLOCK_CACHE — docs/performance.md), "
                         "'0' disables (exact per-step semantics).")
+    p.add_argument("--quant", type=str, default="default",
+                   help="DiT weight/activation quantization: 'default' = "
+                        "config.SERVING_QUANT (int8 — measured +19-35%% "
+                        "RTF at 7.4e-6 mel MSE vs bf16, "
+                        "docs/performance.md), 'int8' explicit, 'none' = "
+                        "exact float semantics.")
     p.add_argument("--max_batch", type=int, default=4)
     p.add_argument("--max_streams", type=int, default=2,
                    help="Concurrent /tts_stream requests (excess → 503).")
@@ -565,12 +571,27 @@ def serve(args, *, ready_event: Optional[threading.Event] = None,
                 "JAX_PROCESS_ID, or run on a TPU pod)")
         mesh = make_global_mesh(model_parallel=1)
 
-    tts = lemas_tts_tpu.TTS(
+    qv = getattr(args, "quant", "default")
+    if qv == "default":
+        from lemas_tts_tpu.config import SERVING_QUANT as quant
+    else:
+        quant = qv if qv not in ("", "none", "0") else None
+    tts_kwargs = dict(
         model=args.model, ckpt_file=args.ckpt_file,
         vocab_file=args.vocab_file,
         frontend=None if args.frontend == "none" else args.frontend,
         mesh=mesh,
     )
+    try:
+        tts = lemas_tts_tpu.TTS(quantization=quant, **tts_kwargs)
+    except ValueError:
+        if quant is None or qv != "default":
+            raise  # explicit request → loud failure
+        # serving-default quant on a backbone that doesn't support it
+        # (non-DiT) falls back to exact float semantics
+        print("[serve_http] backbone does not support quantization — "
+              "serving float")
+        tts = lemas_tts_tpu.TTS(**tts_kwargs)
     cfg = sampler_config_from_args(args)
     if getattr(tts, "student", None):
         # distilled-student checkpoint: the server default pins the baked

@@ -33,6 +33,8 @@ Steps (each prints a ``[step]`` JSON line; ``--only``/``--skip`` select,
                          weights; FAIL if its mel MSE breaches the bar
 9. ``reprobe_blockcache``re-measure ``SERVING_BLOCK_CACHE`` (+ fallback
                          grid with ``--pick_mse``) on the converted weights
+10. ``reprobe_quant``    re-measure ``SERVING_QUANT`` int8-vs-bf16
+                         trajectory divergence on the converted weights
 
 Skips are not failures: a step whose inputs/deps are absent reports
 ``skip`` with the reason and the chain continues. Exit code is non-zero
@@ -55,7 +57,7 @@ from typing import Callable, Dict, List, Optional
 
 STEPS = ("convert_cfm", "convert_vocoder", "convert_uvr5", "smoke_infer",
          "parity_capture", "parity_compare", "phone_goldens",
-         "reprobe_cutoff", "reprobe_blockcache")
+         "reprobe_cutoff", "reprobe_blockcache", "reprobe_quant")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -315,10 +317,32 @@ def build_steps(args) -> List[Step]:
         skip_reason=probe_skip, run=check_cache, requires=native_model,
         note="expect: serving-default spec within the bar on REAL weights "
              "(random-weight figure: 1.7e-4); 'picked' names the fastest "
-             "spec inside the --pick_mse budget. After BOTH reprobes pass, "
+             "spec inside the --pick_mse budget. After ALL reprobes pass, "
              "update config.SERVING_DEFAULTS_EVIDENCE to calibration="
              "'real-weights:<ckpt-id>' with the probe date — CI pins the "
              "stamp to the live defaults and bench.py reports it"))
+
+    def check_quant(stdout: str) -> Dict:
+        recs = [json.loads(ln) for ln in stdout.splitlines()
+                if ln.startswith("{")]
+        serving = [r for r in recs if r.get("mode") == "serving"]
+        if not serving:
+            raise RuntimeError("quant probe emitted no serving-mode record")
+        worst = max(r["mel_mse_int8_vs_bf16"] for r in serving)
+        if worst > args.threshold:
+            raise RuntimeError(
+                f"SERVING_QUANT int8 diverges {worst:.2e} mel MSE from the "
+                f"bf16 trajectory on real weights (> {args.threshold:g}) — "
+                "set LEMAS_SERVING_QUANT='' / config.SERVING_QUANT=None")
+        return {"mel_mse_int8_vs_bf16": worst}
+
+    steps.append(Step(
+        "reprobe_quant", module="quant_probe",
+        argv=["--ckpt", native_model] + probe_extra,
+        skip_reason=probe_skip, run=check_quant, requires=native_model,
+        note="expect: int8-vs-bf16 trajectory divergence well under the "
+             "bar on REAL weights (random-weight figure: 7.4e-6 at the "
+             "serving approximations)"))
     return steps
 
 

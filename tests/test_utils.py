@@ -1,5 +1,7 @@
 """Vocab + mask builder semantics (reference model/utils.py:42-128)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -106,6 +108,7 @@ def test_serving_defaults_evidence_stamp_is_fresh():
     SERVING_BLOCK_CACHE without re-probing (and updating the stamp) must
     fail CI — a default's error measurement always travels with the
     default. bench.py emits the calibration field with every headline."""
+    import lemas_tts_tpu.config as C
     from lemas_tts_tpu.config import (
         SERVING_BLOCK_CACHE,
         SERVING_CFG_CUTOFF,
@@ -114,5 +117,9 @@ def test_serving_defaults_evidence_stamp_is_fresh():
 
     assert EV["cfg_cutoff"] == SERVING_CFG_CUTOFF
     assert EV["block_cache"] == SERVING_BLOCK_CACHE
+    # SERVING_QUANT reads its env override at import time; the stamp pins
+    # the shipped default, not a per-process override
+    if "LEMAS_SERVING_QUANT" not in os.environ:
+        assert C.SERVING_QUANT == EV["quant"]
     assert EV["calibration"].startswith(("random-weights", "real-weights"))
     assert EV["probe"] and EV["probed"]

@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default="multilingual")
     p.add_argument("--ckpt", default="", help="checkpoint (blank: random init)")
     p.add_argument("--vocab", default="", help="vocab.txt (blank: byte tokenizer)")
+    p.add_argument("--quant", default="default",
+                   help="'default' = config.SERVING_QUANT (matches "
+                        "serve_http), 'int8' explicit, 'none' = float")
     p.add_argument("--nfe", type=int, default=32)
     p.add_argument("--cfg_strength", type=float, default=2.0)
     p.add_argument("--cfg_cutoff", type=float, default=-1.0,
@@ -325,8 +328,12 @@ def main() -> int:
     from lemas_tts_tpu.config import SamplerConfig
     from lemas_tts_tpu.serve.engine import ServingEngine, TTSRequest
 
+    if args.quant == "default":
+        from lemas_tts_tpu.config import SERVING_QUANT as quant
+    else:
+        quant = args.quant if args.quant not in ("", "none", "0") else None
     tts = lemas_tts_tpu.TTS(model=args.model, ckpt_file=args.ckpt,
-                            vocab_file=args.vocab)
+                            vocab_file=args.vocab, quantization=quant)
     sr = tts.target_sample_rate
     t = np.arange(4 * sr) / sr
     ref = (0.3 * np.sin(2 * np.pi * 220 * t)

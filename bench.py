@@ -156,7 +156,13 @@ def main():
     )
     fparams = params  # float tree kept for the quant-divergence gate
     if QUANT:
-        params = jax.block_until_ready(jax.jit(quantize_dense_tree)(params))
+        from functools import partial as _partial
+
+        from lemas_tts_tpu.ops.quant import FF_QUANT_NAMES
+
+        _names = FF_QUANT_NAMES if QUANT == "int8_ff" else None
+        params = jax.block_until_ready(
+            jax.jit(_partial(quantize_dense_tree, names=_names))(params))
     vparams = fast_random_params(
         voc, lambda k: voc.init(k, jnp.zeros((1, 100, 16))), jax.random.key(2)
     )

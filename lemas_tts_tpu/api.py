@@ -112,9 +112,11 @@ class TTS:
         frontend: Optional[str] = "phone",
         compute_dtype: Optional[str] = None,
         attn_backend: Optional[str] = None,
-        quantization: Optional[str] = None,  # None | "int8" (DiT-only; halves
-        # block-weight HBM — a memory mode, not a speed win on v5e,
-        # docs/performance.md)
+        quantization: Optional[str] = None,  # None | "int8" | "int8_ff"
+        # (DiT-only W8A8; "int8" = all block matmuls — the measured serving
+        # default, +19-35% RTF at 7.4e-6 mel MSE vs bf16; "int8_ff" = FF
+        # matmuls only, keeps the fused attention kernels;
+        # docs/performance.md int8 section)
         mesh: Optional[Any] = None,  # jax.sharding.Mesh with a 'data' axis:
         # batches shard over it and params replicate (multi-chip serving;
         # may span processes — serve/multihost.py + `serve_http --multihost`)
@@ -267,10 +269,13 @@ class TTS:
         if quantization is not None:
             # quantize the float tree (idempotent: already-quantized native
             # trees have kernel_q leaves, which the converter passes through)
-            from lemas_tts_tpu.ops.quant import quantize_dense_tree
+            from lemas_tts_tpu.ops.quant import (FF_QUANT_NAMES,
+                                                 quantize_dense_tree)
 
             cfm_params = dict(cfm_params)
-            cfm_params["dit"] = quantize_dense_tree(cfm_params["dit"])
+            cfm_params["dit"] = quantize_dense_tree(
+                cfm_params["dit"],
+                names=FF_QUANT_NAMES if quantization == "int8_ff" else None)
         if use_pros and "prosody_to_mel" not in cfm_params:
             # prosody_to_mel Linear(512→mel) (cfm.py:144) — synthesized only
             # when the checkpoint doesn't carry it (e.g. random-init fallback)

@@ -485,6 +485,15 @@ class DiTBlock(nn.Module):
         from lemas_tts_tpu.ops.attention import nhd_supported
         from lemas_tts_tpu.ops.ffn import qkv_block_supported
 
+        # hybrid resolution: "int8" quantizes all block matmuls (loses the
+        # fused qkv/ffn kernels — the attention kernel itself still runs);
+        # "int8_ff" quantizes ONLY the FeedForward matmuls (~2/3 of block
+        # weights) so the attention-side fused Pallas path stays live
+        if self.quant not in (None, "int8", "int8_ff"):
+            raise ValueError(f"unknown quantization mode: {self.quant!r}")
+        attn_quant = "int8" if self.quant == "int8" else None
+        ff_quant = "int8" if self.quant in ("int8", "int8_ff") else None
+
         ada = AdaLayerNorm(
             self.dim, compute_dtype=self.compute_dtype, name="attn_norm"
         )
@@ -496,7 +505,7 @@ class DiTBlock(nn.Module):
             pe_attn_head=self.pe_attn_head,
             attn_backend=self.attn_backend,
             dropout=self.dropout,
-            quant=self.quant,
+            quant=attn_quant,
             compute_dtype=self.compute_dtype,
             seq_axis=self.seq_axis,
             name="attn",
@@ -508,7 +517,7 @@ class DiTBlock(nn.Module):
         fused_attn = (
             self.seq_axis is None
             and self.attn_backend == "vmem"
-            and self.quant is None
+            and attn_quant is None
             and deterministic
             and nhd_supported(
                 self.heads, self.dim_head, x.shape[1], self.qk_norm,
@@ -535,7 +544,7 @@ class DiTBlock(nn.Module):
         from lemas_tts_tpu.ops.ffn import ffn_block_supported
 
         ff = FeedForward(
-            self.dim, mult=self.ff_mult, dropout=self.dropout, quant=self.quant,
+            self.dim, mult=self.ff_mult, dropout=self.dropout, quant=ff_quant,
             compute_dtype=self.compute_dtype, name="ff"
         )
         # fused Pallas FF-block on the TPU inference path: pins the scan-carry
@@ -543,7 +552,7 @@ class DiTBlock(nn.Module):
         # speed (ops/ffn.py; docs/performance.md)
         if (
             self.attn_backend == "vmem"
-            and self.quant is None
+            and ff_quant is None
             and deterministic
             and ffn_block_supported(
                 x.shape[1], self.dim, int(self.dim * self.ff_mult),

@@ -33,6 +33,10 @@ from flax import linen as nn
 QUANT_DENSE_NAMES = frozenset(
     {"to_q", "to_k", "to_v", "to_out", "in_proj", "out_proj"}
 )
+# The FF-only subset for the "int8_ff" hybrid: quantize the FeedForward
+# matmuls (~2/3 of block weights) while the attention-side projections stay
+# float so the fused qkv/attention Pallas kernels keep running.
+FF_QUANT_NAMES = frozenset({"in_proj", "out_proj"})
 
 
 def quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -125,7 +129,9 @@ def maybe_quant_dense(
     use_bias: bool = True,
 ):
     """Factory: ``nn.Dense`` normally, :class:`QuantDense` when
-    ``quant == "int8"``. Same ``name`` either way so param paths line up."""
+    ``quant == "int8"``. Same ``name`` either way so param paths line up.
+    Callers resolve hybrid modes ("int8_ff") to per-layer "int8"/None
+    before calling (models/modules.py DiTBlock)."""
     if quant == "int8":
         return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
     if quant is not None:
@@ -133,20 +139,23 @@ def maybe_quant_dense(
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
-def quantize_dense_tree(params: Any) -> Any:
+def quantize_dense_tree(params: Any, names: Any = None) -> Any:
     """Convert a float DiT param tree to the int8 layout.
 
-    Walks the (nested-dict) tree; every subdict named in
-    :data:`QUANT_DENSE_NAMES` that holds a ``kernel`` gets it replaced by
+    Walks the (nested-dict) tree; every subdict named in ``names``
+    (default :data:`QUANT_DENSE_NAMES`; pass :data:`FF_QUANT_NAMES` for the
+    ``"int8_ff"`` hybrid) that holds a ``kernel`` gets it replaced by
     ``kernel_q``/``scale``. ``nn.scan``-stacked kernels
     (``[depth, in, out]``) quantize per block per channel. Other leaves
     (biases, norms, embeddings, convs) pass through unchanged.
     """
+    if names is None:
+        names = QUANT_DENSE_NAMES
 
     def walk(node: Any, name: str) -> Any:
         if not isinstance(node, dict):
             return node
-        if name in QUANT_DENSE_NAMES and "kernel" in node:
+        if name in names and "kernel" in node:
             out = {k: v for k, v in node.items() if k != "kernel"}
             w_q, scale = quantize_weight(jnp.asarray(node["kernel"]))
             out["kernel_q"] = w_q

@@ -63,6 +63,8 @@ def main(argv=None) -> int:
     ap.add_argument("--cfg", type=float, default=2.0)
     ap.add_argument("--sway", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--quant", default="int8", choices=["int8", "int8_ff"],
+                    help="quantization mode to probe against bf16")
     ap.add_argument("--speed", action="store_true",
                     help="also time the sampler per dtype (best of --reps)")
     ap.add_argument("--reps", type=int, default=3)
@@ -72,8 +74,10 @@ def main(argv=None) -> int:
                                            block_cache_fields, make_sampler)
     from lemas_tts_tpu.config import SERVING_BLOCK_CACHE, SERVING_CFG_CUTOFF
     from lemas_tts_tpu.eval.metrics import mel_mse
-    from lemas_tts_tpu.ops.quant import quantize_dense_tree
+    from lemas_tts_tpu.ops.quant import FF_QUANT_NAMES, quantize_dense_tree
     from lemas_tts_tpu.scripts._probe_common import probe_model_and_inputs
+
+    qnames = FF_QUANT_NAMES if args.quant == "int8_ff" else None
 
     modes = {
         "exact": {},
@@ -96,8 +100,9 @@ def main(argv=None) -> int:
                              text_dim=args.text_dim,
                              conv_layers=args.conv_layers)
         model, params, inputs = probe_model_and_inputs(ns)
-        qmodel = dataclasses.replace(model, quant="int8")
-        qparams = jax.block_until_ready(jax.jit(quantize_dense_tree)(params))
+        qmodel = dataclasses.replace(model, quant=args.quant)
+        qparams = jax.block_until_ready(jax.jit(
+            lambda p: quantize_dense_tree(p, names=qnames))(params))
         for tag, kw in modes.items():
             st = SamplerSettings(steps=args.nfe, cfg_strength=args.cfg,
                                  sway_sampling_coef=args.sway, **kw)
@@ -108,7 +113,7 @@ def main(argv=None) -> int:
                 mels[name] = jax.block_until_ready(fn(p, *inputs))
             mf = mels["bf16"].astype(jnp.float32)
             mq = mels["int8"].astype(jnp.float32)
-            rec = {"geometry": f"h{H}d{D}", "mode": tag,
+            rec = {"geometry": f"h{H}d{D}", "mode": tag, "quant": args.quant,
                    "mel_mse_int8_vs_bf16": float(mel_mse(mq, mf)),
                    "rel_l2": round(float(jnp.linalg.norm(mq - mf)
                                          / jnp.linalg.norm(mf)), 6)}

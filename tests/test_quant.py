@@ -184,3 +184,38 @@ def test_tts_facade_quantization_rejects_other_backbones():
     with pytest.raises(ValueError, match="only supported for the DiT"):
         lemas_tts_tpu.TTS(model="tests/data/tiny_mmdit.yaml",
                           quantization="int8", device="cpu")
+
+
+def test_int8_ff_hybrid_tracks_float_and_keeps_attention_float(small_dit):
+    """quant="int8_ff" quantizes ONLY the FeedForward matmuls (~2/3 of block
+    weights) so the attention-side fused Pallas kernels keep running
+    (models/modules.py hybrid resolution). The converted tree keeps float
+    kernels for to_q/.../to_out and int8 for in_proj/out_proj."""
+    import dataclasses
+
+    from lemas_tts_tpu.ops.quant import FF_QUANT_NAMES
+
+    m, _, params, args = small_dit
+    mh = dataclasses.replace(m, quant="int8_ff")
+    hp = quantize_dense_tree(params, names=FF_QUANT_NAMES)
+    blocks = hp["params"]["blocks"]["block"]
+    assert "kernel" in blocks["attn"]["to_q"]          # attention stays float
+    assert "kernel_q" in blocks["ff"]["in_proj"]       # FF quantized
+    y = m.apply(params, *args)
+    yh = mh.apply(hp, *args)
+    rel = float(jnp.linalg.norm(y - yh) / jnp.linalg.norm(y))
+    assert rel < 3e-2, rel
+    # hybrid error must not exceed the full-int8 error (it quantizes less)
+    yq = DiT(arch=m.arch, mel_dim=20, text_num_embeds=50, quant="int8").apply(
+        quantize_dense_tree(params), *args)
+    relq = float(jnp.linalg.norm(y - yq) / jnp.linalg.norm(y))
+    assert rel <= relq + 1e-3, (rel, relq)
+
+
+def test_unknown_quant_mode_rejected_at_block_level(small_dit):
+    import dataclasses
+
+    m, _, params, args = small_dit
+    bad = dataclasses.replace(m, quant="fp4")
+    with pytest.raises(ValueError):
+        bad.apply(params, *args)

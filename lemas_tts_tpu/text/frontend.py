@@ -24,8 +24,31 @@ import re
 import warnings
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from lemas_tts_tpu.text import en_ipa
+from lemas_tts_tpu.text import en_ipa, latin_ipa
 from lemas_tts_tpu.text import tokenizer as tok
+
+
+def _builtin_g2p_supports(lang: str) -> bool:
+    """Hermetic IPA G2P tier: en (lexicon+NRL rules, text/en_ipa.py) plus
+    the regular Latin orthographies es/it/id (ordered-rule transducer,
+    text/latin_ipa.py)."""
+    return en_ipa.supports(lang) or latin_ipa.supports(lang)
+
+
+def _builtin_word_phones(word: str, lang: str):
+    if en_ipa.supports(lang):
+        return en_ipa.word_to_phones(word)
+    if latin_ipa.supports(lang):
+        return latin_ipa.word_to_phones(word, lang)
+    return None
+
+
+def _builtin_txt2phone(text: str, lang: str):
+    if en_ipa.supports(lang):
+        return en_ipa.txt2phone(text)
+    if latin_ipa.supports(lang):
+        return latin_ipa.txt2phone(text, lang)
+    return None
 from lemas_tts_tpu.text.cn_tn import NSWNormalizer
 from lemas_tts_tpu.text.detect import detect_lang
 from lemas_tts_tpu.text.numwords import replace_numbers_with_words
@@ -116,10 +139,10 @@ class TextNorm:
                     "pass dtype='char' or strict=False"
                 )
             warnings.warn(
-                "espeak-ng unavailable — English uses the built-in IPA "
-                "G2P (text/en_ipa.py, an approximation of the espeak "
-                "contract); other espeak languages fall back to the char "
-                "frontend",
+                "espeak-ng unavailable — en/es/it/id use the built-in IPA "
+                "G2P (text/en_ipa.py, text/latin_ipa.py — approximations "
+                "of the espeak contract); other espeak languages fall "
+                "back to the char frontend",
                 stacklevel=2,
             )
         self.dtype = dtype
@@ -308,9 +331,10 @@ class TextNorm:
                     phns = ipa[0] if ipa[0][:1] == "(" else f"({lang})_" + ipa[0]
                     res += phns.replace("_", "|_|").split("|")
                 elif self.dtype == "phone" and \
-                        en_ipa.supports(detect_lang(t)) and \
-                        en_ipa.word_to_phones(t):
-                    res += [f"({detect_lang(t)})"] + en_ipa.word_to_phones(t)
+                        _builtin_g2p_supports(detect_lang(t)) and \
+                        _builtin_word_phones(t, detect_lang(t)):
+                    res += ([f"({detect_lang(t)})"]
+                            + _builtin_word_phones(t, detect_lang(t)))
                 else:  # char fallback: keep the word as upper-case chars
                     res += [f"({detect_lang(t)})"] + list(t.upper())
             res.append("_")
@@ -331,8 +355,9 @@ class TextNorm:
                 self._tokenizer(lang), norm.strip().replace(".", ",").replace("。", ",")
             )
             return f"({lang})|" + phones if phones[:1] != "(" else phones
-        if self.dtype == "phone" and en_ipa.supports(lang):
-            # hermetic fallback tier: built-in English IPA G2P. espeak reads
+        if self.dtype == "phone" and _builtin_g2p_supports(lang):
+            # hermetic fallback tier: built-in IPA G2P (en via lexicon+NRL
+            # rules, es/it/id via ordered-rule transduction). espeak reads
             # digits itself; the builtin needs them as words first —
             # expanded per non-pause segment so "#2" markers survive intact.
             norm = norm.strip().replace(".", ",").replace("。", ",")
@@ -340,7 +365,7 @@ class TextNorm:
                 part if re.fullmatch(r"#\d", part)
                 else replace_numbers_with_words(part, lang=lang)
                 for part in re.split(r"(#\d)", norm))
-            phones = en_ipa.txt2phone(norm)
+            phones = _builtin_txt2phone(norm, lang)
             if phones:
                 return f"({lang})|" + phones
         # char frontend: normalized chars with a lang tag; ``#n`` pause

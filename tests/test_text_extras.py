@@ -170,6 +170,46 @@ def test_en_ipa_frontend_tier():
     # 2 -> "two" (digits survive only inside the #n pause marker)
     assert not any(t.isdigit() for t in toks), out
     assert "t" in toks and "uː" in toks  # two -> t uː
-    # char fallback for espeak languages without a builtin G2P
+    # char fallback for espeak languages without a builtin G2P (fr; es/it/id
+    # route through the round-5 latin_ipa tier instead)
+    out_fr = tn.text2phn("Bonjour ami.", lang="fr")
+    assert out_fr.startswith("(fr)|B|o|n|j|o|u|r|")
     out_es = tn.text2phn("Hola amigo.", lang="es")
-    assert out_es.startswith("(es)|H|o|l|a|")
+    assert out_es.startswith("(es)|o|l|a|_|a|m|i|ɡ|o")  # silent h, IPA ɡ
+
+
+def test_latin_ipa_rules():
+    """Language-specific contrasts the char fallback can't express — the
+    ordered-rule transducer resolves context-dependent graphemes
+    (text/latin_ipa.py; espeak-contract approximations, no stress)."""
+    from lemas_tts_tpu.text import latin_ipa as L
+
+    # Spanish: distinción, silent h/u, trill vs tap, ll/ñ, y allophony
+    assert L.word_to_phones("cielo", "es") == ["θ", "i", "e", "l", "o"]
+    assert L.word_to_phones("queso", "es") == ["k", "e", "s", "o"]
+    assert L.word_to_phones("guerra", "es") == ["ɡ", "e", "r", "a"]
+    assert L.word_to_phones("gente", "es") == ["x", "e", "n", "t", "e"]
+    assert L.word_to_phones("año", "es") == ["a", "ɲ", "o"]
+    assert L.word_to_phones("perro", "es") != L.word_to_phones("pero", "es")
+    assert L.word_to_phones("voy", "es") == ["b", "o", "i"]
+    assert L.word_to_phones("mayo", "es") == ["m", "a", "ʝ", "o"]
+    # Italian: soft/hard c/g, gli/gn, sc, gemination collapse, intervocalic s
+    assert L.word_to_phones("ciao", "it") == ["tʃ", "a", "o"]
+    assert L.word_to_phones("chiesa", "it") == ["k", "i", "e", "z", "a"]
+    assert L.word_to_phones("famiglia", "it") == ["f", "a", "m", "i", "ʎ", "a"]
+    assert L.word_to_phones("gnocchi", "it") == ["ɲ", "o", "k", "i"]
+    assert L.word_to_phones("scienza", "it") == ["ʃ", "e", "n", "t", "s", "a"]
+    assert L.word_to_phones("pizza", "it") == ["p", "i", "t", "s", "a"]
+    assert L.word_to_phones("casa", "it") == ["k", "a", "z", "a"]
+    # Indonesian: ny/ng/sy/kh digraphs, c/j affricates, e → ə
+    assert L.word_to_phones("nyonya", "id") == ["ɲ", "o", "ɲ", "a"]
+    assert L.word_to_phones("bangun", "id") == ["b", "a", "ŋ", "u", "n"]
+    assert L.word_to_phones("cinta", "id") == ["tʃ", "i", "n", "t", "a"]
+    assert L.word_to_phones("jalan", "id") == ["dʒ", "a", "l", "a", "n"]
+    assert L.word_to_phones("terima", "id") == ["t", "ə", "r", "i", "m", "a"]
+    # separator grammar: pause markers survive, words separated by _
+    out = L.txt2phone("hola #2 mundo", "es")
+    assert "#2" in out.split("|") and "_" not in out.split("|")[0]
+    # accent folding
+    assert L.word_to_phones("está", "es") == ["e", "s", "t", "a"]
+    assert L.word_to_phones("perché", "it") == ["p", "e", "r", "k", "e"]

@@ -70,9 +70,9 @@ def backend_id() -> str:
 
     ``builtin-ipa`` is the hermetic tier (round 5): English phonemizes
     through the vendored lexicon+LTS G2P (``text/en_ipa.py``) and
-    es/it/id through the ordered-rule transducer (``text/latin_ipa.py``);
-    remaining espeak languages fall back to char tokens, Chinese is
-    unaffected (algorithmic pinyin). Fixtures captured as
+    es/it/id/de/pt/ru through the ordered-rule transducers
+    (``text/latin_ipa.py``); fr/vi/th/ja/ko fall back to char tokens,
+    Chinese is unaffected (algorithmic pinyin). Fixtures captured as
     ``builtin-fallback`` predate the builtin G2P (pure char fallback)."""
     from lemas_tts_tpu.text import tokenizer as tok
 

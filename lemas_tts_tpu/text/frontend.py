@@ -30,7 +30,7 @@ from lemas_tts_tpu.text import tokenizer as tok
 
 def _builtin_g2p_supports(lang: str) -> bool:
     """Hermetic IPA G2P tier: en (lexicon+NRL rules, text/en_ipa.py) plus
-    the regular Latin orthographies es/it/id (ordered-rule transducer,
+    the regular orthographies es/it/id/de/pt/ru (ordered-rule transducers,
     text/latin_ipa.py)."""
     return en_ipa.supports(lang) or latin_ipa.supports(lang)
 
@@ -139,10 +139,10 @@ class TextNorm:
                     "pass dtype='char' or strict=False"
                 )
             warnings.warn(
-                "espeak-ng unavailable — en/es/it/id use the built-in IPA "
-                "G2P (text/en_ipa.py, text/latin_ipa.py — approximations "
-                "of the espeak contract); other espeak languages fall "
-                "back to the char frontend",
+                "espeak-ng unavailable — en/es/it/id/de/pt/ru use the "
+                "built-in IPA G2P (text/en_ipa.py, text/latin_ipa.py — "
+                "approximations of the espeak contract); fr/vi/th/ja/ko "
+                "fall back to the char frontend",
                 stacklevel=2,
             )
         self.dtype = dtype

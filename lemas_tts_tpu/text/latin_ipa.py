@@ -1,23 +1,27 @@
-"""Built-in grapheme→IPA fallback for regular Latin-orthography languages.
+"""Built-in grapheme→IPA fallback for regular-orthography languages.
 
 Companion to ``text/en_ipa.py`` (VERDICT r4 "what's weak" #6): the real
 checkpoint text contract is espeak-ng IPA (reference
 ``lemas_tts/infer/text_norm/tokenizer.py:26-74``); hermetic environments
 previously degraded every non-English espeak language to CHAR tokens.
-English needed a lexicon + NRL rules; **Spanish, Italian and Indonesian
-have (near-)deterministic orthographies**, so a compact ordered-rule
-transducer gets hermetic output close to the espeak contract with no
-lexicon at all.
+English needed a lexicon + NRL rules; **es, it, id, de, pt(-br) and ru
+have (near-)deterministic orthographies**, so compact ordered-rule
+transducers get hermetic output close to the espeak contract with no
+lexicon at all. (fr/vi/th/ja/ko orthographies are genuinely irregular or
+non-alphabetic and stay on the char fallback.)
 
 Approximations (documented, deliberate — this is a fallback tier, not an
 espeak clone): no stress marks (matching our
-``EspeakBackend(with_stress=False)``), no vowel length, Spanish uses
-distinción (c/z → θ, the es voice's dialect), Italian gemination is
-collapsed, intervocalic s → z (it), Indonesian ``e`` → ə. The separator
-grammar matches ``text/tokenizer.py``: phones ``|``-joined, ``_`` between
-words, punctuation as its own token, ``#n`` pause markers preserved.
-``scripts/validate_assets.py`` still pins the live espeak contract when
-real checkpoints are validated.
+``EspeakBackend(with_stress=False)``); Spanish uses distinción (c/z → θ,
+the es voice's dialect); Italian/German double letters collapse to single
+phones; German models ich/ach-Laut, initial sp/st → ʃ, final devoicing,
+-ig → ɪç, final -e/-er reduction; Portuguese is BR-flavored (d/t
+palatalization before i, final o→u / e→i) with nasal vowels denasalized;
+Russian ignores stress-dependent vowel reduction and palatal assimilation.
+The separator grammar matches ``text/tokenizer.py``: phones ``|``-joined,
+``_`` between words, punctuation as its own token, ``#n`` pause markers
+preserved. ``scripts/validate_assets.py`` still pins the live espeak
+contract when real checkpoints are validated.
 """
 
 from __future__ import annotations
@@ -64,6 +68,14 @@ _ES_RULES = _rules([
 ])
 
 _IT_RULES = _rules([
+    # doubles first: orthographic gemination collapses to the single phone
+    # WITH its softening context, and is seen before the intervocalic-s
+    # voicing hook can misread e.g. "cassa" as a voiced single s
+    ("cch", "k"), ("cci(?=[aeou])", "tʃ"), ("cc(?=[ei])", "tʃ"), ("cc", "k"),
+    ("ggh", "ɡ"), ("ggi(?=[aeou])", "dʒ"), ("gg(?=[ei])", "dʒ"), ("gg", "ɡ"),
+    ("zz", "t s"), ("ss", "s"), ("tt", "t"), ("nn", "n"), ("mm", "m"),
+    ("ll", "l"), ("pp", "p"), ("ff", "f"), ("rr", "r"), ("bb", "b"),
+    ("dd", "d"),
     ("sci(?=[aeou])", "ʃ"),
     ("sc(?=[ei])", "ʃ"),
     ("ch", "k"),
@@ -82,6 +94,80 @@ _IT_RULES = _rules([
     ("n", "n"), ("p", "p"), ("q", "k"), ("r", "r"), ("s", "s"),
     ("t", "t"), ("v", "v"), ("w", "w"), ("x", "k s"), ("y", "i"),
     ("z", "t s"),
+])
+
+_DE_RULES = _rules([
+    # doubles mark a short preceding vowel, not gemination — collapse them
+    # before the s-voicing hook could misread "wasser" as intervocalic s
+    ("ss", "s"), ("tt", "t"), ("nn", "n"), ("mm", "m"), ("ll", "l"),
+    ("pp", "p"), ("ff", "f"), ("rr", "ʁ"), ("bb", "b"), ("dd", "d"),
+    ("gg", "ɡ"), ("kk", "k"),
+    ("tsch", "tʃ"),
+    ("sch", "ʃ"),
+    ("ch(?=s)", "k"),          # sechs, wachsen
+    ("ck", "k"),
+    ("ph", "f"),
+    ("th", "t"),
+    ("qu", "k v"),
+    ("ei", "aɪ"), ("ai", "aɪ"),
+    ("ie(?=h)", "iː"), ("ieh", "iː"), ("ie", "iː"),
+    ("eu", "ɔʏ"), ("äu", "ɔʏ"),
+    ("au", "aʊ"),
+    ("aa", "aː"), ("ee", "eː"), ("oo", "oː"),
+    ("ah", "aː"), ("eh", "eː"), ("ih", "iː"), ("oh", "oː"), ("uh", "uː"),
+    ("äh", "ɛː"), ("öh", "øː"), ("üh", "yː"),
+    ("ä", "ɛ"), ("ö", "ø"), ("ü", "y"), ("ß", "s"),
+    ("tz", "ts"), ("z", "ts"),
+    ("w", "v"), ("v", "f"),
+    ("ng", "ŋ"),
+    ("a", "a"), ("e", "ɛ"), ("i", "ɪ"), ("o", "ɔ"), ("u", "ʊ"),
+    ("y", "y"),
+    ("b", "b"), ("c", "k"), ("d", "d"), ("f", "f"), ("g", "ɡ"),
+    ("h", "h"), ("j", "j"), ("k", "k"), ("l", "l"), ("m", "m"),
+    ("n", "n"), ("p", "p"), ("q", "k"), ("r", "ʁ"), ("s", "s"),
+    ("t", "t"), ("x", "k s"),
+])
+
+# Cyrillic — not Latin, but the same regular-orthography story (palatal
+# assimilation and unstressed-vowel reduction are stress-dependent and
+# intentionally NOT modelled; still far closer to the espeak contract
+# than out-of-vocab Cyrillic char tokens)
+_RU_RULES = _rules([
+    ("а", "a"), ("б", "b"), ("в", "v"), ("г", "ɡ"), ("д", "d"),
+    ("ё", "j o"), ("ж", "ʒ"), ("з", "z"), ("и", "i"), ("й", "j"),
+    ("к", "k"), ("л", "l"), ("м", "m"), ("н", "n"), ("о", "o"),
+    ("п", "p"), ("р", "r"), ("с", "s"), ("т", "t"), ("у", "u"),
+    ("ф", "f"), ("х", "x"), ("ц", "ts"), ("ч", "tʃ"), ("ш", "ʃ"),
+    ("щ", "ʃ"), ("ъ", ""), ("ы", "ɨ"), ("ь", ""), ("э", "e"),
+    ("ю", "j u"), ("я", "j a"), ("е", "e"),
+])
+
+# Brazilian Portuguese (the pt voice here is pt-br, frontend.ESPEAK_LANGS).
+# Nasal vowels are emitted denasalized and vowel reduction beyond final
+# o→u / e→i is not modelled — documented approximation.
+_PT_RULES = _rules([
+    ("nh", "ɲ"),
+    ("lh", "ʎ"),
+    ("ch", "ʃ"),
+    ("ss", "s"),
+    ("qu(?=[eiéí])", "k"),
+    ("qu", "k w"),
+    ("gu(?=[eiéí])", "ɡ"),
+    ("g(?=[eiéí])", "ʒ"),
+    ("c(?=[eiéí])", "s"),
+    ("ç", "s"),
+    ("j", "ʒ"),
+    ("x", "ʃ"),
+    ("d(?=i)", "dʒ"),   # BR palatalization: dia → dʒia
+    ("t(?=i)", "tʃ"),   # BR: tio → tʃiu
+    ("ã", "a"), ("õ", "o"),
+    ("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"), ("ú", "u"),
+    ("â", "a"), ("ê", "e"), ("ô", "o"),
+    ("a", "a"), ("e", "e"), ("i", "i"), ("o", "o"), ("u", "u"),
+    ("b", "b"), ("c", "k"), ("d", "d"), ("f", "f"), ("g", "ɡ"),
+    ("h", ""), ("k", "k"), ("l", "l"), ("m", "m"), ("n", "n"),
+    ("p", "p"), ("q", "k"), ("s", "s"), ("t", "t"), ("v", "v"),
+    ("w", "w"), ("y", "i"), ("z", "z"),
 ])
 
 _ID_RULES = _rules([
@@ -120,11 +206,64 @@ def _it_hook(word: str, pos: int) -> "Tuple[str, int] | None":
     return None
 
 
+_DE_BACK = "aouʊ"
+
+
+def _de_hook(word: str, pos: int) -> "Tuple[str, int] | None":
+    ch = word[pos]
+    n = len(word)
+    # ich-/ach-Laut allophony ("chs"→ks and s|ch are consumed by the rule
+    # table before the cursor ever lands on this bare "ch")
+    if word.startswith("ch", pos) and not word.startswith("chs", pos):
+        prev = word[pos - 1] if pos > 0 else ""
+        return ("x" if prev in _DE_BACK else "ç"), 2
+    if pos == 0 and (word.startswith("sp", pos) or word.startswith("st", pos)):
+        return ("ʃ " + ("p" if word[1] == "p" else "t")), 2
+    if ch == "s" and pos + 1 < n and word[pos + 1] in _VOWELS \
+            and (pos == 0 or word[pos - 1] in _VOWELS):
+        return "z", 1  # voiced s before a vowel (Sonne, lesen)
+    if pos == n - 2 and word.endswith("ig"):
+        return "ɪ ç", 2  # -ig → ɪç (König)
+    if pos == n - 1:
+        if ch in "bdg":  # final devoicing
+            return {"b": "p", "d": "t", "g": "k"}[ch], 1
+        if ch == "e":
+            return "ə", 1  # schwa (bitte)
+    if pos == n - 2 and word.endswith("er"):
+        return "ɐ", 2  # vocalized -er (Wasser)
+    return None
+
+
+def _pt_hook(word: str, pos: int) -> "Tuple[str, int] | None":
+    ch = word[pos]
+    n = len(word)
+    if word.startswith("rr", pos):
+        return "ʁ", 2
+    if ch == "r":
+        return ("ʁ" if pos == 0 else "ɾ"), 1
+    if ch == "s" and 0 < pos < n - 1 and word[pos - 1] in _VOWELS \
+            and word[pos + 1] in _VOWELS:
+        return "z", 1  # intervocalic s (casa → kaza)
+    if pos == n - 2 and word.endswith("te"):
+        return "tʃ i", 2  # reduced final -te palatalizes (gente → ʒẽtʃi)
+    if pos == n - 2 and word.endswith("de"):
+        return "dʒ i", 2  # cidade → sidadʒi
+    if pos == n - 1:
+        if ch == "o":
+            return "u", 1  # final-vowel reduction (BR)
+        if ch == "e":
+            return "i", 1
+    return None
+
+
 _LANGS: Dict[str, tuple] = {
-    # lang → (rules, pre-transduction hook, squash geminates?)
-    "es": (_ES_RULES, _es_hook, False),
-    "it": (_IT_RULES, _it_hook, True),
-    "id": (_ID_RULES, None, False),
+    # lang → (rules, pre-transduction hook)
+    "es": (_ES_RULES, _es_hook),
+    "it": (_IT_RULES, _it_hook),
+    "id": (_ID_RULES, None),
+    "de": (_DE_RULES, _de_hook),
+    "ru": (_RU_RULES, None),
+    "pt": (_PT_RULES, _pt_hook),
 }
 
 
@@ -135,10 +274,8 @@ def supports(lang: str) -> bool:
 
 def word_to_phones(word: str, lang: str) -> List[str]:
     """One lowercase word → IPA phone list by ordered-rule transduction."""
-    rules, hook, squash = _LANGS[lang]
+    rules, hook = _LANGS[lang]
     w = word.lower().translate(_FOLD)
-    if squash:  # Italian gemination collapses (no length marks emitted)
-        w = re.sub(r"([bcdfglmnpqrstvz])\1", r"\1", w)
     phones: List[str] = []
     pos = 0
     while pos < len(w):

@@ -213,3 +213,38 @@ def test_latin_ipa_rules():
     # accent folding
     assert L.word_to_phones("está", "es") == ["e", "s", "t", "a"]
     assert L.word_to_phones("perché", "it") == ["p", "e", "r", "k", "e"]
+
+
+def test_latin_ipa_de_ru_pt_rules():
+    """Round-5 extension of the builtin tier to de/ru/pt — the hallmark
+    context rules per language (espeak-contract approximations)."""
+    from lemas_tts_tpu.text import latin_ipa as L
+
+    # German: ich/ach-Laut, initial sp/st, diphthongs, final devoicing,
+    # -ig, schwa/-er reduction, s-voicing, umlauts, w/v/z mappings
+    assert L.word_to_phones("ich", "de") == ["ɪ", "ç"]
+    assert L.word_to_phones("bach", "de") == ["b", "a", "x"]
+    assert L.word_to_phones("stein", "de") == ["ʃ", "t", "aɪ", "n"]
+    assert L.word_to_phones("spiel", "de") == ["ʃ", "p", "iː", "l"]
+    assert L.word_to_phones("tag", "de")[-1] == "k"
+    assert L.word_to_phones("könig", "de")[-2:] == ["ɪ", "ç"]
+    assert L.word_to_phones("bitte", "de") == ["b", "ɪ", "t", "ə"]
+    assert L.word_to_phones("wasser", "de") == ["v", "a", "s", "ɐ"]
+    assert L.word_to_phones("sonne", "de")[0] == "z"
+    assert L.word_to_phones("zeit", "de")[:1] == ["ts"]
+    assert L.word_to_phones("schön", "de") == ["ʃ", "ø", "n"]
+    # Russian: Cyrillic → IPA, iotated vowels, silent signs
+    assert L.word_to_phones("привет", "ru") == ["p", "r", "i", "v", "e", "t"]
+    assert L.word_to_phones("чай", "ru") == ["tʃ", "a", "j"]
+    assert L.word_to_phones("юг", "ru") == ["j", "u", "ɡ"]
+    assert L.word_to_phones("день", "ru") == ["d", "e", "n"]
+    assert L.word_to_phones("мыло", "ru") == ["m", "ɨ", "l", "o"]
+    # Portuguese (BR): palatalization, final reduction, nh/lh, ç, nasal fold
+    assert L.word_to_phones("dia", "pt") == ["dʒ", "i", "a"]
+    assert L.word_to_phones("gente", "pt") == ["ʒ", "e", "n", "tʃ", "i"]
+    assert L.word_to_phones("cidade", "pt")[-2:] == ["dʒ", "i"]
+    assert L.word_to_phones("obrigado", "pt")[-1] == "u"
+    assert L.word_to_phones("senhor", "pt")[2] == "ɲ"
+    assert L.word_to_phones("coração", "pt")[:4] == ["k", "o", "ɾ", "a"]
+    assert L.word_to_phones("carro", "pt")[1:3] == ["a", "ʁ"]
+    assert L.word_to_phones("casa", "pt") == ["k", "a", "z", "a"]

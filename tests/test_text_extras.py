@@ -248,3 +248,29 @@ def test_latin_ipa_de_ru_pt_rules():
     assert L.word_to_phones("coração", "pt")[:4] == ["k", "o", "ɾ", "a"]
     assert L.word_to_phones("carro", "pt")[1:3] == ["a", "ʁ"]
     assert L.word_to_phones("casa", "pt") == ["k", "a", "z", "a"]
+
+
+def test_latin_ipa_robustness_fuzz():
+    """No input crashes the transducers, and alphabetic words always emit
+    at least one phone (deterministic pseudo-fuzz across all six langs +
+    mixed scripts, digits, punctuation, diacritics)."""
+    import random
+
+    from lemas_tts_tpu.text import latin_ipa as L
+
+    rng = random.Random(0)
+    alphabet = ("abcdefghijklmnopqrstuvwxyz"
+                "áéíóúàèìòùâêôäöüßñçãõ"
+                "абвгдеёжзийклмнопрстуфхцчшщъыьэюя")
+    for lang in ("es", "it", "id", "de", "ru", "pt"):
+        for _ in range(200):
+            w = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 12)))
+            ph = L.word_to_phones(w, lang)
+            assert isinstance(ph, list)
+            assert all(isinstance(p, str) and p for p in ph)
+        out = L.txt2phone("a1b, #3 c-d! 42", lang)
+        assert "#3" in out.split("|")
+    # words made only of the language's own script always yield phones
+    assert L.word_to_phones("zzyzx", "es")
+    assert L.word_to_phones("щёчка", "ru")

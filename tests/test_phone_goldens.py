@@ -114,6 +114,18 @@ def test_builtin_ipa_tier(fixture):
         assert tagged and not any(t.isupper() for t in tagged), toks
         n_ipa = sum(1 for t in tagged if set(t) & ipa_chars)
         assert n_ipa >= len(tagged) / 3, (n_ipa, tagged)
+    # round 5: the tier extends to the regular orthographies — their
+    # goldens must be word-separated lowercase phone streams too (the char
+    # fallback has no "_" separators and keeps uppercase); ru additionally
+    # must carry NO Cyrillic (char fallback would be 100% out-of-vocab)
+    for lang in ("es", "it", "id", "de", "pt", "ru"):
+        for case in [c for c in fixture["cases"] if c["lang"] == lang]:
+            toks = case["phones"].split("|")
+            assert "_" in toks, (lang, case["phones"])
+            assert not any(t.isupper() for t in toks if t.isalpha()), toks
+            if lang == "ru":
+                assert not any("а" <= ch <= "я" for t in toks for ch in t), \
+                    toks
 
 
 def test_golden_pause_markers_survive(fixture):

@@ -27,7 +27,7 @@ contract when real checkpoints are validated.
 from __future__ import annotations
 
 import re
-from typing import Callable, Dict, List, Tuple
+from typing import Dict, List, Tuple
 
 _VOWELS = "aeiou"
 

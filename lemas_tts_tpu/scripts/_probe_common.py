@@ -58,6 +58,19 @@ def probe_model_and_inputs(args):
                                  jnp.zeros((1,))),
             jax.random.key(1), dtype=jnp.bfloat16)
 
+    # optional W8A8 (ops/quant.py): probe the serving dtype — specs chosen
+    # at bf16 should be re-validated under the int8 serving default
+    if getattr(args, "quant", None):
+        import dataclasses
+
+        from lemas_tts_tpu.ops.quant import (FF_QUANT_NAMES,
+                                             quantize_dense_tree)
+
+        names = FF_QUANT_NAMES if args.quant == "int8_ff" else None
+        model = dataclasses.replace(model, quant=args.quant)
+        params = jax.jit(
+            lambda p: quantize_dense_tree(p, names=names))(params)
+
     rng = np.random.default_rng(args.seed)
     B, N = args.batch, args.n
     ref = min(188, N // 4)  # ≈ 2 s reference audio at flagship buckets

@@ -60,6 +60,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "geometry)")
     p.add_argument("--text_dim", type=int, default=512)
     p.add_argument("--conv_layers", type=int, default=4)
+    p.add_argument("--quant", type=str, default="",
+                   help="probe at a W8A8 serving dtype ('int8'/'int8_ff'; "
+                        "blank = bf16 — specs chosen at bf16 should be "
+                        "re-validated under the int8 serving default)")
     p.add_argument("--pick_mse", type=float, default=None,
                    help="also print the fastest probed spec whose mel MSE "
                         "is within this budget (one-command calibration "

@@ -58,6 +58,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "geometry)")
     p.add_argument("--text_dim", type=int, default=512)
     p.add_argument("--conv_layers", type=int, default=4)
+    p.add_argument("--quant", type=str, default="",
+                   help="probe at a W8A8 serving dtype ('int8'/'int8_ff'; "
+                        "blank = bf16 — specs chosen at bf16 should be "
+                        "re-validated under the int8 serving default)")
     return p
 
 

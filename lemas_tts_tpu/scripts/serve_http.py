@@ -34,6 +34,8 @@ Endpoints:
                 streams don't stall the micro-batcher queue.
   GET  /healthz → {"ok": true, "queue_depth": N}
   GET  /stats   → engine stats JSON (queue depth, stage timers)
+  GET  /config  → live serving defaults (nfe/cfg/cutoff/cache/quant/
+                  batch caps/student sidecar/multihost)
 
 Run:  python -m lemas_tts_tpu.scripts.serve_http --port 8080 \
           --ckpt_file ... --vocab_file ...
@@ -196,6 +198,7 @@ def make_handler(tts, engine, max_streams: int = 2, multihost=None):
     from lemas_tts_tpu.serve.engine import TTSRequest
 
     stream_slots = threading.BoundedSemaphore(max(1, max_streams))
+    tts_student = getattr(tts, "student", None)  # student.json sidecar dict
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -271,6 +274,26 @@ def make_handler(tts, engine, max_streams: int = 2, multihost=None):
                 if multihost is not None:
                     stats["multihost"] = multihost.aggregated_stats()
                 self._reply_json(200, stats)
+            elif self.path == "/config":
+                # ops introspection: the ACTUAL live serving defaults (an
+                # SLO regression is unexplainable without knowing which
+                # approximations a server runs — quant/cache/cutoff all
+                # changed defaults across rounds)
+                c = engine.cfg
+                self._reply_json(200, {
+                    "nfe_steps": c.nfe_steps,
+                    "cfg_strength": c.cfg_strength,
+                    "sway_sampling_coef": c.sway_sampling_coef,
+                    "cfg_cutoff": c.cfg_cutoff,
+                    "block_cache": c.block_cache,
+                    "ode_method": c.ode_method,
+                    "quant": getattr(getattr(tts, "dit", None), "quant",
+                                     None),
+                    "max_batch": engine.batcher.max_batch,
+                    "max_streams": max_streams,
+                    "student": tts_student,
+                    "multihost": multihost is not None,
+                })
             else:
                 self._reply_json(404, {"error": "not found"})
 

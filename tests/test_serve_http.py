@@ -153,6 +153,22 @@ def test_healthz_and_stats(server):
     assert code == 200 and "queue_depth" in json.loads(body)
 
 
+def test_config_endpoint_reports_live_defaults(server):
+    """/config reports the ACTUAL serving defaults (quant/cache/cutoff all
+    changed defaults across rounds — an SLO regression is unexplainable
+    without knowing which approximations a server runs)."""
+    code, body = _get(server + "/config")
+    assert code == 200
+    cfg = json.loads(body)
+    assert cfg["nfe_steps"] == 2 and cfg["cfg_strength"] == 1.0
+    for key in ("cfg_cutoff", "block_cache", "quant", "max_batch",
+                "max_streams", "student", "ode_method", "multihost"):
+        assert key in cfg, cfg
+    assert cfg["multihost"] is False
+    # the tiny session TTS is an unquantized DiT → quant reports None
+    assert cfg["quant"] is None
+
+
 def test_tts_roundtrip(server):
     code, ctype, body = _post(server + "/tts", {
         "ref_b64": _ref_b64(), "ref_text": "hello there",

@@ -70,6 +70,9 @@ def main(argv=None) -> int:
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--summarize", type=str, default=None, metavar="XPLANE_PB",
                    help="only parse an existing .xplane.pb and exit")
+    p.add_argument("--quant", type=str, default="",
+                   help="profile the W8A8 serving dtype ('int8'/'int8_ff'; "
+                        "blank = bf16 exact path)")
     args = p.parse_args(argv)
 
     if args.summarize:
@@ -111,6 +114,16 @@ def main(argv=None) -> int:
         )
 
     params = jax.block_until_ready(gen_params(jax.random.key(1)))
+    if args.quant:
+        import dataclasses
+
+        from lemas_tts_tpu.ops.quant import (FF_QUANT_NAMES,
+                                             quantize_dense_tree)
+
+        model = dataclasses.replace(model, quant=args.quant)
+        names = FF_QUANT_NAMES if args.quant == "int8_ff" else None
+        params = jax.block_until_ready(jax.jit(
+            lambda pp: quantize_dense_tree(pp, names=names))(params))
 
     ref_frames = min(188, N // 4)
     cond = np.zeros((B, N, 100), np.float32)

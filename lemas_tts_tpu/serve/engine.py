@@ -253,21 +253,25 @@ class ServingEngine:
                 now = time.perf_counter()
                 device_s = now - t_dev
                 for r, res in zip(reqs, results):
+                    # observability BEFORE resolution: a reader that sees a
+                    # completed future must find its request_trace already
+                    # written (the reverse order raced the client thread
+                    # against the trace emission)
+                    if r._t_submit:
+                        self.record_latency("request", now - r._t_submit)
+                    self._trace(r, t_collect, device_s, len(reqs), "ok")
                     # a client may have cancelled its future; don't let that
                     # poison the other rows of the batch
                     if not r.future.done():
                         r.future.set_result(res)
-                    if r._t_submit:
-                        self.record_latency("request", now - r._t_submit)
-                    self._trace(r, t_collect, device_s, len(reqs), "ok")
                 self.log.log("batch_done", size=len(reqs), bucket=bucket)
             except Exception as e:  # pragma: no cover - defensive
                 self.log.log("batch_error", error=str(e),
                              tb=traceback.format_exc(limit=5))
                 for r in reqs:
+                    self._trace(r, t_collect, 0.0, len(reqs), "error")
                     if not r.future.done():
                         r.future.set_exception(e)
-                    self._trace(r, t_collect, 0.0, len(reqs), "error")
             finally:
                 with self._lock:
                     self._inflight = []

@@ -753,38 +753,19 @@ _VOICED_PH = {"b", "d", "ɡ", "v", "ð", "z", "ʒ", "dʒ", "m", "n", "ŋ", "l",
               "ɹ", "w", "j", "iː", "ɪ", "eɪ", "ɛ", "æ", "ɑː", "ɔː", "oʊ",
               "ʊ", "uː", "ʌ", "ə", "ɚ", "ɜː", "aɪ", "aʊ", "ɔɪ", "i", "u"}
 
-_WORD_RE = re.compile(r"[a-zA-Z']+|[0-9]+|[^\w\s]", re.UNICODE)
-
-
 def phonemize_tokens(text: str) -> List[str]:
     """Text → token list in the espeak-wrapper grammar
     (``tokenizer.TextTokenizer.to_list``): per-word IPA phones, ``_``
     between words, punctuation as its own token. Digits should be expanded
     to words upstream (``numwords.replace_numbers_with_words``); stray
-    digit runs fall back to per-character tokens rather than vanishing."""
-    fields: List[str] = []
-    for part in _WORD_RE.findall(text):
-        if part[0].isalpha() or part[0] == "'":
-            ph = word_to_phones(part)
-            if ph:
-                if fields and fields[-1] != "_":
-                    fields.append("_")  # word separator (espeak order:
-                    # phones, punct, THEN the next word's separator)
-                fields.extend(ph)
-        elif part[0].isdigit():
-            if fields and fields[-1] != "_":
-                fields.append("_")
-            fields.extend(list(part))
-        elif part == "-":
-            pass  # hyphens read as word joins (espeak: "thirty-two" → two words)
-        else:  # punctuation: its own token right after the word's phones
-            fields.append(part)
-    # strip leading/trailing separators
-    while fields and fields[0] == "_":
-        fields.pop(0)
-    while fields and fields[-1] == "_":
-        fields.pop()
-    return fields
+    digit runs fall back to per-character tokens rather than vanishing.
+    Delegates to the shared separator-grammar walker
+    (``latin_ipa.phonemize_tokens_with`` — one implementation of the
+    contract for every builtin G2P; words the rules can't phonemize at
+    all degrade to char tokens instead of dropping from the audio)."""
+    from lemas_tts_tpu.text.latin_ipa import phonemize_tokens_with
+
+    return phonemize_tokens_with(word_to_phones, text)
 
 
 def txt2phone(text: str) -> str:

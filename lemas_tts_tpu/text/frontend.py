@@ -330,13 +330,15 @@ class TextNorm:
                     )
                     phns = ipa[0] if ipa[0][:1] == "(" else f"({lang})_" + ipa[0]
                     res += phns.replace("_", "|_|").split("|")
-                elif self.dtype == "phone" and \
-                        _builtin_g2p_supports(detect_lang(t)) and \
-                        _builtin_word_phones(t, detect_lang(t)):
-                    res += ([f"({detect_lang(t)})"]
-                            + _builtin_word_phones(t, detect_lang(t)))
-                else:  # char fallback: keep the word as upper-case chars
-                    res += [f"({detect_lang(t)})"] + list(t.upper())
+                else:
+                    wl = detect_lang(t)
+                    wp = (_builtin_word_phones(t, wl)
+                          if self.dtype == "phone"
+                          and _builtin_g2p_supports(wl) else None)
+                    if wp:  # hermetic builtin IPA tier
+                        res += [f"({wl})"] + wp
+                    else:  # char fallback: the word as upper-case chars
+                        res += [f"({wl})"] + list(t.upper())
             res.append("_")
         out = "|".join(res)
         return re.sub(r"(\|_)+", "|_", out)

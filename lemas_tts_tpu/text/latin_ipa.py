@@ -51,7 +51,6 @@ def _rules(pairs: List[Tuple[str, str]]):
 _ES_RULES = _rules([
     ("ch", "tʃ"),
     ("ll", "ʎ"),
-    ("rr", "r"),
     ("qu(?=[ei])", "k"),
     ("qu", "k w"),
     ("gü(?=[ei])", "ɡ w"),
@@ -110,7 +109,7 @@ _DE_RULES = _rules([
     ("th", "t"),
     ("qu", "k v"),
     ("ei", "aɪ"), ("ai", "aɪ"),
-    ("ie(?=h)", "iː"), ("ieh", "iː"), ("ie", "iː"),
+    ("ieh", "iː"), ("ie", "iː"),
     ("eu", "ɔʏ"), ("äu", "ɔʏ"),
     ("au", "aʊ"),
     ("aa", "aː"), ("ee", "eː"), ("oo", "oː"),
@@ -150,19 +149,19 @@ _PT_RULES = _rules([
     ("lh", "ʎ"),
     ("ch", "ʃ"),
     ("ss", "s"),
-    ("qu(?=[eiéí])", "k"),
+    ("qu(?=[ei])", "k"),
     ("qu", "k w"),
-    ("gu(?=[eiéí])", "ɡ"),
-    ("g(?=[eiéí])", "ʒ"),
-    ("c(?=[eiéí])", "s"),
+    ("gu(?=[ei])", "ɡ"),
+    ("g(?=[ei])", "ʒ"),
+    ("c(?=[ei])", "s"),
     ("ç", "s"),
     ("j", "ʒ"),
     ("x", "ʃ"),
     ("d(?=i)", "dʒ"),   # BR palatalization: dia → dʒia
     ("t(?=i)", "tʃ"),   # BR: tio → tʃiu
+    # (acute/circumflex accents are folded to plain vowels before the
+    # rules run — _FOLD; only the nasal tildes survive to here)
     ("ã", "a"), ("õ", "o"),
-    ("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"), ("ú", "u"),
-    ("â", "a"), ("ê", "e"), ("ô", "o"),
     ("a", "a"), ("e", "e"), ("i", "i"), ("o", "o"), ("u", "u"),
     ("b", "b"), ("c", "k"), ("d", "d"), ("f", "f"), ("g", "ɡ"),
     ("h", ""), ("k", "k"), ("l", "l"), ("m", "m"), ("n", "n"),
@@ -299,22 +298,31 @@ def word_to_phones(word: str, lang: str) -> List[str]:
     return phones
 
 
-_WORD_RE = re.compile(r"[^\W\d_]+|[0-9]+|[^\w\s]", re.UNICODE)
+# apostrophes join elided words (it "l'acqua" → one word /lakkwa/, the
+# transducer skips the apostrophe itself)
+_WORD_RE = re.compile(r"[^\W\d_]+(?:['’][^\W\d_]+)*|[0-9]+|[^\w\s]",
+                      re.UNICODE)
 
 
-def phonemize_tokens(text: str, lang: str) -> List[str]:
-    """Text → token list in the espeak-wrapper grammar (same contract as
-    ``en_ipa.phonemize_tokens``): per-word phones, ``_`` between words,
-    punctuation as its own token, digit runs (expand numbers upstream via
-    ``numwords``) as per-character tokens."""
+def phonemize_tokens_with(word_fn, text: str,
+                          word_re: "re.Pattern" = _WORD_RE) -> List[str]:
+    """Generic text → token list in the espeak-wrapper grammar
+    (``tokenizer.TextTokenizer.to_list``): per-word phones via ``word_fn``,
+    ``_`` between words, punctuation as its own token, digit runs (expand
+    numbers upstream via ``numwords``) as per-character tokens. Shared by
+    ``en_ipa`` and this module so the separator contract lives once.
+
+    A word ``word_fn`` can't phonemize at all (foreign script for the
+    language's rules) falls back to per-character tokens — degraded like
+    the char frontend, never silently dropped from the audio."""
     fields: List[str] = []
-    for part in _WORD_RE.findall(text):
-        if part[0].isalpha():
-            ph = word_to_phones(part, lang)
-            if ph:
-                if fields and fields[-1] != "_":
-                    fields.append("_")
-                fields.extend(ph)
+    for part in word_re.findall(text):
+        if part[0].isalpha() or part[0] in "'’":
+            ph = word_fn(part) or list(part.upper())
+            if fields and fields[-1] != "_":
+                fields.append("_")  # word separator (espeak order: phones,
+                # punct, THEN the next word's separator)
+            fields.extend(ph)
         elif part[0].isdigit():
             if fields and fields[-1] != "_":
                 fields.append("_")
@@ -328,6 +336,11 @@ def phonemize_tokens(text: str, lang: str) -> List[str]:
     while fields and fields[-1] == "_":
         fields.pop()
     return fields
+
+
+def phonemize_tokens(text: str, lang: str) -> List[str]:
+    """Text → token list in the espeak-wrapper grammar for ``lang``."""
+    return phonemize_tokens_with(lambda w: word_to_phones(w, lang), text)
 
 
 def txt2phone(text: str, lang: str) -> str:

@@ -153,7 +153,7 @@ def test_healthz_and_stats(server):
     assert code == 200 and "queue_depth" in json.loads(body)
 
 
-def test_config_endpoint_reports_live_defaults(server):
+def test_config_endpoint_reports_live_defaults(server, tiny_tts):
     """/config reports the ACTUAL serving defaults (quant/cache/cutoff all
     changed defaults across rounds — an SLO regression is unexplainable
     without knowing which approximations a server runs)."""
@@ -165,8 +165,12 @@ def test_config_endpoint_reports_live_defaults(server):
                 "max_streams", "student", "ode_method", "multihost"):
         assert key in cfg, cfg
     assert cfg["multihost"] is False
-    # the tiny session TTS is an unquantized DiT → quant reports None
-    assert cfg["quant"] is None
+    # the tiny session TTS is an unquantized DiT → quant reports None.
+    # Pin the handler's attribute path too: a tts.dit rename would make
+    # the getattr chain report None FOREVER, indistinguishable from this
+    # expected value — so assert the path resolves on the live object.
+    assert hasattr(tiny_tts, "dit") and hasattr(tiny_tts.dit, "quant")
+    assert cfg["quant"] is tiny_tts.dit.quant is None
 
 
 def test_tts_roundtrip(server):

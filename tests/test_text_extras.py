@@ -274,3 +274,24 @@ def test_latin_ipa_robustness_fuzz():
     # words made only of the language's own script always yield phones
     assert L.word_to_phones("zzyzx", "es")
     assert L.word_to_phones("щёчка", "ru")
+
+
+def test_latin_ipa_review_fixes():
+    """Regressions for the round-5 self-review findings."""
+    from lemas_tts_tpu.text import en_ipa as E
+    from lemas_tts_tpu.text import latin_ipa as L
+
+    # (1) foreign-script words degrade to char tokens, never silently drop
+    out = L.txt2phone("привет iphone мир", "ru").split("|")
+    assert out == ["p", "r", "i", "v", "e", "t", "_",
+                   "I", "P", "H", "O", "N", "E", "_", "m", "i", "r"], out
+    assert "М" in E.txt2phone("hello мир").split("|")  # en side too
+    # (2) German Dehnungs-h after ie is silent (sieht ≠ z iː h t)
+    assert L.word_to_phones("sieht", "de") == ["z", "iː", "t"]
+    assert L.word_to_phones("zieht", "de") == ["ts", "iː", "t"]
+    # (3) apostrophe elisions join words instead of emitting a "'" token
+    toks = L.txt2phone("l'acqua è bella", "it").split("|")
+    assert "'" not in toks and toks[:6] == ["l", "a", "k", "k", "w", "a"]
+    # (4) one shared separator-grammar walker: en delegates to the generic
+    assert E.phonemize_tokens("hi there") == \
+        L.phonemize_tokens_with(E.word_to_phones, "hi there")

@@ -76,10 +76,9 @@ BATCH = int(os.environ.get("LEMAS_BENCH_BATCH", "8"))
 # gates `quant_mel_mse_vs_bf16` against the same 1e-3 parity bar, so the
 # speed row always travels with its dtype-divergence measurement.
 # LEMAS_BENCH_QUANT overrides ("0"/"none" → bf16).
-_q = os.environ.get("LEMAS_BENCH_QUANT")
-if _q is None:
-    from lemas_tts_tpu.config import SERVING_QUANT as _q
-QUANT = _q if _q not in ("0", "", "none", None) else None
+from lemas_tts_tpu.config import resolve_quant as _rq
+
+QUANT = _rq(os.environ.get("LEMAS_BENCH_QUANT", "default"))
 # block-scan unroll (1 = lax.scan loop; 22 = fully unrolled blocks)
 UNROLL = int(os.environ.get("LEMAS_BENCH_UNROLL", "1"))
 # Distilled-student row (DEFAULT-ON, round 5): the product fast path —
@@ -269,7 +268,11 @@ def main():
         data = (cond_j[:gb], mask_j[:gb], text[:gb], dur_j[:gb], ys[0][:gb])
         exact_settings = SamplerSettings(
             steps=NFE, cfg_strength=CFG, sway_sampling_coef=SWAY)
-        exact_q = make_sampler(model, exact_settings)(params, *data)
+        # the approx gate above already ran this exact quantized-model
+        # sampler on the same inputs — reuse instead of re-tracing a full
+        # NFE program (minutes of host time per bench through the tunnel)
+        exact_q = (exact if (CFG_CUTOFF or BLOCK_CACHE)
+                   else make_sampler(model, exact_settings)(params, *data))
         exact_f = make_sampler(fmodel, exact_settings)(fparams, *data)
         quant_mse = float(mel_mse(exact_q, exact_f))
         if quant_mse > 1e-3:

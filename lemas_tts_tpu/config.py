@@ -118,8 +118,21 @@ SERVING_BLOCK_CACHE = "0-22:2+t2"
 # default already accepts and 100× inside the 1e-3 parity bar. Library
 # default stays None (exact float semantics); serving entry points and
 # bench.py opt in with this value. LEMAS_SERVING_QUANT="" disables.
-SERVING_QUANT: Optional[str] = (
-    os.environ.get("LEMAS_SERVING_QUANT", "int8") or None)
+def resolve_quant(value: Optional[str]) -> Optional[str]:
+    """One quant-knob grammar for every entry point: ``None``/``""``/
+    ``"none"``/``"0"``/``"off"`` disable, ``"default"`` means the serving
+    default, anything else is a mode string validated at model build
+    (models/modules.py). Divergent per-CLI copies of this normalization
+    once let ``LEMAS_SERVING_QUANT=none`` crash serve_http at warmup."""
+    if value is None or str(value).strip().lower() in ("", "none", "0",
+                                                       "off"):
+        return None
+    v = str(value).strip()
+    return SERVING_QUANT if v == "default" else v
+
+
+SERVING_QUANT: Optional[str] = resolve_quant(
+    os.environ.get("LEMAS_SERVING_QUANT", "int8"))
 
 # Evidence-freshness stamp for the serving-default approximations above.
 # CI (tests/test_utils.py) asserts this record matches the LIVE defaults, so

@@ -85,7 +85,15 @@ def dispatch_warmup(synth, cfg: SamplerConfig = SamplerConfig(),
     warmed. Works on any engine-facing synthesizer (``Synthesizer`` or the
     multihost ``BroadcastSynthesizer`` — there the warm batches broadcast,
     warming the whole fleet). Returns the number of dispatches made;
-    buckets unreachable with the synthetic reference are skipped.
+    buckets unreachable with the synthetic reference are skipped, and
+    non-bucket duration values are normalized to their bucket (a raw
+    ``1000`` warms the 1024 bucket instead of silently warming nothing).
+
+    Limitation: each duration bucket is warmed at the ONE text bucket the
+    synthetic text lands in; real traffic whose text lengths span several
+    ``TEXT_BUCKETS`` within a duration bucket still compiles those
+    variants on first sight (warm with representative real requests for a
+    hard zero-tail guarantee — ``latency_probe --loaded_ttfb`` does).
     """
     mel_cfg = getattr(synth, "mel_cfg", None) or synth.synth.mel_cfg
     sr = mel_cfg.target_sample_rate
@@ -94,6 +102,8 @@ def dispatch_warmup(synth, cfg: SamplerConfig = SamplerConfig(),
     ref_units = "warm up reference audio."
     filler = "all warmup and no playback makes the first request slow ".split()
     n = 0
+    duration_buckets = {pick_bucket(int(N), DURATION_BUCKETS)
+                        for N in duration_buckets}
     for N in sorted(duration_buckets):
         gen = "warm. "
         # grow one word at a time: coarse growth can jump clean over a

@@ -232,14 +232,28 @@ def _loaded_ttfb_probe(tts, ref, sr, ref_units, gen_units, texts, cfg,
         # compiles mid-measurement (~25-100 s via the tunnel) and poisons
         # the percentiles (first on-chip run measured batched p50 78 s, all
         # compile stall)
-        from lemas_tts_tpu.infer.pipeline import BATCH_BUCKETS
+        from lemas_tts_tpu.infer.pipeline import (BATCH_BUCKETS,
+                                                  TEXT_BUCKETS, pick_bucket)
+        from lemas_tts_tpu.utils.vocab import text_to_ids
 
+        # one warm rep per (duration bucket, TEXT bucket): the engine
+        # batches by duration bucket only, and nt = pick_bucket(max ids)
+        # varies with batch composition — warming just the first text per
+        # duration bucket leaves the other nt-bucket programs to compile
+        # mid-measurement
         rep_by_bucket = {}
         for i, g in enumerate(gen_units):
             b = synth.estimate_bucket(ref, sr, ref_units, g, cfg)
-            rep_by_bucket.setdefault(b, i)
-        b_buckets = tuple(b for b in BATCH_BUCKETS if b <= args.max_batch)
-        print(f"[loaded] warming dur={sorted(rep_by_bucket)} "
+            full = (ref_units + g if isinstance(g, str)
+                    else list(ref_units) + list(g))
+            nt = pick_bucket(len(text_to_ids(full, synth.vocab)),
+                             TEXT_BUCKETS)
+            rep_by_bucket.setdefault((b, nt), i)
+        # up to the bucket a full max_batch collection PADS INTO (a
+        # non-bucket max_batch like 6 pads to 8)
+        top = pick_bucket(args.max_batch, BATCH_BUCKETS)
+        b_buckets = tuple(b for b in BATCH_BUCKETS if b <= top)
+        print(f"[loaded] warming (dur,nt)={sorted(rep_by_bucket)} "
               f"B={list(b_buckets)} via the dispatch path ...", flush=True)
         # warm through the REAL dispatch path (synthesize_requests), not a
         # synthetic reconstruction: jit cache keys include argument
@@ -328,12 +342,11 @@ def main() -> int:
     from lemas_tts_tpu.config import SamplerConfig
     from lemas_tts_tpu.serve.engine import ServingEngine, TTSRequest
 
-    if args.quant == "default":
-        from lemas_tts_tpu.config import SERVING_QUANT as quant
-    else:
-        quant = args.quant if args.quant not in ("", "none", "0") else None
+    from lemas_tts_tpu.config import resolve_quant
+
     tts = lemas_tts_tpu.TTS(model=args.model, ckpt_file=args.ckpt,
-                            vocab_file=args.vocab, quantization=quant)
+                            vocab_file=args.vocab,
+                            quantization=resolve_quant(args.quant))
     sr = tts.target_sample_rate
     t = np.arange(4 * sr) / sr
     ref = (0.3 * np.sin(2 * np.pi * 220 * t)

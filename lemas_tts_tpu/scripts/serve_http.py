@@ -594,11 +594,10 @@ def serve(args, *, ready_event: Optional[threading.Event] = None,
                 "JAX_PROCESS_ID, or run on a TPU pod)")
         mesh = make_global_mesh(model_parallel=1)
 
+    from lemas_tts_tpu.config import resolve_quant
+
     qv = getattr(args, "quant", "default")
-    if qv == "default":
-        from lemas_tts_tpu.config import SERVING_QUANT as quant
-    else:
-        quant = qv if qv not in ("", "none", "0") else None
+    quant = resolve_quant(qv)
     tts_kwargs = dict(
         model=args.model, ckpt_file=args.ckpt_file,
         vocab_file=args.vocab_file,
@@ -607,11 +606,14 @@ def serve(args, *, ready_event: Optional[threading.Event] = None,
     )
     try:
         tts = lemas_tts_tpu.TTS(quantization=quant, **tts_kwargs)
-    except ValueError:
-        if quant is None or qv != "default":
-            raise  # explicit request → loud failure
-        # serving-default quant on a backbone that doesn't support it
-        # (non-DiT) falls back to exact float semantics
+    except ValueError as e:
+        # ONLY the serving-default-on-non-DiT case falls back to float; any
+        # other ValueError (bad ckpt/config) must stay loud — a broad catch
+        # here once mis-diagnosed unrelated build errors AND paid a second
+        # full model build before failing anyway
+        if (quant is None or qv != "default"
+                or "quantization is only supported" not in str(e)):
+            raise
         print("[serve_http] backbone does not support quantization — "
               "serving float")
         tts = lemas_tts_tpu.TTS(**tts_kwargs)
@@ -644,18 +646,27 @@ def serve(args, *, ready_event: Optional[threading.Event] = None,
 
     if not args.no_warmup:
         engine_synth.warmup(cfg)
-        if getattr(args, "warmup_batches", ""):
-            from lemas_tts_tpu.infer.pipeline import (BATCH_BUCKETS,
-                                                      dispatch_warmup)
+    # dispatch-path warm is independent of --no_warmup: an operator may
+    # want ONLY this warm (it subsumes the synthetic one for its buckets)
+    if getattr(args, "warmup_batches", ""):
+        from lemas_tts_tpu.cfm.sampler import DURATION_BUCKETS
+        from lemas_tts_tpu.infer.pipeline import (BATCH_BUCKETS,
+                                                  dispatch_warmup,
+                                                  pick_bucket)
 
-            if args.warmup_batches.strip().lower() == "auto":
-                bb = tuple(b for b in BATCH_BUCKETS if b <= args.max_batch)
-            else:
-                bb = tuple(int(x) for x in args.warmup_batches.split(","))
-            dd = tuple(int(x) for x in args.warmup_durations.split(","))
-            n = dispatch_warmup(engine_synth, cfg, duration_buckets=dd,
-                                batch_buckets=bb)
-            print(f"[serve_http] dispatch-path warmup: {n} dispatches")
+        if args.warmup_batches.strip().lower() == "auto":
+            # up to the bucket real max_batch-sized batches PAD INTO (a
+            # non-bucket max_batch like 6 pads to 8 — `<= max_batch` missed
+            # exactly the shape first full batches hit)
+            top = pick_bucket(args.max_batch, BATCH_BUCKETS)
+            bb = tuple(b for b in BATCH_BUCKETS if b <= top)
+        else:
+            bb = tuple(int(x) for x in args.warmup_batches.split(","))
+        dd = tuple(pick_bucket(int(x), DURATION_BUCKETS)
+                   for x in args.warmup_durations.split(","))
+        n = dispatch_warmup(engine_synth, cfg, duration_buckets=dd,
+                            batch_buckets=bb)
+        print(f"[serve_http] dispatch-path warmup: {n} dispatches")
     engine = ServingEngine(
         engine_synth, cfg=cfg, max_batch=args.max_batch,
         trace_requests=True if getattr(args, "trace_requests", False)

@@ -507,3 +507,28 @@ def test_request_trace_records(server, server_engine):
     assert set(STREAM_TRACE_FIELDS) <= set(s), s
     assert s["outcome"] == "ok" and s["n_chunks"] >= 2
     assert 0 < s["ttfb_ms"] <= s["total_ms"]
+
+
+def test_resolve_quant_grammar():
+    """One quant-knob grammar everywhere (review finding: divergent
+    per-CLI copies let LEMAS_SERVING_QUANT=none crash serve_http at
+    warmup with 'unknown quantization mode')."""
+    from lemas_tts_tpu.config import SERVING_QUANT, resolve_quant
+
+    for off in (None, "", "none", "0", "off", "NONE", " none "):
+        assert resolve_quant(off) is None, off
+    assert resolve_quant("default") == SERVING_QUANT
+    assert resolve_quant("int8") == "int8"
+    assert resolve_quant("int8_ff") == "int8_ff"
+
+
+def test_warmup_auto_buckets_cover_padded_batch(tiny_tts):
+    """--warmup_batches auto with a non-bucket max_batch (6) must warm the
+    bucket real full batches PAD INTO (8), not stop at 4 (review finding:
+    `<= max_batch` left the first full batch to compile mid-traffic)."""
+    from lemas_tts_tpu.infer.pipeline import BATCH_BUCKETS, pick_bucket
+
+    top = pick_bucket(6, BATCH_BUCKETS)
+    assert top == 8
+    bb = tuple(b for b in BATCH_BUCKETS if b <= top)
+    assert 8 in bb
